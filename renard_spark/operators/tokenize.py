@@ -1,0 +1,159 @@
+"""Tokenization stage — sentence split + word tokenize, JVM-side.
+
+Replaces the reference's NLTKTokenizer (punkt + destructive word
+tokenizer, /root/reference/renard/pipeline/tokenization.py:35-85) with a
+deterministic regex tokenizer expressed entirely in built-in Spark SQL
+functions: ``split`` (sentence boundaries), ``regexp_extract_all``
+(tokens), ``posexplode`` + one per-doc window for global token indices.
+Whole-stage codegen end to end; the only shuffle is the per-doc window
+(hash-partition by doc_id), which every downstream stage reuses.
+
+The char-offset variant (needed to convert char-addressed dynamic
+blocks into token space, ref utils.py:120-134 charbb2tokenbb) is a
+separate Arrow-batched UDF used only when blocks are given in chars.
+
+Invariant mirrored from the reference tests
+(tests/test_tokenization.py:20-26): tokens == flatten(sentences).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# word characters (incl. apostrophes) run, else any single non-space char.
+# RE2-compatible (no lookaround) so the DuckDB oracle can run the same
+# pattern via regexp_extract_all.
+TOKEN_RE = r"[A-Za-z0-9_']+|[^A-Za-z0-9_'\s]"
+# sentence boundary: after terminal punctuation, before whitespace.
+# Java-regex lookbehind (Spark side); test-oracle replicates in pandas.
+SENT_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sent_idx, sentence) — empty sentences dropped."""
+    return (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), SENT_SPLIT_RE)).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+        .filter(F.trim("sentence") != "")
+    )
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token table: (doc_id, sent_idx, tok_idx, tok_in_sent, token).
+
+    tok_idx is the document-global token index (the reference's flat
+    ``tokens`` list position, core.py:165-166), computed with one
+    cumulative-count window per doc.
+    """
+    sent = sentences(df, text_col)
+    toks = sent.withColumn(
+        "toks", F.regexp_extract_all("sentence", F.lit(TOKEN_RE), 0)
+    ).drop("sentence")
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    base = toks.withColumn(
+        "base",
+        F.coalesce(
+            F.sum(F.size("toks")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return base.select(
+        "doc_id",
+        "sent_idx",
+        "base",
+        F.posexplode("toks").alias("tok_in_sent", "token"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        (F.col("base") + F.col("tok_in_sent")).alias("tok_idx"),
+        "tok_in_sent",
+        "token",
+    )
+
+
+def doc_tokens(tokens_df: DataFrame) -> DataFrame:
+    """Re-aggregate to one row per doc: (doc_id, tokens array, sent_starts).
+
+    sent_starts[i] = global tok_idx of sentence i's first token — the
+    compact form of the reference's ``sentences`` nested list, used by
+    sentence-distance windows (searchsorted instead of O(chars) maps).
+    """
+    per_sent = tokens_df.groupBy("doc_id", "sent_idx").agg(
+        F.min("tok_idx").alias("sent_start")
+    )
+    starts = per_sent.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("sent_idx", "sent_start"))).alias("_ss")
+    )
+    toks = tokens_df.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("tok_idx", "token"))).alias("_tt")
+    )
+    return toks.join(starts, "doc_id").select(
+        "doc_id",
+        F.transform("_tt", lambda s: s["token"]).alias("tokens"),
+        F.transform("_ss", lambda s: s["sent_start"]).alias("sent_starts"),
+    )
+
+
+_TOKEN_PAT = re.compile(TOKEN_RE)
+_SENT_PAT = re.compile(SENT_SPLIT_RE)
+
+
+def tokenize_text_py(text: str) -> tuple[list[str], list[int], list[tuple[int, int]]]:
+    """Pure-Python twin of the Spark tokenizer (used by UDF stages and
+    as the independent test oracle): returns (tokens, sent_idx per
+    token, (char_start, char_end) per token)."""
+    toks: list[str] = []
+    sent_of: list[int] = []
+    offsets: list[tuple[int, int]] = []
+    pos = 0
+    sent_i = 0
+    pieces = _SENT_PAT.split(text)
+    for piece in pieces:
+        start = text.index(piece, pos) if piece else pos
+        if piece.strip():
+            for m in _TOKEN_PAT.finditer(piece):
+                toks.append(m.group(0))
+                sent_of.append(sent_i)
+                offsets.append((start + m.start(), start + m.end()))
+            sent_i += 1
+        pos = start + len(piece)
+    return toks, sent_of, offsets
+
+
+def tokens_with_offsets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-batched tokenizer emitting char offsets:
+    (doc_id, sent_idx, tok_idx, token, char_start, char_end).
+    Only needed when downstream blocks are char-addressed."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                tk, si, off = tokenize_text_py(text or "")
+                for i, (t, s, (cs, ce)) in enumerate(zip(tk, si, off)):
+                    rows.append((doc_id, s, i, t, cs, ce))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sent_idx", "tok_idx", "token",
+                    "char_start", "char_end",
+                ],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run,
+        schema=(
+            "doc_id string, sent_idx int, tok_idx int, token string,"
+            " char_start int, char_end int"
+        ),
+    )

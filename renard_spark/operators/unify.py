@@ -1,0 +1,203 @@
+"""Character unification stages (Spark wrappers).
+
+- ``naive_unify``: pure DataFrame groupBy (one character per distinct
+  surface form — reference NaiveCharacterUnifier,
+  character_unification.py:99-156), with the coref-chain assignment
+  expressed as join + window argmax (no UDF at all).
+- ``graph_rules_unify``: the alias-graph unifier
+  (character_unification.py:159-464). Pair rules + contradiction edge
+  removal + connected components run **per document** inside an
+  Arrow-batched ``applyInPandas`` (the per-doc graph is tiny — distinct
+  PER names of one document — while docs distribute across executors).
+  A fully distributed CC path for cross-document entity tables lives in
+  ``operators.cc``.
+
+Unified-mention schema (stage table):
+    unified_mentions(doc_id, char_id, names:array<string>, gender,
+                     mention_str, start_idx, end_idx)
+characters = groupBy of that table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from renard_spark.operators.unify_core import unify_doc
+
+UNIFIED_SCHEMA = (
+    "doc_id string, char_id string, names array<string>, gender string,"
+    " mention_str string, start_idx int, end_idx int"
+)
+
+
+def naive_unify(
+    entities_df: DataFrame,
+    corefs_df: DataFrame | None = None,
+    character_tag: str = "PER",
+    min_appearances: int = 0,
+) -> DataFrame:
+    """One character per distinct surface form; coref chains assigned
+    to the character whose names occur most in the chain (join +
+    argmax, character_unification.py:48-96)."""
+    per = entities_df.filter(F.col("tag") == character_tag).select(
+        "doc_id",
+        F.col("mention_str").alias("char_id"),
+        F.array("mention_str").alias("names"),
+        F.lit("UNKNOWN").alias("gender"),
+        "mention_str",
+        "start_idx",
+        "end_idx",
+    )
+
+    if corefs_df is not None:
+        chars = per.select("doc_id", "char_id").distinct()
+        # chain×character name-occurrence counts (0-count chains drop out)
+        occ = (
+            corefs_df.alias("c")
+            .join(
+                chars.alias("k"),
+                (F.col("c.doc_id") == F.col("k.doc_id"))
+                & (F.col("c.mention_str") == F.col("k.char_id")),
+            )
+            .groupBy(F.col("c.doc_id").alias("doc_id"), "c.chain_id", "k.char_id")
+            .agg(F.count(F.lit(1)).alias("occ"))
+        )
+        wArg = Window.partitionBy("doc_id", "chain_id").orderBy(
+            F.col("occ").desc(), F.col("char_id").asc()
+        )
+        winner = (
+            occ.withColumn("_rn", F.row_number().over(wArg))
+            .filter("_rn = 1")
+            .select("doc_id", "chain_id", "char_id")
+        )
+        assigned = (
+            corefs_df.join(winner, ["doc_id", "chain_id"])
+            .select(
+                "doc_id",
+                "char_id",
+                F.array(F.col("char_id")).alias("names"),
+                F.lit("UNKNOWN").alias("gender"),
+                "mention_str",
+                "start_idx",
+                "end_idx",
+            )
+        )
+        per = per.unionByName(assigned).dropDuplicates(
+            ["doc_id", "char_id", "mention_str", "start_idx", "end_idx"]
+        )
+
+    if min_appearances > 0:
+        cnt = Window.partitionBy("doc_id", "char_id")
+        per = (
+            per.withColumn("_n", F.count(F.lit(1)).over(cnt))
+            .filter(F.col("_n") >= min_appearances)
+            .drop("_n")
+        )
+    return per
+
+
+def graph_rules_unify(
+    entities_df: DataFrame,
+    corefs_df: DataFrame | None = None,
+    character_tag: str = "PER",
+    lang: str = "eng",
+    min_appearances: int = 0,
+    link_corefs_mentions: bool = False,
+    ignore_lone_titles: set[str] | None = None,
+    ignore_leading_determiner: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Alias-graph unification, distributed across documents.
+
+    entities_df: (doc_id, start_idx, end_idx, mention_str, tag)
+    corefs_df:   (doc_id, chain_id, start_idx, end_idx, mention_str)
+    """
+    per = entities_df.filter(F.col("tag") == character_tag).select(
+        "doc_id", "start_idx", "end_idx", "mention_str"
+    )
+    has_corefs = corefs_df is not None
+    kwargs = dict(
+        lang=lang,
+        min_appearances=min_appearances,
+        link_corefs_mentions=link_corefs_mentions,
+        ignore_lone_titles=ignore_lone_titles,
+        ignore_leading_determiner=ignore_leading_determiner,
+    )
+
+    def run_doc(mentions_pdf: pd.DataFrame, chains_pdf: pd.DataFrame | None):
+        if mentions_pdf.empty:
+            doc_id = chains_pdf["doc_id"].iloc[0] if chains_pdf is not None else None
+            mentions = []
+            if doc_id is None:
+                return pd.DataFrame(
+                    columns=[
+                        "doc_id", "char_id", "names", "gender",
+                        "mention_str", "start_idx", "end_idx",
+                    ]
+                )
+        else:
+            doc_id = mentions_pdf["doc_id"].iloc[0]
+            mentions = list(
+                zip(
+                    mentions_pdf["mention_str"],
+                    mentions_pdf["start_idx"].astype(int),
+                    mentions_pdf["end_idx"].astype(int),
+                )
+            )
+        chains = None
+        if has_corefs:
+            chains = []
+            if chains_pdf is not None and not chains_pdf.empty:
+                for _, g in chains_pdf.sort_values(
+                    ["chain_id", "start_idx"]
+                ).groupby("chain_id", sort=True):
+                    chains.append(
+                        list(
+                            zip(
+                                g["mention_str"],
+                                g["start_idx"].astype(int),
+                                g["end_idx"].astype(int),
+                            )
+                        )
+                    )
+        rows = []
+        for c in unify_doc(mentions, chains, **kwargs):
+            for surface, s, e in c["mentions"]:
+                rows.append(
+                    (doc_id, c["char_id"], c["names"], c["gender"], surface, s, e)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "char_id", "names", "gender",
+                "mention_str", "start_idx", "end_idx",
+            ],
+        )
+
+    if has_corefs:
+        cor = corefs_df.select(
+            "doc_id", "chain_id", "start_idx", "end_idx", "mention_str"
+        )
+        grouped = per.groupBy("doc_id").cogroup(cor.groupBy("doc_id"))
+
+        def run_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return run_doc(left, right)
+
+        return grouped.applyInPandas(run_cogroup, schema=UNIFIED_SCHEMA)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return run_doc(pdf, None)
+
+    return per.groupBy("doc_id").applyInPandas(run_group, schema=UNIFIED_SCHEMA)
+
+
+def characters_table(unified_mentions: DataFrame) -> DataFrame:
+    """(doc_id, char_id, names, gender, mention_count) from the
+    unified-mentions stage table."""
+    return unified_mentions.groupBy("doc_id", "char_id").agg(
+        F.first("names").alias("names"),
+        F.first("gender").alias("gender"),
+        F.count(F.lit(1)).alias("mention_count"),
+    )

@@ -1,0 +1,84 @@
+"""High-level pipeline facade: documents → character network → triples.
+
+The Spark analog of the reference's ``Pipeline`` fold
+(/root/reference/renard/pipeline/core.py:695-735): each stage is a
+DataFrame→DataFrame function; the returned dict of stage tables is the
+"pipeline state" (one table per state attribute instead of one mutable
+blackboard per document). Stage checkpointing/resume lives in
+``plans.stage``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from renard_spark import corpus as corpus_mod
+from renard_spark.operators import cooccur, ner, tokenize, triples, unify
+from renard_spark.sources import ingest
+
+
+def default_gazetteer() -> list[str]:
+    """All surface forms of the synthetic corpus cast."""
+    forms: set[str] = set()
+    for first, last, gender, nicks in corpus_mod.CAST:
+        forms.update(corpus_mod.name_forms(first, last, gender, nicks))
+    return sorted(forms)
+
+
+def character_graph_pipeline(
+    documents_df: DataFrame,
+    gazetteer: list[str] | None = None,
+    dist: tuple[int, str] = (1, "sentences"),
+    unifier: str = "graph_rules",
+    min_appearances: int = 0,
+    dynamic_window: int | None = None,
+    dynamic_overlap: int = 0,
+    corefs_df: DataFrame | None = None,
+    polarities_df: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run the co-occurrence pipeline; returns all stage tables.
+
+    Mirrors the reference's preconfigured ``co_occurrence_pipeline``
+    (preconfigured.py:36-37; default dist (1,'sentences')).
+    """
+    gazetteer = gazetteer or default_gazetteer()
+    docs = ingest.normalize_documents(documents_df)
+    lineage = ingest.span_lineage(docs)
+    toks = tokenize.tokens(docs)
+    entities = ner.rule_ner(toks, gazetteer)
+    if unifier == "graph_rules":
+        unified = unify.graph_rules_unify(
+            entities, corefs_df, min_appearances=min_appearances
+        )
+    elif unifier == "naive":
+        unified = unify.naive_unify(
+            entities, corefs_df, min_appearances=min_appearances
+        )
+    else:
+        raise ValueError(f"unknown unifier: {unifier}")
+
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    group_col = None
+    if dynamic_window is not None:
+        mentions = cooccur.add_window_ids(mentions, dynamic_window, dynamic_overlap)
+        group_col = "window_id"
+    edges = cooccur.cooccurrence_edges(
+        mentions,
+        dist=dist[0],
+        unit=dist[1],
+        tokens_df=toks,
+        polarities_df=polarities_df,
+        group_col=group_col,
+    )
+    trip = triples.edges_to_triples(edges)
+    return {
+        "documents": docs,
+        "lineage": lineage,
+        "tokens": toks,
+        "entities": entities,
+        "unified_mentions": unified,
+        "characters": unify.characters_table(unified),
+        "nodes": triples.nodes_table(unified),
+        "edges": edges,
+        "triples": trip,
+    }

@@ -1,0 +1,64 @@
+"""Tokenizer parity: the JVM (Java-regex) tokenizer must agree with the
+independent Python-regex implementation, and tokens == flatten(sentences)
+(mirrors reference tests/test_tokenization.py:20-26)."""
+
+from renard_spark import corpus
+from renard_spark.operators import tokenize
+from renard_spark.sources import ingest
+
+
+def test_spark_tokens_match_python_oracle(spark):
+    docs_pdf = corpus.generate_documents_pdf(12, seed=7)
+    docs = ingest.normalize_documents(
+        spark.createDataFrame(docs_pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    )
+    got = (
+        tokenize.tokens(docs)
+        .orderBy("doc_id", "tok_idx")
+        .select("doc_id", "tok_idx", "sent_idx", "token")
+        .collect()
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_idx, r.sent_idx, r.token))
+
+    texts = docs.select("doc_id", "text").collect()
+    assert len(texts) == 12
+    for row in texts:
+        toks, sent_of, _ = tokenize.tokenize_text_py(row.text)
+        expected = [(i, s, t) for i, (t, s) in enumerate(zip(toks, sent_of))]
+        assert by_doc[row.doc_id] == expected, row.doc_id
+
+
+def test_tokens_flatten_sentences(spark):
+    docs_pdf = corpus.generate_documents_pdf(5, seed=3)
+    docs = ingest.normalize_documents(
+        spark.createDataFrame(docs_pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    )
+    toks = tokenize.tokens(docs)
+    # global token index must be dense 0..n-1 per doc and ordered by
+    # (sent_idx, tok_in_sent)
+    rows = toks.orderBy("doc_id", "sent_idx", "tok_in_sent").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.tok_idx)
+    for doc, idxs in by_doc.items():
+        assert idxs == list(range(len(idxs))), doc
+
+
+def test_media_spans_carried_and_lineage_exact(spark):
+    docs_pdf = corpus.generate_documents_pdf(10, seed=11, media_rate=0.5)
+    df = spark.createDataFrame(docs_pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    docs = ingest.normalize_documents(df)
+    lin = ingest.span_lineage(docs).collect()
+    orig = {r["doc_id"]: r["spans"] for r in df.collect()}
+    assert len(lin) == 10
+    for r in lin:
+        inp = orig[r.doc_id]
+        # per-row invariant: (kind, text, media_ref, order) equality
+        got = [(s.kind, s.text, s.media_ref, s.order) for s in r.spans_seq]
+        want = [(s.kind, s.text, s.media_ref, i) for i, s in enumerate(inp)]
+        assert got == want
+    med = ingest.media_spans(docs)
+    n_media = sum(1 for spans in orig.values() for s in spans if s.kind != "text")
+    assert med.count() == n_media
