@@ -1,0 +1,69 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Each query is executed to completion through the noop sink (forces the
+whole plan — shuffles, UDFs, aggregations — without driver collect).
+Also times the full narrative pipeline (synthetic interleaved corpus →
+triples) as the `narrative_pipeline` entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from renard_spark import corpus, pipeline
+from renard_spark.session import get_spark
+
+NARRATIVE_DOCS = int(os.environ.get("RENARD_BENCH_DOCS", "2000"))
+
+
+def run_to_completion(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("renard_spark_bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        run_to_completion(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # full narrative KG pipeline on the deterministic interleaved corpus
+    t0 = time.perf_counter()
+    docs = corpus.generate_documents(spark, NARRATIVE_DOCS, seed=13)
+    out = pipeline.character_graph_pipeline(docs, dist=(1, "sentences"))
+    run_to_completion(out["triples"])
+    timings["narrative_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "narrative_docs": NARRATIVE_DOCS,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

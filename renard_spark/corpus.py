@@ -59,6 +59,7 @@ _TEMPLATES = [
     "{A} found the evening {adj} and said so to {B}.",
     '"{q}" said {A} to {B}.',
     '"{q}" replied {B}.',
+    '"Pray give my regards to {B}" said {A}.',
     "{A} wrote to {B} at once.",
     "{P} was {adj} to see {B} again.",
     "{A} danced twice with {B}.",

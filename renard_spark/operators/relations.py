@@ -1,0 +1,178 @@
+"""Relation extraction + relational character network.
+
+The reference's GenerativeRelationExtractor
+(/root/reference/renard/pipeline/relation_extraction.py:138-246) is a
+T5 generator (flagged "in development, should not be used") whose
+post-processing is: parse "(s, r, o)" strings → map each endpoint to
+the unique character owning that name (ambiguous → dropped) → drop
+self-relations. The engine keeps that post-processing as DataFrame ops
+and replaces the generator with a deterministic pattern extractor
+(subject mention — relation verb — object mention inside one sentence);
+a model UDF can produce the same `raw_triples` shape.
+
+RelationalGraphExtractor (graph_extraction.py:716-762): per ordered
+(subj, obj) pair, count each relation; keep relations with count ≥
+min_rel_occurrences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRIPLE_RE = r"\(([^,]+), ?([^,]+), ?([^,]+)\)"
+
+# verb → relation label for the deterministic extractor
+RELATION_VERBS = {
+    "talked": "talked_with",
+    "walked": "walked_with",
+    "wrote": "wrote_to",
+    "danced": "danced_with",
+    "said": "said_to",
+    "replied": "replied_to",
+    "smiled": "smiled_at",
+    "saw": "saw",
+    "visited": "visited",
+    "met": "met",
+}
+
+
+def parse_text_triples(df: DataFrame, text_col: str = "generated") -> DataFrame:
+    """'(s, r, o)' strings → exploded raw triples
+    (relation_extraction.py:215-225). Pure regexp, JVM-side."""
+    subs = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 1)
+    rels = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 2)
+    objs = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 3)
+    z = df.withColumn("_z", F.arrays_zip(subs, rels, objs))
+    return z.select(
+        *[c for c in df.columns if c != "_z"],
+        F.explode("_z").alias("_t"),
+    ).select(
+        *[c for c in df.columns if c != "_z"],
+        F.trim(F.col("_t.0")).alias("raw_subj"),
+        F.trim(F.col("_t.1")).alias("rel"),
+        F.trim(F.col("_t.2")).alias("raw_obj"),
+    )
+
+
+def name_to_char(characters_df: DataFrame) -> DataFrame:
+    """(doc_id, name, char_id|NULL): the unique character owning the
+    name, NULL when ambiguous (identify_character,
+    relation_extraction.py:227-237)."""
+    exploded = characters_df.select(
+        "doc_id", "char_id", F.explode("names").alias("name")
+    )
+    return exploded.groupBy("doc_id", "name").agg(
+        F.when(
+            F.count_distinct("char_id") == 1, F.first("char_id")
+        ).alias("char_id")
+    )
+
+
+def resolve_triples(
+    raw_triples: DataFrame, characters_df: DataFrame
+) -> DataFrame:
+    """raw (doc_id, sent_idx, raw_subj, rel, raw_obj) → resolved
+    (doc_id, sent_idx, subj_char, rel, obj_char); ambiguous/unknown or
+    self-relations dropped (relation_extraction.py:198-207)."""
+    n2c = name_to_char(characters_df)
+    s = n2c.select(
+        F.col("doc_id").alias("_ds"),
+        F.col("name").alias("_ns"),
+        F.col("char_id").alias("subj_char"),
+    )
+    o = n2c.select(
+        F.col("doc_id").alias("_do"),
+        F.col("name").alias("_no"),
+        F.col("char_id").alias("obj_char"),
+    )
+    return (
+        raw_triples.join(
+            s, (raw_triples["doc_id"] == s["_ds"]) & (raw_triples["raw_subj"] == s["_ns"])
+        )
+        .join(o, (raw_triples["doc_id"] == o["_do"]) & (raw_triples["raw_obj"] == o["_no"]))
+        .filter(
+            F.col("subj_char").isNotNull()
+            & F.col("obj_char").isNotNull()
+            & (F.col("subj_char") != F.col("obj_char"))
+        )
+        .select("doc_id", "sent_idx", "subj_char", "rel", "obj_char")
+    )
+
+
+def pattern_relations(
+    unified_mentions: DataFrame,
+    tokens_df: DataFrame,
+    verbs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deterministic in-sentence extractor: consecutive character
+    mentions (by sentence order) with a relation verb between them →
+    raw triple (doc_id, sent_idx, raw_subj, rel, raw_obj)."""
+    verbs = verbs or RELATION_VERBS
+    spark = tokens_df.sparkSession
+    vdf = spark.createDataFrame(
+        [(k, v) for k, v in verbs.items()], "verb string, rel string"
+    )
+    sent_of = tokens_df.select(
+        F.col("doc_id").alias("_d"),
+        F.col("tok_idx").alias("_t"),
+        F.col("sent_idx"),
+    )
+    m = (
+        unified_mentions.alias("u")
+        .join(
+            sent_of,
+            (F.col("u.doc_id") == F.col("_d")) & (F.col("u.start_idx") == F.col("_t")),
+        )
+        .select(
+            "u.doc_id", "sent_idx", "u.char_id", "u.mention_str",
+            "u.start_idx", "u.end_idx",
+        )
+    )
+    w = Window.partitionBy("doc_id", "sent_idx").orderBy("start_idx", "end_idx")
+    m = m.withColumn("_r", F.row_number().over(w))
+    a, b = m.alias("a"), m.alias("b")
+    adjacent = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.sent_idx") == F.col("b.sent_idx"))
+        & (F.col("b._r") == F.col("a._r") + 1),
+    )
+    vt = (
+        tokens_df.join(F.broadcast(vdf), F.lower(F.col("token")) == F.col("verb"))
+        .select(
+            F.col("doc_id").alias("_vd"),
+            F.col("tok_idx").alias("_vt"),
+            F.col("rel"),
+        )
+    )
+    hits = adjacent.join(
+        vt,
+        (F.col("a.doc_id") == F.col("_vd"))
+        & (F.col("_vt") >= F.col("a.end_idx"))
+        & (F.col("_vt") < F.col("b.start_idx")),
+    )
+    w2 = Window.partitionBy("a.doc_id", "a.sent_idx", "a._r").orderBy("_vt")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w2))
+        .filter("_rn = 1")
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sent_idx").alias("sent_idx"),
+            F.col("a.mention_str").alias("raw_subj"),
+            "rel",
+            F.col("b.mention_str").alias("raw_obj"),
+        )
+    )
+
+
+def relational_edges(
+    resolved_triples: DataFrame, min_rel_occurrences: int = 1
+) -> DataFrame:
+    """→ (doc_id, subj_char, rel, obj_char, n) with n ≥ min;
+    (graph_extraction.py:738-751, ordered pair keying)."""
+    return (
+        resolved_triples.groupBy("doc_id", "subj_char", "rel", "obj_char")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_rel_occurrences)
+    )

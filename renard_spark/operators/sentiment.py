@@ -1,0 +1,67 @@
+"""Sentence-level sentiment — lexicon-based, fully JVM-side.
+
+The reference scores each sentence with NLTK VADER's compound metric
+(sentiment_analysis.py:7-39, value in [-1,1]). The engine ships a
+deterministic valence-lexicon scorer with the same output shape and the
+VADER-style normalization compound = s/√(s²+α): a broadcast join from
+tokens to the lexicon, one groupBy per sentence — no Python UDF at all.
+The lexicon is a compact from-scratch word list; a full VADER lexicon
+can be dropped in as a parquet dim table without code changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 15.0  # VADER's normalization constant
+
+# compact valence lexicon (from-scratch; extend freely)
+LEXICON: dict[str, float] = {
+    "delightful": 2.9, "charming": 2.2, "wonderful": 2.7, "agreeable": 1.8,
+    "happy": 2.1, "happiness": 2.4, "glad": 1.7, "love": 3.2, "loved": 2.9,
+    "smile": 1.4, "smiled": 1.4, "pleased": 1.9, "pleasure": 2.0,
+    "good": 1.9, "great": 3.1, "kind": 1.8, "gentle": 1.6, "delighted": 2.9,
+    "dreadful": -2.7, "horrid": -2.5, "miserable": -2.6, "odious": -2.4,
+    "unhappy": -1.9, "sad": -2.1, "hate": -2.7, "hated": -2.7,
+    "displeased": -1.8, "angry": -2.3, "terrible": -2.8, "awful": -2.6,
+    "bad": -1.9, "cruel": -2.6, "disagreeable": -1.7, "wretched": -2.4,
+}
+
+
+def lexicon_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(w, v) for w, v in LEXICON.items()], "word string, valence double"
+    )
+
+
+def sentence_polarities(tokens_df: DataFrame) -> DataFrame:
+    """→ (doc_id, sent_idx, polarity double in [-1,1]).
+
+    Every sentence gets a row (0.0 when no lexicon hits), mirroring the
+    reference's one-polarity-per-sentence list (core.py:178-179).
+    """
+    spark = tokens_df.sparkSession
+    lex = lexicon_df(spark)
+    hits = (
+        tokens_df.join(
+            F.broadcast(lex), F.lower(tokens_df["token"]) == lex["word"], "left"
+        )
+        .groupBy("doc_id", "sent_idx")
+        .agg(F.sum(F.coalesce("valence", F.lit(0.0))).alias("s"))
+    )
+    return hits.select(
+        "doc_id",
+        "sent_idx",
+        (F.col("s") / F.sqrt(F.col("s") * F.col("s") + F.lit(ALPHA))).alias(
+            "polarity"
+        ),
+    )
+
+
+def polarity_py(words: list[str]) -> float:
+    """Driver-side twin (test oracle)."""
+    s = sum(LEXICON.get(w.lower(), 0.0) for w in words)
+    return s / math.sqrt(s * s + ALPHA)
