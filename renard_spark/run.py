@@ -1,0 +1,124 @@
+"""Production entrypoint: the full narrative-KG pipeline as
+checkpoint-resumable stages.
+
+Deployment shape (north_rule): ``spark-submit --py-files renard_spark.zip
+-m renard_spark.run`` on a multi-executor cluster; in the sandbox it
+runs on local[N]. Every stage materializes to the catalog; interrupt it
+anywhere and re-running resumes from the last finished stage
+(``--rerun-from`` forces recomputation from a named stage, the analog
+of the reference's Pipeline.rerun_from, core.py:737-780).
+
+Usage:
+    python -m renard_spark.run --workdir /tmp/kg --docs 1000
+    python -m renard_spark.run --workdir /tmp/kg --rerun-from unified_mentions
+    python -m renard_spark.run --workdir /tmp/kg --input /path/to/documents.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from renard_spark import corpus
+from renard_spark.io.catalog import get_catalog
+from renard_spark.operators import (
+    conversation,
+    cooccur,
+    coref,
+    ner,
+    quotes,
+    sentiment,
+    tokenize,
+    triples,
+    unify,
+)
+from renard_spark.plans.stage import StageRunner
+from renard_spark.sources import ingest
+
+
+def build_runner(
+    spark: SparkSession,
+    documents_df: DataFrame,
+    workdir: str,
+    gazetteer: list[str] | None = None,
+    dist: tuple[int, str] = (1, "sentences"),
+    min_appearances: int = 0,
+    with_speech: bool = True,
+) -> StageRunner:
+    from renard_spark.pipeline import default_gazetteer
+
+    gaz = gazetteer or default_gazetteer()
+    catalog = get_catalog(spark, workdir)
+    r = StageRunner(spark, catalog, inputs={"documents_raw": documents_df})
+
+    r.add("documents", ["documents_raw"],
+          lambda s, d: ingest.normalize_documents(d))
+    r.add("lineage", ["documents"], lambda s, d: ingest.span_lineage(d))
+    r.add("tokens", ["documents"], lambda s, d: tokenize.tokens(d))
+    r.add("entities", ["tokens"], lambda s, t: ner.rule_ner(t, gaz))
+    r.add("corefs", ["tokens", "entities"],
+          lambda s, t, e: coref.rule_corefs(t, e))
+    r.add(
+        "unified_mentions", ["entities", "corefs"],
+        lambda s, e, c: unify.graph_rules_unify(
+            e, c, min_appearances=min_appearances
+        ),
+        config={"min_appearances": min_appearances},
+    )
+    r.add("characters", ["unified_mentions"],
+          lambda s, u: unify.characters_table(u))
+    r.add("polarities", ["tokens"],
+          lambda s, t: sentiment.sentence_polarities(t))
+    r.add(
+        "edges", ["unified_mentions", "tokens", "polarities"],
+        lambda s, u, t, p: cooccur.cooccurrence_edges(
+            u.select("doc_id", "char_id", "start_idx", "end_idx"),
+            dist=dist[0], unit=dist[1], tokens_df=t, polarities_df=p,
+        ),
+        config={"dist": list(dist)},
+    )
+    r.add("triples", ["edges"],
+          lambda s, e: triples.edges_to_triples(e))
+    if with_speech:
+        r.add("quotes", ["tokens"], lambda s, t: quotes.detect_quotes(t))
+        r.add("speakers", ["quotes", "unified_mentions"],
+              lambda s, q, u: quotes.attribute_speakers(q, u))
+        r.add(
+            "conversation_edges", ["speakers", "tokens"],
+            lambda s, sp, t: conversation.conversation_edges(
+                sp, dist=1, unit="sentences", tokens_df=t
+            ),
+        )
+        r.add("mention_edges", ["speakers", "unified_mentions"],
+              lambda s, sp, u: conversation.mention_graph_edges(sp, u))
+    return r
+
+
+def main() -> None:
+    from renard_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--docs", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--input", default=None,
+                    help="parquet path of a documents table (else synthetic)")
+    ap.add_argument("--rerun-from", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("renard_spark_run", cpus=args.cpus)
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = corpus.generate_documents(spark, args.docs, seed=args.seed)
+    runner = build_runner(spark, docs, args.workdir)
+    out = runner.run(rerun_from=args.rerun_from)
+    n = out["triples"].count()
+    print(f"triples: {n}")
+    runner.metrics().groupBy("stage").sum("rows").show(50, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
