@@ -49,6 +49,160 @@ m AS (SELECT doc_id, tok_idx, token FROM toks WHERE token IN ({_CAST_SQL}))
 """
 
 
+from renard_spark.functions.text import STOPWORDS  # noqa: E402
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(tk)::BIGINT AS n_tokens,
+    length(text)::DOUBLE / greatest(len(tk), 1) AS mean_tok_len,
+    len(list_filter(list_transform(tk, x -> lower(x)),
+        x -> list_contains([{_SW_SQL}], x)))::DOUBLE / greatest(len(tk), 1)
+      AS stopword_ratio,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+      / greatest(length(text), 1) AS punct_ratio,
+    1.0 - len(list_distinct(list_transform(tk, x -> lower(x))))::DOUBLE
+      / greatest(len(tk), 1) AS repetition_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(mean_tok_len, 6) AS mean_tok_len,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(repetition_ratio, 6) AS repetition_ratio,
+  round(least(n_tokens / 64.0, 1.0) * 0.25
+        + least(stopword_ratio * 4, 1.0) * 0.25
+        + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+        + (1.0 - repetition_ratio) * 0.25, 6) AS quality_score
+FROM f
+"""
+
+_ORACLE_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(list_transform(tk, x -> lower(x)),
+        x -> list_contains([{_SW_SQL}], x)))::DOUBLE / greatest(len(tk), 1)
+      AS score
+  FROM t
+)
+SELECT doc_id, round(score, 6) AS en_score,
+       CASE WHEN score >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM s
+"""
+
+_MINHASH_CTES = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+    ELSE [array_to_string(tk, ' ')] END AS shs
+  FROM t
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0
+), sigs AS (
+  SELECT doc_id, j.seed AS seed,
+         min(md5(j.seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, range(0, 8) j(seed) GROUP BY doc_id, j.seed
+), bands AS (
+  SELECT doc_id, (seed // 2)::INT AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)::INT
+)
+"""
+
+_ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, lower(tok) AS tok, count(*) AS cnt
+  FROM toks GROUP BY doc_id, lower(tok)
+), votes AS (
+  SELECT doc_id, j.j AS j,
+    sum(((((('0x' || substr(md5(tok), (j.j // 4)::INT + 1, 1))::INT
+        >> (3 - (j.j % 4))::INT) & 1) * 2 - 1) * cnt)) AS v
+  FROM counts, range(0, 64) j(j) GROUP BY doc_id, j.j
+), hexd AS (
+  SELECT doc_id, (j // 4)::INT AS p,
+    sum(CASE WHEN v > 0 THEN (1 << (3 - (j % 4))::INT) ELSE 0 END)::INT AS digit
+  FROM votes GROUP BY doc_id, (j // 4)::INT
+), fp AS (
+  SELECT doc_id,
+         string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p)
+           AS simhash_hex
+  FROM hexd GROUP BY doc_id
+)
+SELECT doc_id, simhash_hex,
+       count(*) OVER (PARTITION BY simhash_hex)::BIGINT AS dup_group_size
+FROM fp
+"""
+
+_ORACLE_COSINE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM e
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+_ORACLE_SRP_ANN = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (SELECT string_agg(CASE WHEN
+        list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+          x -> x[1]::DOUBLE *
+               ((('0x' || substr(md5(j.j::VARCHAR || ':' || x[2]::VARCHAR), 1, 1))::INT
+                 % 2) * 2 - 1))) > 0
+        THEN '1' ELSE '0' END, '' ORDER BY j.j)
+     FROM range(0, 8) j(j)) AS bucket
+  FROM embeddings
+), n AS (
+  SELECT vec_id, embedding, bucket,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM b
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -122,6 +276,88 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import text as ftext
+
+    q = ftext.quality_scores(_documents(spark, sf_dir))
+    return q.select(
+        "doc_id", "n_chars", "n_tokens",
+        *[
+            F.round(c, 6).alias(c)
+            for c in ("mean_tok_len", "stopword_ratio", "punct_ratio",
+                      "repetition_ratio", "quality_score")
+        ],
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import text as ftext
+
+    return ftext.language_id(_documents(spark, sf_dir)).select(
+        "doc_id", F.round("en_score", 6).alias("en_score"), "lang_pred"
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import text as ftext
+
+    return ftext.fingerprints(_documents(spark, sf_dir))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import dedup
+
+    sh = dedup.shingles(_documents(spark, sf_dir), w=3)
+    return dedup.lsh_band_keys(dedup.minhash_signatures(sh, 8), 4, 8)
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import dedup
+
+    pairs = dedup.minhash_dedup(
+        _documents(spark, sf_dir), w=3, num_hashes=8, bands=4, threshold=0.2
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter", "union_",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import dedup
+
+    g = dedup.simhash_dup_groups(dedup.simhash(_documents(spark, sf_dir)))
+    return g.select(
+        "doc_id",
+        F.lower(F.lpad(F.hex("simhash"), 16, "0")).alias("simhash_hex"),
+        "dup_group_size",
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    t = similarity.cosine_topk(emb, k=3)
+    return t.select(
+        "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    t = similarity.srp_lsh_topk(emb, k=3, n_bits=8)
+    return t.select(
+        "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -134,6 +370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_edges": q_cooccur_edges,
         "triples": q_triples,
         "exact_dedup": q_exact_dedup,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "minhash_bands": q_minhash_bands,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash_groups": q_simhash_groups,
+        "cosine_topk": q_cosine_topk,
+        "srp_ann_topk": q_srp_ann_topk,
     }
 
 
@@ -185,4 +429,46 @@ pairs AS (
                    count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_group_size
             FROM documents
         """,
+        "quality_scores": _ORACLE_QUALITY,
+        "language_id": _ORACLE_LANGID,
+        "fingerprints": r"""
+            SELECT doc_id, md5(text) AS fp,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_fp
+            FROM documents
+        """,
+        "minhash_bands": _MINHASH_CTES + """
+            SELECT doc_id, band, band_key FROM bands
+        """,
+        "near_dup_pairs": _MINHASH_CTES + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.doc_a
+              JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            fullp AS (
+              SELECT c.doc_a, c.doc_b,
+                     coalesce(i.i, 0)::BIGINT AS inter,
+                     (na.n + nb.n - coalesce(i.i, 0))::BIGINT AS union_
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              JOIN sizes na ON na.doc_id = c.doc_a
+              JOIN sizes nb ON nb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, inter, union_,
+                   round(inter::DOUBLE / greatest(union_, 1), 6) AS jaccard
+            FROM fullp
+            WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
+        """,
+        "simhash_groups": _ORACLE_SIMHASH,
+        "cosine_topk": _ORACLE_COSINE,
+        "srp_ann_topk": _ORACLE_SRP_ANN,
     }

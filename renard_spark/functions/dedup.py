@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the point of each):
+- exact: one md5 + one groupBy — the cheap first pass.
+- MinHash+LSH: per-doc signatures (map-side agg), band keys, and a
+  self-join **on band buckets only** — candidate generation never goes
+  quadratic; exact Jaccard verification only on candidates.
+- SimHash: 64-bit sign fingerprint via bit-vote aggregation; near-dup =
+  same fingerprint (or banded sub-keys for hamming<k).
+- n-gram Jaccard: exact verification join over shingle sets.
+
+Determinism & portability: every hash is md5 of a seeded string, so the
+DuckDB oracle replicates results bit-for-bit (no JVM/Python hash
+functions involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from renard_spark.operators.tokenize import TOKEN_RE
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows per band = num_hashes / bands
+
+
+def shingles(docs: DataFrame, w: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct w-token shingles per doc: (doc_id, shingle)."""
+    toks = F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+    sh = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - w + 1),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(doc_id, seed, sig): sig = min md5('seed:shingle') per seed —
+    a lexicographic MinHash over the md5 space."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = sh.select("doc_id", "shingle", seeds)
+    return exploded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))
+        ).alias("sig")
+    )
+
+
+def lsh_band_keys(
+    sigs: DataFrame, bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 over the band's
+    concatenated signatures (seed-ordered)."""
+    rows_per_band = num_hashes // bands
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                    lambda s: s["sig"],
+                ),
+                "|",
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidates(band_keys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band key.
+    The join is equi on (band, band_key): never quadratic in corpus
+    size, only within identical buckets."""
+    a = band_keys.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = band_keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("_b2"),
+        F.col("band_key").alias("_k2"),
+    )
+    return (
+        a.join(
+            b,
+            (a["band"] == b["_b2"])
+            & (a["band_key"] == b["_k2"])
+            & (a["doc_a"] < b["doc_b"]),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs:
+    (doc_a, doc_b, inter, union_, jaccard ≥ threshold)."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingle").alias("_s2"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("shingle") == F.col("_s2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna(0, subset=["inter"])
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / F.greatest(F.col("union_"), F.lit(1)),
+        )
+        .select("doc_a", "doc_b", "inter", "union_", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame, w: int = 3, num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS, threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH bands →
+    candidate join → exact-Jaccard verify."""
+    sh = shingles(docs, w, text_col)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes))
+    return jaccard_verify(cands, sh, threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 64
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token counts, md5-derived bit votes.
+
+    bit_j(token) = j-th bit of md5(token); fingerprint bit j = 1 iff
+    Σ_tokens count·(2·bit_j − 1) > 0. Returns (doc_id, simhash bigint).
+    Pure explode + aggregate (64 rows per distinct token) — JVM-side.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", F.lower("tok").alias("tok")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = counts.withColumn("h", F.md5("tok")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+    )
+    # bit j of the 64-bit prefix: hex digit j/4, bit (3 - j%4)
+    digit = F.conv(
+        F.substring("h", (F.col("j") / 4).cast("int") + 1, 1), 16, 10
+    ).cast("int")
+    bit = F.floor(digit / F.pow(F.lit(2), 3 - F.col("j") % 4)).cast("int") % 2
+    votes = h.withColumn(
+        "vote", (bit * 2 - 1) * F.col("cnt")
+    ).groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(1L, cast(63 - j as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_groups(sim: DataFrame) -> DataFrame:
+    """(doc_id, simhash, dup_group_size) — identical-fingerprint dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("simhash")
+    return sim.withColumn(
+        "dup_group_size", F.count(F.lit(1)).over(w).cast("long")
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (regexp + aggregates over exploded tokens) — no Python in
+the hot path. Every function has an exact DuckDB-SQL twin (see
+__spark_entry__.oracle_sql) because it only uses md5 / regexp /
+arithmetic available in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from renard_spark.operators.tokenize import TOKEN_RE
+
+# compact English stopword list (public knowledge)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "at", "is",
+    "are", "was", "were", "be", "it", "this", "that", "with", "for",
+    "as", "by", "from", "not", "but", "they", "he", "she", "you", "i",
+]
+
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def _toks(text_col: str = "text"):
+    return F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(_toks(text_col)).cast("long").alias("n_tokens")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + a composite score in [0,1]:
+    length, mean token length, stopword ratio, punctuation ratio,
+    repetition (1 − distinct/total tokens)."""
+    t = docs.select("doc_id", F.col(text_col).alias("t"),
+                    _toks(text_col).alias("tk"))
+    lower = F.transform("tk", lambda x: F.lower(x))
+    feats = t.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.length("t") / F.greatest(F.size("tk"), F.lit(1))).alias("mean_tok_len"),
+        (
+            F.size(F.filter(lower, lambda x: x.isin(STOPWORDS)))
+            / F.greatest(F.size("tk"), F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.regexp_extract_all("t", F.lit(PUNCT_RE), 0))
+            / F.greatest(F.length("t"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lower))
+            / F.greatest(F.size("tk"), F.lit(1))
+        ).alias("repetition_ratio"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.25
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.25
+        + (F.lit(1.0) - F.col("repetition_ratio")) * 0.25
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit heuristic language ID (english vs unknown) with a
+    confidence score — the n-gram-free deterministic baseline."""
+    t = docs.select("doc_id", _toks(text_col).alias("tk"))
+    lower = F.transform("tk", lambda x: F.lower(x))
+    score = F.size(F.filter(lower, lambda x: x.isin(STOPWORDS))) / F.greatest(
+        F.size("tk"), F.lit(1)
+    )
+    return t.select(
+        "doc_id",
+        score.alias("en_score"),
+        F.when(score >= 0.08, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: raw md5 + normalized md5 (lowercased,
+    whitespace-collapsed) — the exact-dedup keys."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(text_col).alias("fp"),
+        F.md5(F.trim(norm)).alias("norm_fp"),
+    )

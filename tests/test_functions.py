@@ -1,0 +1,134 @@
+"""Dedup / similarity / text-analysis / multimodal operators."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from renard_spark.functions import dedup, multimodal, similarity, text
+from renard_spark import corpus
+from renard_spark.sources import ingest
+
+
+def _docs(spark, texts: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        "a": base,
+        "b": base + " tomorrow",             # near-dup of a
+        "c": "completely different content about spark partitions and shuffles",
+        "d": base,                            # exact dup of a
+    }
+    pairs = dedup.minhash_dedup(_docs(spark, texts), w=3, threshold=0.3)
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 3) for r in pairs.collect()}
+    assert ("a", "d") in got and got[("a", "d")] == 1.0
+    assert ("a", "b") in got and 0.3 <= got[("a", "b")] < 1.0
+    assert not any("c" in p for p in got)
+
+
+def test_minhash_signature_semantics(spark):
+    texts = {"x": "one two three four five"}
+    sh = dedup.shingles(_docs(spark, texts), w=3)
+    got_sh = sorted(r.shingle for r in sh.collect())
+    assert got_sh == ["one two three", "three four five", "two three four"]
+    sigs = {r.seed: r.sig for r in dedup.minhash_signatures(sh, 4).collect()}
+    for seed in range(4):
+        want = min(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest() for s in got_sh
+        )
+        assert sigs[seed] == want
+
+
+def test_simhash_identical_and_groups(spark):
+    texts = {"a": "alpha beta gamma", "b": "alpha beta gamma", "c": "delta"}
+    sim = dedup.simhash(_docs(spark, texts))
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals["a"] == vals["b"] != vals["c"]
+    groups = dedup.simhash_dup_groups(sim)
+    g = {r.doc_id: r.dup_group_size for r in groups.collect()}
+    assert g == {"a": 2, "b": 2, "c": 1}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.cosine_topk(emb, k=3)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for i in range(20):
+        order = [
+            j for j in sorted(range(20), key=lambda j: (-cos[i, j], j)) if j != i
+        ][:3]
+        mine = [n for _, n, _ in sorted(rows[i])]
+        assert mine == order, i
+        for rank, n, c in rows[i]:
+            assert abs(c - cos[i, n]) < 1e-5
+
+
+def test_srp_lsh_subset_of_exact_and_same_bucket_recall(spark):
+    rng = np.random.RandomState(11)
+    # two tight clusters → high within-cluster recall
+    c1 = rng.randn(1, 8) + rng.randn(10, 8) * 0.01
+    c2 = -c1[0] + rng.randn(10, 8) * 0.01
+    vecs = np.vstack([c1, c2]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    ann = similarity.srp_lsh_topk(emb, k=3, n_bits=4)
+    got = {(r.vec_id, r.neighbor_id) for r in ann.collect()}
+    # neighbors stay within the vector's cluster
+    for a, b in got:
+        assert (a < 10) == (b < 10)
+    assert len(got) > 0
+
+
+def test_quality_and_langid_and_fingerprints(spark):
+    texts = {
+        "good": "the cat sat on the mat and it was happy with the day",
+        "junk": "!!! ??? ,,, ;;; ###",
+        "rep": "spam spam spam spam spam spam",
+    }
+    q = {r.doc_id: r for r in text.quality_scores(_docs(spark, texts)).collect()}
+    assert q["good"].quality_score > q["junk"].quality_score
+    assert q["rep"].repetition_ratio > 0.8
+    l = {r.doc_id: r for r in text.language_id(_docs(spark, texts)).collect()}
+    assert l["good"].lang_pred == "en" and l["junk"].lang_pred == "unknown"
+    fp = {r.doc_id: r for r in text.fingerprints(_docs(spark, texts)).collect()}
+    assert fp["good"].fp == hashlib.md5(texts["good"].encode()).hexdigest()
+
+
+def test_multimodal_plumbing(spark):
+    docs = corpus.generate_documents(spark, 20, seed=8, media_rate=0.6)
+    spans = ingest.media_spans(ingest.normalize_documents(docs))
+    n = spans.count()
+    assert n > 0
+    decoded = multimodal.decode_media(spans)
+    rows = decoded.collect()
+    assert len(rows) == n
+    assert all(len(r.feature) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same media_ref → same features
+    d2 = {r.media_ref: r.feature for r in multimodal.decode_media(spans).collect()}
+    for r in rows:
+        assert d2[r.media_ref] == r.feature
+    # strict mode is the real codec integration point
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_media(spans, strict=True).collect()
+    plan = multimodal.frame_sample_plan(decoded, every_ms=1000)
+    audio = [r for r in rows if r.kind == "audio"]
+    if audio:
+        assert plan.count() >= len(audio)
