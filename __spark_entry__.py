@@ -33,6 +33,7 @@ CAST_TOKENS = [
     "filter", "vector", "batch", "stream", "table",
 ]
 COOCCUR_DIST = 3
+DYN_WINDOW, DYN_OVERLAP = 20, 10
 
 _SQL_TOKEN_RE = TOKEN_RE.replace("'", "''")
 _CAST_SQL = ", ".join(f"'{t}'" for t in CAST_TOKENS)
@@ -203,6 +204,43 @@ FROM r WHERE rank <= 3
 """
 
 
+_DYN_CTES = f"""
+, rk AS (
+  SELECT doc_id, tok_idx, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tok_idx) - 1 AS r,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM m
+), wins AS (
+  SELECT doc_id, tok_idx, token, r,
+         greatest(ceil((n - {DYN_WINDOW})::DOUBLE / {DYN_WINDOW - DYN_OVERLAP})::INT + 1, 1) AS n_win
+  FROM rk
+), mw AS (
+  SELECT doc_id, tok_idx, token,
+         unnest(generate_series(
+            greatest(ceil((r - {DYN_WINDOW} + 1)::DOUBLE / {DYN_WINDOW - DYN_OVERLAP})::INT, 0),
+            least(floor(r::DOUBLE / {DYN_WINDOW - DYN_OVERLAP})::INT, n_win - 1)))::INT AS window_id
+  FROM wins
+), b AS (
+  SELECT doc_id, window_id, tok_idx - {COOCCUR_DIST} AS bs,
+         tok_idx + 1 + {COOCCUR_DIST} AS be
+  FROM mw
+), wpairs AS (
+  SELECT DISTINCT m1.doc_id, m1.window_id, m1.tok_idx AS i, m2.tok_idx AS j,
+         m1.token AS t1, m2.token AS t2
+  FROM mw m1
+  JOIN mw m2 ON m1.doc_id = m2.doc_id AND m1.window_id = m2.window_id
+            AND m1.tok_idx < m2.tok_idx
+  JOIN b ON b.doc_id = m1.doc_id AND b.window_id = m1.window_id
+        AND m1.tok_idx >= b.bs AND m2.tok_idx + 1 <= b.be
+), dyn_edges AS (
+  SELECT doc_id, window_id, least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::BIGINT AS weight
+  FROM wpairs WHERE t1 <> t2
+  GROUP BY doc_id, window_id, least(t1, t2), greatest(t1, t2)
+)
+"""
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -273,6 +311,39 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.md5("text").alias("fp"))
         .withColumn("dup_group_size", F.count(F.lit(1)).over(w).cast("long"))
+    )
+
+
+
+def _dynamic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    windowed = cooccur.add_window_ids(mentions, DYN_WINDOW, DYN_OVERLAP)
+    return cooccur.cooccurrence_edges(
+        windowed, COOCCUR_DIST, "tokens", group_col="window_id"
+    )
+
+
+def q_dynamic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic character networks: one co-occurrence graph per window
+    of N mentions (step N−overlap), reference graph_extraction.py:400-409."""
+    return _long_doc_id(
+        _dynamic_edges(spark, sf_dir).select(
+            "doc_id", "window_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
+def q_cumulative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative dynamic graph: per-edge running weight across
+    snapshots (reference graph_utils.py:11-42)."""
+    cum = triples.cumulative_edges(_dynamic_edges(spark, sf_dir))
+    return _long_doc_id(
+        cum.select(
+            "doc_id", "window_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+        )
     )
 
 
@@ -370,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_edges": q_cooccur_edges,
         "triples": q_triples,
         "exact_dedup": q_exact_dedup,
+        "dynamic_edges": q_dynamic_edges,
+        "cumulative_edges": q_cumulative_edges,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
@@ -428,6 +501,31 @@ pairs AS (
             SELECT doc_id, md5(text) AS fp,
                    count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_group_size
             FROM documents
+        """,
+        "dynamic_edges": _BASE_CTES + _DYN_CTES + """
+            SELECT doc_id, window_id, src, dst, weight FROM dyn_edges
+        """,
+        "cumulative_edges": _BASE_CTES + _DYN_CTES + """
+            , snaps AS (SELECT DISTINCT doc_id, window_id FROM dyn_edges),
+            eids AS (SELECT DISTINCT doc_id, src, dst FROM dyn_edges),
+            dense AS (
+              SELECT e.doc_id, e.src, e.dst, s.window_id
+              FROM eids e JOIN snaps s ON s.doc_id = e.doc_id
+            ), fullw AS (
+              SELECT d.doc_id, d.window_id, d.src, d.dst,
+                     coalesce(ed.weight, 0) AS w
+              FROM dense d LEFT JOIN dyn_edges ed
+                ON ed.doc_id = d.doc_id AND ed.window_id = d.window_id
+               AND ed.src = d.src AND ed.dst = d.dst
+            ), cum AS (
+              SELECT doc_id, window_id, src, dst,
+                     sum(w) OVER (PARTITION BY doc_id, src, dst
+                                  ORDER BY window_id
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+              FROM fullw
+            )
+            SELECT doc_id, window_id, src, dst, cw::BIGINT AS weight
+            FROM cum WHERE cw > 0
         """,
         "quality_scores": _ORACLE_QUALITY,
         "language_id": _ORACLE_LANGID,

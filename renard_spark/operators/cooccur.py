@@ -290,6 +290,122 @@ def cooccurrence_edges(
     )
 
 
+def cooccurrence_edges_grouped(
+    mentions_df: DataFrame,
+    dist: int = 1,
+    unit: str = "sentences",
+    tokens_df: DataFrame | None = None,
+    polarities_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document exact extraction in ONE shuffle (cogroup by doc_id
+    + applyInPandas) — the parity/fast path for the common shape (many
+    modest documents). Identical output to ``cooccurrence_edges`` (the
+    join path stays for huge single documents / dynamic variants);
+    equality is property-tested.
+
+    Runs the reference's sorted early-break block scan
+    (graph_extraction.py:315-369) per doc inside an Arrow batch.
+    """
+    import pandas as pd
+
+    with_pol = polarities_df is not None
+    need_sent = unit == "sentences" or with_pol
+    assert not need_sent or tokens_df is not None
+
+    schema = "doc_id string, src string, dst string, weight long" + (
+        ", polarity double" if with_pol else ""
+    )
+
+    def extract(mpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "src", "dst", "weight"] + (
+            ["polarity"] if with_pol else []
+        )
+        if mpdf.empty:
+            return pd.DataFrame(columns=cols)
+        doc_id = mpdf["doc_id"].iloc[0]
+        ms = sorted(
+            zip(
+                mpdf["char_id"],
+                mpdf["start_idx"].astype(int),
+                mpdf["end_idx"].astype(int),
+            ),
+            key=lambda m: (m[1], m[2], m[0]),
+        )
+        sent_start = sent_end = pol = None
+        sent_of = {}
+        if need_sent:
+            spdf = spdf.sort_values("sent_idx")
+            sent_start = spdf["sent_start"].astype(int).tolist()
+            sent_end = spdf["sent_end"].astype(int).tolist()
+            if with_pol:
+                pol = spdf["polarity"].astype(float).tolist()
+            for si, (a, b) in enumerate(zip(sent_start, sent_end)):
+                for tix in range(a, b):
+                    sent_of[tix] = si
+        # blocks
+        if unit == "tokens":
+            blocks = [(s - dist, e + dist) for _, s, e in ms]
+        else:
+            nsent = len(sent_start)
+            bl = set()
+            for _, s, e in ms:
+                s0 = max(0, sent_of[s] - dist)
+                s1 = min(nsent - 1, sent_of[e - 1] + dist)
+                bl.add((sent_start[s0], sent_end[s1]))
+            blocks = sorted(bl)
+        # pair scan with early break over sorted mentions
+        pairs = set()
+        n = len(ms)
+        for bs, be in blocks:
+            in_block = []
+            for i in range(n):
+                k, s, e = ms[i]
+                if s >= bs and e <= be:
+                    in_block.append(i)
+                if s > be:
+                    break
+            for ai in range(len(in_block)):
+                for bi in range(ai + 1, len(in_block)):
+                    i, j = in_block[ai], in_block[bi]
+                    if ms[i][0] != ms[j][0]:
+                        pairs.add((i, j))
+        edges: dict[tuple[str, str], list] = {}
+        for i, j in pairs:
+            k1, k2 = ms[i][0], ms[j][0]
+            key = (min(k1, k2), max(k1, k2))
+            ent = edges.setdefault(key, [0, 0.0])
+            ent[0] += 1
+            if with_pol:
+                si, sj = sent_of[ms[i][1]], sent_of[ms[j][1]]
+                between = pol[si : sj + 1]
+                ent[1] += max(between, key=abs)
+        rows = []
+        for (src, dst), (w, p) in sorted(edges.items()):
+            rows.append(
+                (doc_id, src, dst, w) + ((p,) if with_pol else ())
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    m = mentions_df.select("doc_id", "char_id", "start_idx", "end_idx")
+    if need_sent:
+        sent_info = sent_bounds_from_tokens(tokens_df)
+        if with_pol:
+            sent_info = sent_info.join(
+                polarities_df.select("doc_id", "sent_idx", "polarity"),
+                ["doc_id", "sent_idx"],
+                "left",
+            ).fillna(0.0, subset=["polarity"])
+    else:
+        sent_info = mentions_df.sparkSession.createDataFrame(
+            [], "doc_id string, sent_idx int, sent_start int, sent_end int"
+        )
+    return (
+        m.groupBy("doc_id")
+        .cogroup(sent_info.groupBy("doc_id"))
+        .applyInPandas(extract, schema=schema)
+    )
+
+
 def add_window_ids(
     mentions_df: DataFrame, window: int, overlap: int = 0
 ) -> DataFrame:

@@ -35,16 +35,26 @@ def character_graph_pipeline(
     dynamic_overlap: int = 0,
     corefs_df: DataFrame | None = None,
     polarities_df: DataFrame | None = None,
+    cooccur_path: str = "grouped",
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the co-occurrence pipeline; returns all stage tables.
 
     Mirrors the reference's preconfigured ``co_occurrence_pipeline``
     (preconfigured.py:36-37; default dist (1,'sentences')).
+
+    cooccur_path: 'grouped' (one-shuffle per-doc exact path, default)
+    or 'joins' (distributed containment joins — the huge-doc /
+    dynamic-window scale path). persist=True caches the two stage
+    tables every downstream branch re-reads (tokens, unified mentions)
+    so the lazy DAG doesn't recompute ingest+tokenize per branch.
     """
     gazetteer = gazetteer or default_gazetteer()
     docs = ingest.normalize_documents(documents_df)
     lineage = ingest.span_lineage(docs)
     toks = tokenize.tokens(docs)
+    if persist:
+        toks = toks.persist()
     entities = ner.rule_ner(toks, gazetteer)
     if unifier == "graph_rules":
         unified = unify.graph_rules_unify(
@@ -57,19 +67,30 @@ def character_graph_pipeline(
     else:
         raise ValueError(f"unknown unifier: {unifier}")
 
+    if persist:
+        unified = unified.persist()
     mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
     group_col = None
     if dynamic_window is not None:
         mentions = cooccur.add_window_ids(mentions, dynamic_window, dynamic_overlap)
         group_col = "window_id"
-    edges = cooccur.cooccurrence_edges(
-        mentions,
-        dist=dist[0],
-        unit=dist[1],
-        tokens_df=toks,
-        polarities_df=polarities_df,
-        group_col=group_col,
-    )
+    if cooccur_path == "grouped" and group_col is None:
+        edges = cooccur.cooccurrence_edges_grouped(
+            mentions,
+            dist=dist[0],
+            unit=dist[1],
+            tokens_df=toks,
+            polarities_df=polarities_df,
+        )
+    else:
+        edges = cooccur.cooccurrence_edges(
+            mentions,
+            dist=dist[0],
+            unit=dist[1],
+            tokens_df=toks,
+            polarities_df=polarities_df,
+            group_col=group_col,
+        )
     trip = triples.edges_to_triples(edges)
     return {
         "documents": docs,

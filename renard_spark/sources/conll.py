@@ -1,0 +1,76 @@
+"""CoNLL-2002 BIO source — the pre-annotated partial-entry path.
+
+Reimplements load_conll2002_bio (/root/reference/renard/ner_utils.py:183-231)
+as a distributed reader: ``spark.read.text`` with line numbers, blank
+lines (and an optional max sentence length) delimiting sentences via
+gaps-and-islands windows — then the window-based BIO decode from
+operators.ner produces the entities table. This is the reference's
+tutorial entry point (renard_tutorial.py:94-115, SURVEY §3.2): feed
+golden entities straight into unification, skipping tokenizer+NER.
+
+The whole file becomes ONE document (doc_id = the given label), exactly
+like the reference; multi-file corpora just union readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_conll2002_bio(
+    spark: SparkSession,
+    path: str,
+    doc_id: str = "conll_doc",
+    separator: str = "\t",
+    tag_conversion_map: dict[str, str] | None = None,
+    max_sent_len: int | None = None,
+) -> DataFrame:
+    """→ bio_corpus(doc_id, sent_idx, tok_idx, token, bio_tag)."""
+    raw = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("line_id"), "value"
+    )
+    w = Window.orderBy("line_id")
+    lines = raw.withColumn("is_blank", F.trim("value") == "")
+    # sentence id = number of blank lines before this line
+    lines = lines.withColumn(
+        "blank_groups",
+        F.sum(F.col("is_blank").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(~F.col("is_blank"))
+
+    tokens = lines.select(
+        F.lit(doc_id).alias("doc_id"),
+        "line_id",
+        "blank_groups",
+        F.split_part("value", F.lit(separator), F.lit(1)).alias("token"),
+        F.split_part("value", F.lit(separator), F.lit(2)).alias("bio_tag"),
+    )
+    if tag_conversion_map:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in tag_conversion_map.items() for x in kv]
+        )
+        tokens = tokens.withColumn(
+            "bio_tag", F.coalesce(mapping[F.col("bio_tag")], F.col("bio_tag"))
+        )
+
+    wt = Window.partitionBy("doc_id").orderBy("line_id")
+    tokens = tokens.withColumn("tok_idx", F.row_number().over(wt) - 1)
+    if max_sent_len is None:
+        tokens = tokens.withColumn("sent_idx", F.col("blank_groups"))
+    else:
+        # a sentence also breaks every max_sent_len tokens (ref :216-218)
+        wg = Window.partitionBy("doc_id", "blank_groups").orderBy("line_id")
+        tokens = tokens.withColumn(
+            "_in_sent", F.row_number().over(wg) - 1
+        ).withColumn(
+            "_chunk", (F.col("_in_sent") / max_sent_len).cast("int")
+        )
+        sent_key = F.dense_rank().over(
+            Window.partitionBy("doc_id").orderBy("blank_groups", "_chunk")
+        )
+        tokens = tokens.withColumn("sent_idx", sent_key - 1).drop(
+            "_in_sent", "_chunk"
+        )
+    return tokens.select("doc_id", "sent_idx", "tok_idx", "token", "bio_tag")

@@ -168,3 +168,39 @@ def test_dynamic_blocks_first_match(spark):
     rows = {(r.char_id, r.start_idx): r.block_id for r in assigned.collect()}
     # first containing block wins; end strict
     assert rows == {("a", 1): 0, ("b", 3): 0, ("a", 11): 1, ("c", 13): 1, ("b", 25): 2}
+
+
+def test_grouped_path_equals_join_path(spark):
+    rng = random.Random(71)
+    docs = {f"d{i}": _random_doc(rng, n_mentions=25) for i in range(8)}
+    mdf = _mentions_df(spark, docs)
+    # token unit
+    for dist in (0, 3):
+        a = _edges_by_doc(cooccur.cooccurrence_edges(mdf, dist, "tokens"))
+        b = _edges_by_doc(cooccur.cooccurrence_edges_grouped(mdf, dist, "tokens"))
+        assert a == b, dist
+    # sentence unit + polarity
+    docs2, sents, bnds, pols = {}, {}, {}, {}
+    for i in range(5):
+        ms, sent_of, bounds = _sentence_fixture(rng)
+        d = f"s{i}"
+        docs2[d], sents[d], bnds[d] = ms, sent_of, bounds
+        pols[d] = [round(rng.uniform(-1, 1), 3) for _ in bounds]
+    toks = _tokens_df(spark, sents)
+    pol_df = spark.createDataFrame(
+        [(d, i, p) for d, ps in pols.items() for i, p in enumerate(ps)],
+        "doc_id string, sent_idx int, polarity double",
+    )
+    a = _edges_by_doc(
+        cooccur.cooccurrence_edges(
+            _mentions_df(spark, docs2), 1, "sentences",
+            tokens_df=toks, polarities_df=pol_df),
+        pol=True,
+    )
+    b = _edges_by_doc(
+        cooccur.cooccurrence_edges_grouped(
+            _mentions_df(spark, docs2), 1, "sentences",
+            tokens_df=toks, polarities_df=pol_df),
+        pol=True,
+    )
+    assert a == b

@@ -1,0 +1,96 @@
+"""CoNLL BIO source + incremental streaming ingest."""
+
+import os
+
+from renard_spark import corpus, pipeline
+from renard_spark.io.catalog import get_catalog
+from renard_spark.operators import ner
+from renard_spark.sources.conll import read_conll2002_bio
+from renard_spark.streaming.ingest import run_incremental, stream_documents
+
+from .oracle import bio_decode_oracle
+
+CONLL = """\
+Elizabeth\tB-PER
+Bennet\tI-PER
+walked\tO
+to\tO
+Meryton\tB-LOC
+
+She\tO
+saw\tO
+Mr\tB-PER
+Darcy\tI-PER
+"""
+
+
+def test_read_conll_bio(spark, tmp_path):
+    p = tmp_path / "fix.bio"
+    p.write_text(CONLL)
+    bio = read_conll2002_bio(spark, str(p), doc_id="d0")
+    rows = sorted(
+        (r.tok_idx, r.sent_idx, r.token, r.bio_tag) for r in bio.collect()
+    )
+    assert [r[2] for r in rows] == [
+        "Elizabeth", "Bennet", "walked", "to", "Meryton",
+        "She", "saw", "Mr", "Darcy",
+    ]
+    assert [r[1] for r in rows] == [0, 0, 0, 0, 0, 1, 1, 1, 1]
+    # partial-entry path: BIO decode → entities (tutorial path §3.2)
+    ents = ner.bio_decode(bio)
+    got = sorted(
+        (r.start_idx, r.end_idx, r.tag, r.mention_str) for r in ents.collect()
+    )
+    toks = [r[2] for r in rows]
+    tags = [r[3] for r in rows]
+    want = sorted(
+        (s, e, t, " ".join(toks[s:e])) for s, e, t in bio_decode_oracle(toks, tags)
+    )
+    assert got == want
+    assert ("Elizabeth Bennet" in {m for _, _, _, m in got})
+
+
+def test_tag_conversion_and_max_sent_len(spark, tmp_path):
+    p = tmp_path / "fix2.bio"
+    p.write_text("a\tB\nb\tI\nc\tI\nd\tI\n")
+    bio = read_conll2002_bio(
+        spark, str(p), tag_conversion_map={"B": "B-PER", "I": "I-PER"},
+        max_sent_len=2,
+    )
+    rows = sorted((r.tok_idx, r.sent_idx, r.bio_tag) for r in bio.collect())
+    assert [r[2] for r in rows] == ["B-PER", "I-PER", "I-PER", "I-PER"]
+    assert [r[1] for r in rows] == [0, 0, 1, 1]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    # corpus in two parquet files → stream availableNow → appended
+    # stage tables must equal one batch run over the union
+    inp = str(tmp_path / "in")
+    corpus.generate_documents(spark, 6, seed=77).coalesce(1).write.parquet(
+        inp, mode="overwrite"
+    )
+    corpus.generate_documents_pdf(6, seed=77, start=6).pipe(
+        lambda pdf: spark.createDataFrame(pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    ).coalesce(1).write.parquet(inp, mode="append")
+
+    wd = str(tmp_path / "wd")
+    ck = str(tmp_path / "ck")
+    q = run_incremental(
+        stream_documents(spark, inp, max_files_per_trigger=1),
+        wd, ck,
+    )
+    q.awaitTermination(300)
+
+    catalog = get_catalog(spark, wd)
+    streamed = {
+        (r.doc_id, r.subj, r.obj, r.weight)
+        for r in catalog.read("triples").collect()
+    }
+    batch_out = pipeline.character_graph_pipeline(
+        spark.read.parquet(inp), persist=False
+    )
+    batch = {
+        (r.doc_id, r.subj, r.obj, r.weight)
+        for r in batch_out["triples"].collect()
+    }
+    assert streamed == batch and len(batch) > 0
