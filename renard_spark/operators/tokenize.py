@@ -34,15 +34,13 @@ SENT_SPLIT_RE = r"(?<=[.!?])\s+"
 
 
 def sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sent_idx, sentence) — empty sentences dropped."""
-    return (
-        df.select(
-            "doc_id",
-            F.posexplode(F.split(F.col(text_col), SENT_SPLIT_RE)).alias(
-                "sent_idx", "sentence"
-            ),
-        )
-        .filter(F.trim("sentence") != "")
+    """(doc_id, sent_idx, sentence) — empty pieces dropped, sentences
+    numbered densely (matches tokenize_text_py)."""
+    pieces = F.filter(
+        F.split(F.col(text_col), SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+    return df.select(
+        "doc_id", F.posexplode(pieces).alias("sent_idx", "sentence")
     )
 
 
@@ -50,32 +48,49 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token table: (doc_id, sent_idx, tok_idx, tok_in_sent, token).
 
     tok_idx is the document-global token index (the reference's flat
-    ``tokens`` list position, core.py:165-166), computed with one
-    cumulative-count window per doc.
+    ``tokens`` list position, core.py:165-166). Computed entirely with
+    array higher-order functions — per-sentence offsets come from one
+    ordered fold over the sentence array, so the whole tokenizer is
+    NARROW (zero shuffles): at 10^12 docs the token table needs no
+    exchange at all until an operator actually groups it.
     """
-    sent = sentences(df, text_col)
-    toks = sent.withColumn(
-        "toks", F.regexp_extract_all("sentence", F.lit(TOKEN_RE), 0)
-    ).drop("sentence")
-    w = Window.partitionBy("doc_id").orderBy("sent_idx")
-    base = toks.withColumn(
-        "base",
-        F.coalesce(
-            F.sum(F.size("toks")).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("int"),
+    pieces = F.filter(
+        F.split(F.col(text_col), SENT_SPLIT_RE), lambda s: F.trim(s) != ""
     )
-    return base.select(
+    sent_toks = F.transform(
+        pieces, lambda s: F.regexp_extract_all(s, F.lit(TOKEN_RE), 0)
+    )
+    # ordered fold → global start offset of each sentence
+    offs = F.aggregate(
+        sent_toks,
+        F.struct(
+            F.lit(0).alias("total"),
+            F.expr("array()").cast("array<int>").alias("offs"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["total"] + F.size(x)).alias("total"),
+            F.concat(acc["offs"], F.array(acc["total"])).alias("offs"),
+        ),
+        lambda acc: acc["offs"],
+    )
+    per_sent = df.select(
         "doc_id",
-        "sent_idx",
-        "base",
-        F.posexplode("toks").alias("tok_in_sent", "token"),
+        F.posexplode(F.arrays_zip(sent_toks, offs)).alias("sent_idx", "_z"),
     ).select(
         "doc_id",
         "sent_idx",
-        (F.col("base") + F.col("tok_in_sent")).alias("tok_idx"),
+        F.col("_z.0").alias("_toks"),
+        F.col("_z.1").alias("_off"),
+    )
+    return per_sent.select(
+        "doc_id",
+        "sent_idx",
+        "_off",
+        F.posexplode("_toks").alias("tok_in_sent", "token"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        (F.col("_off") + F.col("tok_in_sent")).cast("int").alias("tok_idx"),
         "tok_in_sent",
         "token",
     )
