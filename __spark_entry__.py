@@ -204,6 +204,44 @@ FROM r WHERE rank <= 3
 """
 
 
+def _oracle_bm25() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(u) AS term
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS u
+        FROM documents)
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM doclen
+), dft AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+), q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf * (1.5 + 1))
+             / (p.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM q
+  JOIN dft d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN doclen l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+), r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 _DYN_CTES = f"""
 , rk AS (
   SELECT doc_id, tok_idx, token,
@@ -429,6 +467,20 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import retrieval
+
+    idx = retrieval.bm25_index(_documents(spark, sf_dir))
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    t = retrieval.bm25_topk(idx, q, k=5)
+    return t.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -451,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "cosine_topk": q_cosine_topk,
         "srp_ann_topk": q_srp_ann_topk,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -569,4 +622,5 @@ pairs AS (
         "simhash_groups": _ORACLE_SIMHASH,
         "cosine_topk": _ORACLE_COSINE,
         "srp_ann_topk": _ORACLE_SRP_ANN,
+        "bm25_topk": _oracle_bm25(),
     }

@@ -44,13 +44,20 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """(doc_id, seed, sig): sig = min md5('seed:shingle') per seed —
-    a lexicographic MinHash over the md5 space."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = sh.select("doc_id", "shingle", seeds)
-    return exploded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))
-        ).alias("sig")
+    a lexicographic MinHash over the md5 space.
+
+    All K minima are computed in ONE groupBy pass (K agg expressions,
+    map-side partial min), then unpivoted — the shuffle carries K
+    32-char digests per doc instead of K× replicated shingle rows.
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "shingle"))).alias(f"s{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{s}, s{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack}) as (seed, sig)"
     )
 
 

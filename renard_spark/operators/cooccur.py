@@ -296,6 +296,7 @@ def cooccurrence_edges_grouped(
     unit: str = "sentences",
     tokens_df: DataFrame | None = None,
     polarities_df: DataFrame | None = None,
+    sent_info_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document exact extraction in ONE shuffle (cogroup by doc_id
     + applyInPandas) — the parity/fast path for the common shape (many
@@ -310,7 +311,7 @@ def cooccurrence_edges_grouped(
 
     with_pol = polarities_df is not None
     need_sent = unit == "sentences" or with_pol
-    assert not need_sent or tokens_df is not None
+    assert not need_sent or tokens_df is not None or sent_info_df is not None
 
     schema = "doc_id string, src string, dst string, weight long" + (
         ", polarity double" if with_pol else ""
@@ -388,7 +389,12 @@ def cooccurrence_edges_grouped(
 
     m = mentions_df.select("doc_id", "char_id", "start_idx", "end_idx")
     if need_sent:
-        sent_info = sent_bounds_from_tokens(tokens_df)
+        if sent_info_df is not None:
+            sent_info = sent_info_df.select(
+                "doc_id", "sent_idx", "sent_start", "sent_end"
+            )
+        else:
+            sent_info = sent_bounds_from_tokens(tokens_df)
         if with_pol:
             sent_info = sent_info.join(
                 polarities_df.select("doc_id", "sent_idx", "polarity"),

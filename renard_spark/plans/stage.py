@@ -122,11 +122,17 @@ class StageRunner:
         self.catalog.write(self.METRICS_TABLE, metrics, mode=mode)
 
     def run(self, rerun_from: str | None = None,
-            force: bool = False) -> dict[str, DataFrame]:
+            force: bool = False,
+            ignored_stages: set[str] | None = None) -> dict[str, DataFrame]:
         """Materialize every stage in order. A stage is SKIPPED (read
         from its checkpoint) when its table exists and its manifest
         config-hash matches — unless it appears at/after ``rerun_from``
-        or ``force``. Returns {stage: DataFrame(read back)}."""
+        or ``force``. ``ignored_stages`` drops stages entirely (the
+        reference's ignored_steps, core.py:608-641) — downstream stages
+        must not need them (check_valid enforces it). Returns
+        {stage: DataFrame(read back)}."""
+        if ignored_stages:
+            self.stages = [s for s in self.stages if s.name not in ignored_stages]
         self.check_valid()
         manifest = self._load_manifest()
         out: dict[str, DataFrame] = {}

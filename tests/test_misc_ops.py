@@ -1,0 +1,118 @@
+"""Preprocessing, tag normalization, utils, BM25, GEXF, metrics,
+pipeline factories."""
+
+import math
+import os
+
+from renard_spark import corpus, pipeline
+from renard_spark.functions import retrieval
+from renard_spark.functions.metrics import triple_prf
+from renard_spark.io.gexf import edges_to_gexf
+from renard_spark.operators import ner, preprocess, tokenize
+from renard_spark.operators import utils as oputils
+from renard_spark.sources import ingest
+
+from pyspark.sql import functions as F
+
+
+def test_substitute_rule_order(spark):
+    df = spark.createDataFrame([("d", "aaa bbb")], "doc_id string, text string")
+    out = preprocess.substitute(df, [("a+", "X"), ("X b", "Y")])
+    assert out.first().text == "Ybb"
+
+
+def test_normalize_tags(spark):
+    df = spark.createDataFrame(
+        [("d", 0, "x", "B-PERSON"), ("d", 1, "y", "O")],
+        "doc_id string, tok_idx int, token string, bio_tag string",
+    )
+    got = {r.tok_idx: r.bio_tag for r in ner.normalize_tags(
+        df, {"B-PERSON": "B-PER"}).collect()}
+    assert got == {0: "B-PER", 1: "O"}
+
+
+def test_make_vocab_first_seen_order(spark):
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, "b"), (3, "c")], "ord int, v string"
+    )
+    got = {r.value: r.vocab_id for r in oputils.make_vocab(df, "v", "ord").collect()}
+    assert got == {"b": 0, "a": 1, "c": 2}
+
+
+def test_search_pattern(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b", "a"],)], "toks array<string>"
+    )
+    got = df.select(
+        oputils.search_pattern(F.col("toks"), ["a", "b", "a"]).alias("hits")
+    ).first().hits
+    assert got == [0, 2]
+
+
+def test_char_blocks_to_token_blocks(spark):
+    # text: "ab cd ef" tokens at chars 0,3,6
+    offsets = spark.createDataFrame(
+        [("d", 0, 0, 2), ("d", 1, 3, 5), ("d", 2, 6, 8)],
+        "doc_id string, tok_idx int, char_start int, char_end int",
+    )
+    blocks = spark.createDataFrame(
+        [("d", 0, 0, 5), ("d", 1, 4, 8)],
+        "doc_id string, block_id int, char_start int, char_end int",
+    )
+    got = {
+        r.block_id: (r.start, r.end)
+        for r in oputils.char_blocks_to_token_blocks(blocks, offsets).collect()
+    }
+    assert got == {0: (0, 1), 1: (1, 2)}
+
+
+def test_bm25_topk(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the cat sat on the mat"),
+            (3, "spark spark spark tuning guide"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = retrieval.bm25_index(docs)
+    q = spark.createDataFrame([(0, "spark"), (0, "tuning")],
+                              "query_id int, term string")
+    got = retrieval.bm25_topk(idx, q, k=2).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [3, 1]
+    assert got[0].score > got[1].score > 0
+
+
+def test_metrics_triple_prf():
+    p, r, f1 = triple_prf([("a", "x", "b")], [("a", "x", "b"), ("a", "y", "c")])
+    assert p == 1.0 and r == 0.5 and abs(f1 - 2 / 3) < 1e-12
+    assert triple_prf([], []) == (1.0, 1.0, 1.0)
+
+
+def test_gexf_export(spark, tmp_path):
+    nodes = spark.createDataFrame([("A",), ("B",)], "char_id string")
+    edges = spark.createDataFrame([("A", "B", 3)], "src string, dst string, weight long")
+    path = str(tmp_path / "g.gexf")
+    edges_to_gexf(nodes, edges, path)
+    content = open(path).read()
+    assert '<node id="A"' in content and 'weight="3"' in content
+    import xml.dom.minidom
+    xml.dom.minidom.parseString(content)  # well-formed
+
+
+def test_conversational_and_relational_pipelines(spark):
+    docs = corpus.generate_documents(spark, 25, seed=19)
+    conv = pipeline.conversational_pipeline(
+        docs, conversation_dist=(1, "sentences")
+    )
+    t1 = conv["triples"].collect()
+    assert len(t1) > 0 and all(r.pred == "converses_with" for r in t1)
+    ment = pipeline.conversational_pipeline(docs, graph_type="mention")
+    t2 = ment["triples"].collect()
+    assert len(t2) > 0 and all(r.pred == "mentions" for r in t2)
+    rel = pipeline.relational_pipeline(docs)
+    t3 = rel["triples"].collect()
+    assert len(t3) > 0
+    assert {r.pred for r in t3} <= set(
+        __import__("renard_spark.operators.relations", fromlist=["RELATION_VERBS"]).RELATION_VERBS.values()
+    )

@@ -83,3 +83,14 @@ def test_rule_ner_matches_oracle(spark):
         if want:
             n_docs_with_entities += 1
     assert n_docs_with_entities >= 8  # corpus really exercises NER
+
+
+def test_rule_ner_sentences_equals_exploded(spark):
+    docs_pdf = corpus.generate_documents_pdf(15, seed=61)
+    docs = ingest.normalize_documents(
+        spark.createDataFrame(docs_pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    )
+    gaz = pipeline.default_gazetteer()
+    a = _decode_rows(ner.rule_ner(tokenize.tokens(docs), gaz))
+    b = _decode_rows(ner.rule_ner_sentences(tokenize.sentence_tokens(docs), gaz))
+    assert a == b and len(a) > 0

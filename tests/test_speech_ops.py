@@ -177,3 +177,22 @@ def test_ambiguous_name_resolution_is_null(spark):
     n2c = {r.name: r.char_id for r in relations.name_to_char(chars).collect()}
     assert n2c["Smith"] is None
     assert n2c["John Smith"] == "A"
+
+
+def test_narrow_polarity_equals_join_path(spark):
+    docs_pdf = corpus.generate_documents_pdf(8, seed=91)
+    docs = ingest.normalize_documents(
+        spark.createDataFrame(docs_pdf, schema=corpus.DOCUMENTS_SCHEMA)
+    )
+    a = {
+        (r.doc_id, r.sent_idx): r.polarity
+        for r in sentiment.sentence_polarities(tokenize.tokens(docs)).collect()
+    }
+    b = {
+        (r.doc_id, r.sent_idx): r.polarity
+        for r in sentiment.sentence_polarities_narrow(
+            tokenize.sentence_tokens(docs)
+        ).collect()
+    }
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
