@@ -144,8 +144,9 @@ def minhash_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
-    candidate join → exact-Jaccard verify."""
-    sh = shingles(docs, w, text_col)
+    candidate join → exact-Jaccard verify. The shingle table feeds
+    three consumers (signatures + both verify sides) → persisted."""
+    sh = shingles(docs, w, text_col).persist()
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes))
     return jaccard_verify(cands, sh, threshold)
