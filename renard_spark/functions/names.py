@@ -39,6 +39,12 @@ def parse_name(name: str, lang: str = "eng") -> ParsedName:
     if not toks:
         return ParsedName(title, "", "", "")
     if len(toks) == 1:
+        # nameparser semantics: a bare name is a first name, but a
+        # single name following a title is a LAST name ("Mr Darcy" →
+        # last=Darcy), which is what makes the shared-last-name rule
+        # link titled forms (character_unification.py:261-269).
+        if title:
+            return ParsedName(title, "", "", toks[0])
         return ParsedName(title, toks[0], "", "")
     if len(toks) == 2:
         return ParsedName(title, toks[0], "", toks[1])

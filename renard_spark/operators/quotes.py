@@ -101,11 +101,29 @@ def attribute_speakers(
     )
     cands = after.unionByName(before)
     w = Window.partitionBy("doc_id", "quote_id").orderBy("side", "gap", "cand")
+    # confidence mirrors the reference's thresholded scores
+    # (speaker_attribution.py:119-124): prediction kept only when the
+    # score clears 0.5 — the rule attributor scores by proximity.
     best = (
         cands.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
-        .select("doc_id", "quote_id", F.col("cand").alias("speaker_char_id"))
+        .select(
+            "doc_id",
+            "quote_id",
+            F.col("cand").alias("speaker_char_id"),
+            (
+                1.0
+                - F.col("gap") / F.lit(2.0 * max_gap)
+                - 0.2 * F.col("side")
+            ).alias("speaker_score"),
+        )
     )
-    return q.join(best, ["doc_id", "quote_id"], "left").select(
-        "doc_id", "quote_id", "start", "end", "speaker_char_id"
+    out = q.join(best, ["doc_id", "quote_id"], "left").select(
+        "doc_id", "quote_id", "start", "end", "speaker_char_id",
+        "speaker_score",
+    )
+    # score ≤ 0.5 → no prediction (reference keeps only score > 0.5)
+    return out.withColumn(
+        "speaker_char_id",
+        F.when(F.col("speaker_score") > 0.5, F.col("speaker_char_id")),
     )

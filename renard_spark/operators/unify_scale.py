@@ -9,17 +9,15 @@ shapes that break per-doc execution:
 
 Pipeline: distinct names → per-scope name-pair self-join (names are
 few per scope; AQE skew-join guards hot scopes) → vectorized rule
-evaluation in an Arrow pandas UDF → contradiction cut on *direct*
-edges → distributed connected components (operators.cc).
-
-Documented divergence from the reference: contradiction removal only
-cuts direct edges, not first-edges of longer shortest paths (that step
-is inherently sequential, character_unification.py:293-327); in
-practice conflicting pairs were linked directly by the shared-last-name
-rule, so direct-edge cutting covers the overwhelming majority — the
-P/R≥0.95 budget absorbs the rest. Gender is inferred per name
-(title-gazetteer only in this path; pronoun votes need chains, which
-can be joined in upstream).
+evaluation in an Arrow pandas UDF → distributed connected components
+over the UNCUT alias graph (operators.cc) → **exact contradiction pass
+per initial component** (cogrouped applyInPandas): cuts never merge
+components and cross-component contradiction pairs are no-ops, so the
+reference's sequential whole-graph pass (character_unification.py:
+293-327) decomposes exactly into independent per-component passes in
+canonical order. Property-tested EQUAL to the per-doc parity path.
+Gender is inferred per name (title gazetteer; pronoun votes need
+chains, joinable upstream).
 """
 
 from __future__ import annotations
@@ -114,25 +112,103 @@ def unify_distributed(
     linked = pairs.withColumn("linked", _alias_rule_udf("n1", "n2")).filter(
         "linked"
     )
-    kept = linked.withColumn(
-        "cut", _contradiction_udf("n1", "n2", "g1", "g2")
-    ).filter(~F.col("cut"))
 
-    # vertex ids: scope \x00 name (scopes the CC per document/global key)
+    # Stage 1 — distributed CC over the UNCUT alias graph. Cuts never
+    # merge components, and cross-component contradiction pairs are
+    # no-ops, so the sequential contradiction pass decomposes exactly
+    # per initial component.
     SEP = "\x00"
-    edges = kept.select(
+    edges = linked.select(
         F.concat_ws(SEP, "_s", "n1").alias("src"),
         F.concat_ws(SEP, "_s", "n2").alias("dst"),
     )
     singles = names.select(
         F.concat_ws(SEP, scope_col, "mention_str").alias("src")
     ).withColumn("dst", F.col("src"))
-    comp = connected_components(edges.unionByName(singles))
+    comp0 = connected_components(edges.unionByName(singles))
 
-    membership = comp.select(
+    membership0 = comp0.select(
         F.split_part("vertex", F.lit(SEP), F.lit(1)).alias(scope_col),
         F.split_part("vertex", F.lit(SEP), F.lit(2)).alias("mention_str"),
-        F.split_part("component", F.lit(SEP), F.lit(2)).alias("char_id"),
+        F.col("component").alias("comp0"),
+    )
+
+    # Stage 2 — exact contradiction pass per initial component
+    # (canonical sorted-pair order; component graphs are tiny), inside
+    # one cogrouped applyInPandas keyed by (scope, comp0).
+    node_side = membership0.join(names, [scope_col, "mention_str"]).select(
+        scope_col, "comp0", "mention_str", "gender"
+    )
+    m0 = comp0.select(
+        F.split_part("vertex", F.lit(SEP), F.lit(1)).alias("_es"),
+        F.split_part("vertex", F.lit(SEP), F.lit(2)).alias("_n1"),
+        F.col("component").alias("_c0"),
+    )
+    edge_side = (
+        linked.join(
+            m0, (F.col("_s") == F.col("_es")) & (F.col("n1") == F.col("_n1"))
+        )
+        .select(
+            F.col("_s").alias(scope_col),
+            F.col("_c0").alias("comp0"),
+            "n1",
+            "n2",
+        )
+    )
+
+    import pandas as pd
+
+    from renard_spark.operators.unify_core import (
+        _bfs_dist,
+        _remove_shortest_path_first_edges,
+    )
+    from renard_spark.functions.names import parse_name as _parse
+
+    def refine(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        if nodes_pdf.empty:
+            return pd.DataFrame(columns=[scope_col, "mention_str", "char_id"])
+        scope = nodes_pdf[scope_col].iloc[0]
+        node_names = sorted(nodes_pdf["mention_str"])
+        genders = dict(zip(nodes_pdf["mention_str"], nodes_pdf["gender"]))
+        adj = {n: set() for n in node_names}
+        if edges_pdf is not None and not edges_pdf.empty:
+            for a, b in zip(edges_pdf["n1"], edges_pdf["n2"]):
+                adj[a].add(b)
+                adj[b].add(a)
+        parsed = {n: _parse(n) for n in node_names}
+        from itertools import combinations
+
+        for n1, n2 in combinations(node_names, 2):
+            p1, p2 = parsed[n1], parsed[n2]
+            if (
+                p1.last != "" and p2.last != ""
+                and p1.first != "" and p2.first != ""
+                and p1.last == p2.last
+                and p1.first != p2.first
+            ):
+                _remove_shortest_path_first_edges(adj, n1, n2)
+                continue
+            g1, g2 = genders[n1], genders[n2]
+            if g1 != g2 and g1 != "UNKNOWN" and g2 != "UNKNOWN":
+                _remove_shortest_path_first_edges(adj, n1, n2)
+        rows = []
+        seen: set[str] = set()
+        for start in node_names:
+            if start in seen:
+                continue
+            comp = sorted(_bfs_dist(adj, start).keys())
+            seen.update(comp)
+            for n in comp:
+                rows.append((scope, n, comp[0]))
+        return pd.DataFrame(rows, columns=[scope_col, "mention_str", "char_id"])
+
+    membership = (
+        node_side.groupBy(scope_col, "comp0")
+        .cogroup(edge_side.groupBy(scope_col, "comp0"))
+        .applyInPandas(
+            refine,
+            schema=f"{scope_col} string, mention_str string, char_id string",
+        )
     )
     labeled = membership.join(names, [scope_col, "mention_str"])
     chars = labeled.groupBy(scope_col, "char_id").agg(

@@ -85,6 +85,30 @@ def span_lineage(df: DataFrame, stage: str = "ingest") -> DataFrame:
     )
 
 
+def span_blocks(df: DataFrame) -> DataFrame:
+    """Narrative blocks from the interleaved span structure:
+    each text span is a block (doc_id, block_id, char_start, char_end).
+
+    This is the engine's analog of the reference's chapter-level
+    ``dynamic_blocks`` (core.py:161-163): the input's own segmentation
+    (text spans between media) defines the narrative units. Char
+    bounds convert to token bounds via
+    operators.utils.char_blocks_to_token_blocks.
+    """
+    t = df.select(
+        "doc_id",
+        F.posexplode(F.filter("spans", lambda s: s["kind"] == "text")).alias(
+            "block_id", "s"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        "block_id",
+        F.col("s.offset").alias("char_start"),
+        (F.col("s.offset") + F.length("s.text")).alias("char_end"),
+    )
+
+
 def media_spans(df: DataFrame) -> DataFrame:
     """Exploded media-span table (for the multimodal operators):
     (doc_id, span_order, kind, media_ref, offset)."""

@@ -62,9 +62,11 @@ def test_scale_path_matches_parity_path(spark):
     p, s = comp_sets(parity), comp_sets(scale)
     assert set(p) == set(s)
     agree = sum(1 for d in p if p[d] == s[d])
-    # direct-edge contradiction cutting vs shortest-path cutting:
-    # overwhelming agreement expected on the synthetic corpus
-    assert agree / len(p) >= 0.95, f"{agree}/{len(p)} docs agree"
+    # the per-component contradiction refinement makes the scale path
+    # EXACT w.r.t. the per-doc parity path
+    assert agree == len(p), {
+        d: (p[d], s[d]) for d in p if p[d] != s[d]
+    }
 
     # mention rows: same (doc, char, mention) triples for agreeing docs
     pm = {

@@ -27,7 +27,7 @@ def test_parse_name():
     p = parse_name("Elizabeth")
     assert (p.first, p.last) == ("Elizabeth", "")
     p = parse_name("Mrs. Bennet")
-    assert p.title == "Mrs." and p.first == "Bennet" and p.last == ""
+    assert p.title == "Mrs." and p.first == "" and p.last == "Bennet"
     assert parse_name("Lady Catherine Bourgh").without_title == "Catherine Bourgh"
 
 
