@@ -194,10 +194,41 @@ def graph_rules_unify(
 
 
 def characters_table(unified_mentions: DataFrame) -> DataFrame:
-    """(doc_id, char_id, names, gender, mention_count) from the
-    unified-mentions stage table."""
-    return unified_mentions.groupBy("doc_id", "char_id").agg(
+    """(doc_id, char_id, names, gender, mention_count, longest_name,
+    shortest_name, most_frequent_name) from the unified-mentions stage
+    table. Name helpers mirror Character.longest/shortest/
+    most_frequent_name (character_unification.py:23-39): the frequency
+    count is restricted to surfaces that are character names, falling
+    back to the longest name."""
+    base = unified_mentions.groupBy("doc_id", "char_id").agg(
         F.first("names").alias("names"),
         F.first("gender").alias("gender"),
         F.count(F.lit(1)).alias("mention_count"),
+    )
+    freq = (
+        unified_mentions.filter(
+            F.array_contains(F.col("names"), F.col("mention_str"))
+        )
+        .groupBy("doc_id", "char_id", "mention_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id", "char_id")
+        .agg(
+            F.max_by(
+                "mention_str",
+                F.struct(F.col("n"), F.col("mention_str")),
+            ).alias("most_frequent_name")
+        )
+    )
+    out = base.join(freq, ["doc_id", "char_id"], "left")
+    longest = F.array_max(
+        F.transform("names", lambda n: F.struct(F.length(n).alias("l"), n.alias("n")))
+    )["n"]
+    shortest = F.array_min(
+        F.transform("names", lambda n: F.struct(F.length(n).alias("l"), n.alias("n")))
+    )["n"]
+    return out.withColumn("longest_name", longest).withColumn(
+        "shortest_name", shortest
+    ).withColumn(
+        "most_frequent_name",
+        F.coalesce("most_frequent_name", "longest_name"),
     )

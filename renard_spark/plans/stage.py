@@ -157,7 +157,15 @@ class StageRunner:
             t0 = time.perf_counter()
             # config is hash-only metadata; stage fns close over params
             df = st.fn(self.spark, *deps)
-            self.catalog.write(st.name, df)
+            # bucketed-by-doc layout (Iceberg bucket(doc_id) analog):
+            # downstream per-doc stages co-locate on read
+            if "doc_id" in df.columns:
+                self.catalog.write(
+                    st.name, df, bucket_by="doc_id",
+                    num_buckets=self.spark.sparkContext.defaultParallelism,
+                )
+            else:
+                self.catalog.write(st.name, df)
             wall_ms = (time.perf_counter() - t0) * 1000
             self._write_metrics(st.name, wall_ms)
             manifest[st.name] = {
