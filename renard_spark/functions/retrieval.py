@@ -19,6 +19,60 @@ from pyspark.sql import functions as F
 from renard_spark.operators.tokenize import TOKEN_RE
 
 
+def samenoun_context(
+    entities_df: DataFrame,
+    sent_tokens_df: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """Same-noun context retrieval (reference ner/retrieval.py:31-120
+    family): for each (doc, sentence) containing a PER mention, fetch
+    up to k OTHER sentences of the corpus containing the same surface
+    form — the global context a context-aware NER would consume.
+
+    → (doc_id, sent_idx, mention_str, ctx_doc_id, ctx_sent_idx, rank).
+    Equi-join on the surface form; top-k by canonical order per
+    (doc, sent, mention).
+    """
+    from pyspark.sql import Window
+
+    sent_of = sent_tokens_df.select(
+        F.col("doc_id").alias("_sd"),
+        F.col("sent_idx").alias("_ss"),
+        F.col("sent_start").alias("_a"),
+        F.col("sent_end").alias("_b"),
+    )
+    ment = entities_df.join(
+        sent_of,
+        (entities_df["doc_id"] == F.col("_sd"))
+        & (entities_df["start_idx"] >= F.col("_a"))
+        & (entities_df["start_idx"] < F.col("_b")),
+    ).select("doc_id", F.col("_ss").alias("sent_idx"), "mention_str")
+    occ = ment.select(
+        F.col("doc_id").alias("ctx_doc_id"),
+        F.col("sent_idx").alias("ctx_sent_idx"),
+        F.col("mention_str").alias("_m"),
+    ).distinct()
+    j = ment.join(
+        occ,
+        (ment["mention_str"] == occ["_m"])
+        & (
+            (ment["doc_id"] != occ["ctx_doc_id"])
+            | (ment["sent_idx"] != occ["ctx_sent_idx"])
+        ),
+    )
+    w = Window.partitionBy("doc_id", "sent_idx", "mention_str").orderBy(
+        "ctx_doc_id", "ctx_sent_idx"
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "sent_idx", "mention_str",
+            "ctx_doc_id", "ctx_sent_idx", "rank",
+        )
+    )
+
+
 def bm25_index(docs: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
     """Build postings/doclen/df tables from (doc_id, text)."""
     toks = docs.select(

@@ -116,3 +116,20 @@ def test_conversational_and_relational_pipelines(spark):
     assert {r.pred for r in t3} <= set(
         __import__("renard_spark.operators.relations", fromlist=["RELATION_VERBS"]).RELATION_VERBS.values()
     )
+
+
+def test_samenoun_context(spark):
+    from renard_spark.operators import tokenize as tk
+
+    docs = ingest.normalize_documents(corpus.generate_documents(spark, 10, seed=37))
+    st = tk.sentence_tokens(docs)
+    ents = __import__(
+        "renard_spark.operators.ner", fromlist=["rule_ner_sentences"]
+    ).rule_ner_sentences(st, pipeline.default_gazetteer())
+    ctx = retrieval.samenoun_context(ents, st, k=3)
+    rows = ctx.collect()
+    assert len(rows) > 0
+    # never retrieves the mention's own sentence; rank within k
+    for r in rows:
+        assert (r.ctx_doc_id, r.ctx_sent_idx) != (r.doc_id, r.sent_idx)
+        assert 1 <= r.rank <= 3
