@@ -45,21 +45,56 @@ def _with_sent(df: DataFrame, tokens_df: DataFrame, tok_col: str, out_col: str,
     )
 
 
+def quote_windows(
+    speakers_df: DataFrame, window: int, overlap: int = 0
+) -> DataFrame:
+    """Explode quotes to dynamic-window ids (window of N quotes, step
+    N−overlap) — the sane semantics for dynamic conversational
+    networks. (The reference's own window-bounds computation,
+    graph_extraction.py:659-668, derives each window's bounds from the
+    first quote's span, which can never contain a whole quote under
+    quotes_for_blocks' strict end check — every reference dynamic
+    window comes out empty. Deliberate fix, documented.)"""
+    from pyspark.sql import Window as W
+
+    assert window > overlap >= 0
+    step = window - overlap
+    w = W.partitionBy("doc_id").orderBy("start", "end", "quote_id")
+    n = W.partitionBy("doc_id")
+    ranked = (
+        speakers_df.withColumn("_r", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .withColumn(
+            "_nwin",
+            F.greatest(
+                F.ceil((F.col("_n") - window) / step) + 1, F.lit(1)
+            ).cast("int"),
+        )
+    )
+    lo = F.greatest(F.ceil((F.col("_r") - window + 1) / step).cast("int"), F.lit(0))
+    hi = F.least(F.floor(F.col("_r") / step).cast("int"), F.col("_nwin") - 1)
+    return ranked.withColumn(
+        "window_id", F.explode(F.sequence(lo, hi))
+    ).drop("_r", "_n", "_nwin")
+
+
 def conversation_edges(
     speakers_df: DataFrame,
     dist: int = 1,
     unit: str = "tokens",
     tokens_df: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """speakers_df: (doc_id, quote_id, start, end, speaker_char_id).
-    → edges(doc_id, src, dst, weight) undirected (src<dst)."""
+    → edges(doc_id[, group], src, dst, weight) undirected (src<dst)."""
+    keys = ["doc_id"] + ([group_col] if group_col else [])
     q = speakers_df.filter(F.col("speaker_char_id").isNotNull())
     if unit == "sentences":
         assert tokens_df is not None
         q = _with_sent(q, tokens_df, "end", "sent_end")
         q = _with_sent(q, tokens_df, "start", "sent_start")
     a = q.select(
-        "doc_id",
+        *keys,
         F.col("quote_id").alias("q1"),
         F.col("start").alias("s1"),
         F.col("end").alias("e1"),
@@ -68,7 +103,7 @@ def conversation_edges(
            if unit == "sentences" else [] ),
     )
     b = q.select(
-        F.col("doc_id").alias("_d"),
+        *[F.col(k).alias(f"_{k}") for k in keys],
         F.col("quote_id").alias("q2"),
         F.col("start").alias("s2"),
         F.col("end").alias("e2"),
@@ -76,7 +111,10 @@ def conversation_edges(
         *( [F.col("sent_end").alias("se2"), F.col("sent_start").alias("ss2")]
            if unit == "sentences" else [] ),
     )
-    j = a.join(b, (a["doc_id"] == b["_d"]) & (a["q1"] < b["q2"]))
+    cond = a["q1"] < b["q2"]
+    for k in keys:
+        cond = cond & (a[k] == b[f"_{k}"])
+    j = a.join(b, cond)
     ordered = F.col("s2") >= F.col("e1")
     if unit == "tokens":
         gap = F.when(ordered, F.col("s2") - F.col("e1")).otherwise(
@@ -90,7 +128,7 @@ def conversation_edges(
         interact = F.abs(gap) <= dist
     pairs = j.filter(interact & (F.col("sp1") != F.col("sp2")))
     return pairs.groupBy(
-        "doc_id",
+        *keys,
         F.least("sp1", "sp2").alias("src"),
         F.greatest("sp1", "sp2").alias("dst"),
     ).agg(F.count(F.lit(1)).alias("weight"))

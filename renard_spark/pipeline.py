@@ -37,6 +37,8 @@ def character_graph_pipeline(
     polarities_df: DataFrame | None = None,
     cooccur_path: str = "grouped",
     persist: bool = True,
+    additional_ner_classes: list[str] | None = None,
+    extra_entities_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the co-occurrence pipeline; returns all stage tables.
 
@@ -74,6 +76,22 @@ def character_graph_pipeline(
     if persist:
         unified = unified.persist()
     mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    if additional_ner_classes:
+        # reference additional_ner_classes (graph_extraction.py:193-203):
+        # non-character entities join the graph keyed by raw surface
+        # form, no unification attempted.
+        from pyspark.sql import functions as F
+
+        extra_src = extra_entities_df if extra_entities_df is not None else entities
+        extra = extra_src.filter(
+            F.col("tag").isin(additional_ner_classes)
+        ).select(
+            "doc_id",
+            F.col("mention_str").alias("char_id"),
+            "start_idx",
+            "end_idx",
+        )
+        mentions = mentions.unionByName(extra)
     group_col = None
     if dynamic_window is not None:
         mentions = cooccur.add_window_ids(mentions, dynamic_window, dynamic_overlap)

@@ -196,3 +196,44 @@ def test_narrow_polarity_equals_join_path(spark):
     }
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_windowed_conversation_edges(spark):
+    rows = [
+        ("d", i, 10 * i, 10 * i + 3, spk)
+        for i, spk in enumerate(["A", "B", "A", "C", "B", "A"])
+    ]
+    sp = spark.createDataFrame(
+        rows,
+        "doc_id string, quote_id int, start int, end int, speaker_char_id string",
+    )
+    win = conversation.quote_windows(sp, window=3, overlap=1)
+    edges = conversation.conversation_edges(
+        win, dist=10, unit="tokens", group_col="window_id"
+    )
+    got = {}
+    for r in edges.collect():
+        got.setdefault(r.window_id, {})[(r.src, r.dst)] = r.weight
+    # windows of 3 quotes, step 2: [0,1,2], [2,3,4], [4,5]
+    # gap between consecutive quotes = 7 <= 10; non-consecutive 17 > 10
+    assert got[0] == {("A", "B"): 2}
+    assert got[1] == {("A", "C"): 1, ("B", "C"): 1}
+    assert got[2] == {("A", "B"): 1}
+
+
+def test_additional_ner_classes(spark):
+    from renard_spark import pipeline as pl
+
+    docs = corpus.generate_documents(spark, 15, seed=43)
+    toks_gaz = ["village", "letter", "carriage"]
+    norm = ingest.normalize_documents(docs)
+    extra = ner.dictionary_ner(tokenize.tokens(norm), toks_gaz, tag="OBJ")
+    out = pl.character_graph_pipeline(
+        docs, additional_ner_classes=["OBJ"], extra_entities_df=extra,
+        persist=False,
+    )
+    nodes = {r.src for r in out["edges"].collect()} | {
+        r.dst for r in out["edges"].collect()
+    }
+    assert any(n in toks_gaz for n in nodes)        # objects in the graph
+    assert any(n not in toks_gaz for n in nodes)    # characters too
