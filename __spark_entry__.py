@@ -467,6 +467,44 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation over the events table
+    (the batch twin of the Structured Streaming job)."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fevents.windowed_event_aggregates(ev, "1 hour")
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (30-min gap) over the events table."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = fevents.sessionize(ev, 30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SRP candidates + threshold)."""
+    from renard_spark.functions import dedup
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4, n_bits=8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -504,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "srp_ann_topk": q_srp_ann_topk,
         "bm25_topk": q_bm25_topk,
+        "event_windows": q_event_windows,
+        "user_sessions": q_user_sessions,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -623,4 +664,51 @@ pairs AS (
         "cosine_topk": _ORACLE_COSINE,
         "srp_ann_topk": _ORACLE_SRP_ANN,
         "bm25_topk": _oracle_bm25(),
+        "event_windows": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "user_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "embedding_near_dups": """
+WITH b AS (
+  SELECT vec_id, embedding,
+    (SELECT string_agg(CASE WHEN
+        list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+          x -> x[1]::DOUBLE *
+               ((('0x' || substr(md5(j.j::VARCHAR || ':' || x[2]::VARCHAR), 1, 1))::INT
+                 % 2) * 2 - 1))) > 0
+        THEN '1' ELSE '0' END, '' ORDER BY j.j)
+     FROM range(0, 8) j(j)) AS bucket
+  FROM embeddings
+), n AS (
+  SELECT vec_id, embedding, bucket,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM b
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+        """,
     }

@@ -192,6 +192,47 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.9, n_bits: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH bucket candidates
+    → exact cosine ≥ threshold. (doc/vec pairs a<b with cosine.)
+    The candidate join is equi on the SRP bucket — the brute-force
+    quadratic pass never happens."""
+    from renard_spark.functions.similarity import (
+        _dot,
+        srp_bucket_keys,
+        with_norm,
+    )
+
+    buckets = srp_bucket_keys(emb, n_bits, vec_col, id_col).withColumnRenamed(
+        id_col if id_col == "vec_id" else "vec_id", "_bid"
+    )
+    e = with_norm(emb, vec_col).join(
+        buckets, F.col(id_col) == F.col("_bid")
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"), "bucket",
+    )
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("bucket").alias("_bk"),
+    )
+    pairs = a.join(b, (a["bucket"] == b["_bk"]) & (a["id_a"] < b["id_b"]))
+    scored = pairs.select(
+        "id_a", "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine"
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def simhash_dup_groups(sim: DataFrame) -> DataFrame:
     """(doc_id, simhash, dup_group_size) — identical-fingerprint dedup."""
     from pyspark.sql import Window

@@ -132,3 +132,52 @@ def test_multimodal_plumbing(spark):
     audio = [r for r in rows if r.kind == "audio"]
     if audio:
         assert plan.count() >= len(audio)
+
+
+def test_embedding_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    vecs = [base + rng.randn(8) * 0.01 for _ in range(4)] + [
+        rng.randn(8) for _ in range(8)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = dedup.embedding_near_dups(emb, threshold=0.95, n_bits=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the four jittered copies of `base` find each other
+    want = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert want <= got
+    # nothing random sneaks above 0.95
+    assert all(a < 4 and b < 4 for a, b in got)
+
+
+def test_event_windows_and_sessions(spark):
+    import datetime as dt
+
+    from renard_spark.functions import events as fevents
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "click", 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 1, "click", 2.0),
+        (2, t0 + dt.timedelta(minutes=70), 1, "view", 4.0),
+        (3, t0 + dt.timedelta(minutes=5), 2, "click", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    win = {
+        (r.window_start.hour, r.event_type): (r.n, r.total_value)
+        for r in fevents.windowed_event_aggregates(ev, "1 hour").collect()
+    }
+    assert win == {(0, "click"): (3, 11.0), (1, "view"): (1, 4.0)}
+    sess = {
+        (r.user_id, r.session_id): r.n_events
+        for r in fevents.sessionize(ev, 30).collect()
+    }
+    # user 1: events 0,1 in one session; event 2 after 60-min gap
+    assert sess == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
