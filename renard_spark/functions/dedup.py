@@ -145,8 +145,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
     candidate join → exact-Jaccard verify. The shingle table feeds
-    three consumers (signatures + both verify sides) → persisted."""
+    three consumers (signatures + both verify sides); it is persisted
+    AND eagerly materialized — inside one action the three branches
+    would otherwise race the unfilled cache and re-shingle the corpus
+    three times."""
     sh = shingles(docs, w, text_col).persist()
+    sh.count()  # eager fill (see docstring)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes))
     return jaccard_verify(cands, sh, threshold)
