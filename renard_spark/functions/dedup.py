@@ -82,11 +82,32 @@ def lsh_band_keys(
     )
 
 
-def lsh_candidates(band_keys: DataFrame) -> DataFrame:
+def lsh_candidates(
+    band_keys: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band key.
     The join is equi on (band, band_key): never quadratic in corpus
-    size, only within identical buckets."""
-    a = band_keys.select(
+    size, only within identical buckets.
+
+    ``max_bucket`` caps hot-bucket blowup (boilerplate-heavy corpora
+    put millions of docs in one band bucket): the LEFT side of the pair
+    join is restricted to each bucket's first ``max_bucket`` docs (by
+    doc_id — deterministic, oracle-replicable). Every doc still pairs
+    with the bucket's representatives, so a bucket of size n emits
+    ≤ max_bucket·n pairs instead of n² and downstream connected-
+    components still groups the whole bucket through the reps.
+    """
+    from pyspark.sql import Window
+
+    left = band_keys
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        left = (
+            band_keys.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    a = left.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
     b = band_keys.select(
@@ -145,12 +166,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
     candidate join → exact-Jaccard verify. The shingle table feeds
-    three consumers (signatures + both verify sides); it is persisted
-    AND eagerly materialized — inside one action the three branches
-    would otherwise race the unfilled cache and re-shingle the corpus
-    three times."""
-    sh = shingles(docs, w, text_col).persist()
-    sh.count()  # eager fill (see docstring)
+    three consumers (signatures + both verify sides); it is eagerly
+    localCheckpoint-ed — one materialization shared by all branches,
+    and the blocks are released with the DataFrame (nothing stays
+    pinned in executor storage across unrelated queries, unlike a
+    session-lifetime persist)."""
+    sh = shingles(docs, w, text_col).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes))
     return jaccard_verify(cands, sh, threshold)
@@ -199,35 +220,55 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.9, n_bits: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH bucket candidates
     → exact cosine ≥ threshold. (doc/vec pairs a<b with cosine.)
     The candidate join is equi on the SRP bucket — the brute-force
-    quadratic pass never happens."""
+    quadratic pass never happens.
+
+    ``n_tables`` > 1 ORs candidates across independent SRP tables
+    (srp_multi_bucket_keys): single-table recall at cosine 0.9 /
+    8 bits is only ~(1−acos(.9)/π)^8 ≈ 0.30; 4 tables lift it to ~0.76.
+    Default 1 preserves the original (oracle-matched) behavior.
+    """
     from renard_spark.functions.similarity import (
         _dot,
         srp_bucket_keys,
+        srp_multi_bucket_keys,
         with_norm,
     )
 
-    buckets = srp_bucket_keys(emb, n_bits, vec_col, id_col).withColumnRenamed(
-        id_col if id_col == "vec_id" else "vec_id", "_bid"
-    )
+    if n_tables > 1:
+        buckets = srp_multi_bucket_keys(emb, n_bits, n_tables, vec_col, id_col)
+    else:
+        buckets = srp_bucket_keys(emb, n_bits, vec_col, id_col).withColumn(
+            "table_id", F.lit(0)
+        )
+    buckets = buckets.withColumnRenamed("vec_id", "_bid")
     e = with_norm(emb, vec_col).join(
         buckets, F.col(id_col) == F.col("_bid")
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.col("_norm").alias("n"), "bucket",
+        F.col("_norm").alias("n"), "table_id", "bucket",
     )
     a = e.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "bucket",
+        F.col("n").alias("na"), "table_id", "bucket",
     )
     b = e.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), F.col("bucket").alias("_bk"),
+        F.col("n").alias("nb"),
+        F.col("table_id").alias("_t2"), F.col("bucket").alias("_bk"),
     )
-    pairs = a.join(b, (a["bucket"] == b["_bk"]) & (a["id_a"] < b["id_b"]))
+    pairs = (
+        a.join(
+            b,
+            (a["table_id"] == b["_t2"]) & (a["bucket"] == b["_bk"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     scored = pairs.select(
         "id_a", "id_b",
         (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
@@ -235,6 +276,69 @@ def embedding_near_dups(
         ),
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``
+    via the standard banding trick: two 64-bit fingerprints within
+    hamming distance k < bands must agree exactly on ≥1 of the
+    ``bands`` equal-width bit bands (pigeonhole), so candidates come
+    from an equi-join on (band, 16-bit band key) — never an all-pairs
+    hamming scan — and only candidates pay the exact
+    bit_count(xor) verification.
+
+    sim: (doc_id, simhash bigint) → (doc_a, doc_b, hamming) with
+    doc_a < doc_b. Band keys are hex substrings of the fingerprint
+    (sign-safe and bit-identical in the DuckDB oracle).
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    assert bands in (2, 4, 8, 16), "bands must divide the 16 hex digits"
+    hex_digits = 16 // bands
+    h = sim.withColumn(
+        "_hex", F.lower(F.lpad(F.hex("simhash"), 16, "0"))
+    )
+    keys = h.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("_hex", b * hex_digits + 1, hex_digits).alias(
+                        "band_key"
+                    ),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"),
+        "band", "band_key",
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"),
+        F.col("band").alias("_b2"), F.col("band_key").alias("_k2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["band"] == b["_b2"]) & (a["band_key"] == b["_k2"])
+            & (a["doc_a"] < b["doc_b"]),
+        )
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash_dup_groups(sim: DataFrame) -> DataFrame:

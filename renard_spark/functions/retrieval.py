@@ -95,22 +95,29 @@ def bm25_topk(
     """queries: (query_id, term) exploded query terms →
     (query_id, doc_id, score, rank) with rank ≤ k."""
     postings, doclen, df_t = index["postings"], index["doclen"], index["df"]
-    n_docs = doclen.count()
-    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    # corpus stats as a lazy 1-row aggregate crossed in (broadcast) —
+    # no driver-side jobs at plan-construction time; the whole query
+    # stays one lazy plan exactly like its DuckDB oracle twin.
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
 
     scored = (
         queries.join(F.broadcast(df_t), "term")
         .join(postings, "term")
         .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
-            F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            F.log(
+                1.0 + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
         )
         .withColumn(
             "s",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"))

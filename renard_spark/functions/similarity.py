@@ -110,6 +110,107 @@ def srp_bucket_keys(
     )
 
 
+def srp_multi_bucket_keys(
+    emb: DataFrame, n_bits: int = 8, n_tables: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, table_id, bucket): ``n_tables`` independent SRP bucket
+    keys per vector — OR-amplification for recall. Table t's planes are
+    derived from md5('t:{t}:{j}:{d}') so every table is an independent
+    projection and the DuckDB oracle reproduces all of them."""
+    def bit(t: int, j: int):
+        prod = F.transform(
+            vec_col,
+            lambda x, d: x.cast("double")
+            * srp_plane_sign(F.concat_ws(":", F.lit("t"), F.lit(str(t)), F.lit(str(j))), d),
+        )
+        p = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(p > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    tables = [
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(t).alias("table_id"),
+            F.concat(*[bit(t, j) for j in range(n_bits)]).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def srp_multi_topk(
+    emb: DataFrame, k: int = 5, n_bits: int = 8, n_tables: int = 4,
+    max_bucket: int | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k with multi-table SRP (OR across ``n_tables``
+    independent bucket keys) and an optional hot-bucket cap.
+
+    Recall: a pair colliding with prob p per table survives with
+    1−(1−p)^T — at cosine 0.9 / 8 bits / 4 tables that is ~0.76 vs
+    ~0.30 single-table (the ADVICE recall gap).
+
+    ``max_bucket``: within each (table, bucket), only the first
+    ``max_bucket`` vectors (by vec_id — deterministic, oracle-
+    replicable) serve as candidate NEIGHBORS. Every vector still
+    queries all its buckets, so per-vector candidate fanout is bounded
+    by n_tables·max_bucket even when boilerplate-heavy corpora put
+    millions of vectors in one bucket.
+    """
+    buckets = srp_multi_bucket_keys(emb, n_bits, n_tables, vec_col, id_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("table_id", "bucket").orderBy("vec_id")
+        capped = (
+            buckets.withColumn("_br", F.row_number().over(wb))
+            .filter(F.col("_br") <= max_bucket)
+            .drop("_br")
+        )
+    else:
+        capped = buckets
+    e = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_id"), "table_id", "bucket"
+    )
+    b = capped.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("table_id").alias("_t2"), F.col("bucket").alias("_bk"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["table_id"] == b["_t2"]) & (a["bucket"] == b["_bk"])
+            & (a["vec_id"] != b["neighbor_id"]),
+        )
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    eb = e.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    scored = cand.join(ea, "vec_id").join(eb, "neighbor_id").select(
+        "vec_id", "neighbor_id",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_lsh_topk(
     emb: DataFrame, k: int = 5, n_bits: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",

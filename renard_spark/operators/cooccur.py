@@ -142,8 +142,14 @@ def cooccurring_pairs(
     """
     keys = _keys(group_col)
     W = bucket_width
+    # Deterministic block identity: a block IS its (bs, be) bounds (per
+    # group). Identical blocks from different mentions collapse to one,
+    # which is exactly the reference's dedup (graph_extraction.py:258-272)
+    # and — unlike monotonically_increasing_id — is stable across task
+    # retries / AQE re-plans, so both sides of the self-join below always
+    # agree on block identity.
     b = (
-        blocks.withColumn("block_id", F.monotonically_increasing_id())
+        blocks.dropDuplicates(keys + ["bs", "be"])
         .withColumn("_b0", F.floor(F.col("bs") / W))
         .withColumn("_b1", F.floor(F.col("be") / W))
         .withColumn("bucket", F.explode(F.sequence("_b0", "_b1")))
@@ -163,15 +169,17 @@ def cooccurring_pairs(
         F.col("m.mi").alias("mi"),
         F.col("m.char_id").alias("char_id"),
         F.col("m.start_idx").alias("start_idx"),
-        F.col("b.block_id").alias("block_id"),
-    ).dropDuplicates(keys + ["mi", "block_id"])
+        F.col("b.bs").alias("bs"),
+        F.col("b.be").alias("be"),
+    ).dropDuplicates(keys + ["mi", "bs", "be"])
     x, y = mb.alias("x"), mb.alias("y")
     return (
         x.join(
             y,
             [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys]
             + [
-                F.col("x.block_id") == F.col("y.block_id"),
+                F.col("x.bs") == F.col("y.bs"),
+                F.col("x.be") == F.col("y.be"),
                 F.col("x.mi") < F.col("y.mi"),
             ],
         )

@@ -110,50 +110,146 @@ def normalize_tags(
     return df.withColumn(tag_col, F.coalesce(m[F.col(tag_col)], F.col(tag_col)))
 
 
-def model_ner(
-    tokens_df: DataFrame,
-    model_path: str,
-    batch_size: int = 32,
-) -> DataFrame:
-    """Transformer NER hook — same output schema as the rule taggers.
+# --------------------------------------------------------------------
+# Transformer NER inference (reference BertNamedEntityRecognizer,
+# ner/ner.py:125-308): per-sentence batched prediction, wordpiece→token
+# realignment, context-mask handling, BIO decode. The model itself is
+# an injected callable so the whole post-processing path is pure logic,
+# unit-testable without torch; production plugs in ``hf_ner_model``.
+#
+# Model contract — predict(batch: list[list[str]]) returns, per
+# sentence, a triple:
+#   wp_labels : list[str]        — one BIO label per WORDPIECE
+#   wp_to_word: list[int | None] — wordpiece → word index (None for
+#                                  special tokens like [CLS]/[SEP])
+#   ctx_mask  : list[int]        — per WORD: 0 = retrieved context
+#                                  word (discarded), 1 = inference word
+# --------------------------------------------------------------------
 
-    The reference's BertNamedEntityRecognizer (ner/ner.py:125-308):
-    per-sentence batched inference, wordpiece→token realignment, BIO
-    decode. This engine keeps the Spark-side shape — Arrow-batched
-    mapInPandas with an executor-local model singleton — and gates the
-    model import (torch/transformers are not in this container): the
-    loader raises ImportError at the integration point, and the BIO
-    decode it feeds is the same window decode the rule path uses.
+
+def realign_wordpiece_labels(
+    wp_labels: list[str],
+    wp_to_word: list[int | None],
+    ctx_mask: list[int],
+    n_tokens: int,
+) -> list[str]:
+    """Wordpiece→token label realignment — exact semantics of the
+    reference's ``batch_labels`` (ner/ner.py:266-299): start from all
+    "O"; the inference window begins at the first 1 in the context
+    mask; each wordpiece writes its label onto its word (so the LAST
+    wordpiece of a word wins); context words and special tokens are
+    skipped."""
+    labels = ["O"] * n_tokens
+    cm = list(ctx_mask)
+    try:
+        inference_start = cm.index(1)
+    except ValueError:
+        inference_start = 0
+    for j, lab in enumerate(wp_labels):
+        ti = wp_to_word[j]
+        if ti is None:
+            continue
+        if cm[ti] == 0:
+            continue
+        labels[ti - inference_start] = lab
+    return labels
+
+
+def hf_ner_model(model_path: str, max_length: int = 512):
+    """Default model factory: a HuggingFace token-classification
+    checkpoint (reference LANG_TO_MODELS, ner/ner.py:128-131). Import-
+    gated — torch/transformers are absent in this container, so this is
+    the one honest integration seam; everything downstream of
+    ``predict`` is exercised by tests with an injected fake."""
+    try:  # pragma: no cover - sandbox has no torch
+        import torch
+        from transformers import (
+            AutoModelForTokenClassification,
+            AutoTokenizer,
+        )
+    except ImportError as e:
+        raise ImportError(
+            "hf_ner_model needs torch+transformers; install them and "
+            f"point model_path at a token-classification checkpoint "
+            f"(got {model_path!r})"
+        ) from e
+
+    tok = AutoTokenizer.from_pretrained(model_path)  # pragma: no cover
+    model = AutoModelForTokenClassification.from_pretrained(  # pragma: no cover
+        model_path
+    ).eval()
+    id2label = model.config.id2label  # pragma: no cover
+
+    def predict(batch):  # pragma: no cover - needs torch
+        enc = tok(
+            batch, is_split_into_words=True, padding=True,
+            truncation=True, max_length=max_length, return_tensors="pt",
+        )
+        with torch.no_grad():
+            out = model(enc["input_ids"], attention_mask=enc["attention_mask"])
+        ids = out.logits.argmax(dim=2)
+        res = []
+        for i, sent in enumerate(batch):
+            wp_labels = [id2label[int(x)] for x in ids[i]]
+            wp_to_word = [enc.token_to_word(i, j) for j in range(len(wp_labels))]
+            res.append((wp_labels, wp_to_word, [1] * len(sent)))
+        return res
+
+    return predict  # pragma: no cover
+
+
+_PREDICT_CACHE: dict[str, object] = {}
+
+
+def model_ner(
+    sent_tokens_df: DataFrame,
+    model_factory,
+    batch_size: int = 4,
+    resolve_inconsistencies: bool = True,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Model-backed NER over the compact per-sentence form
+    (doc_id, sent_start, toks) → entities, same schema as the rule
+    taggers.
+
+    Mirrors the reference's inference loop (ner/ner.py:212-264):
+    sentences are micro-batched ``batch_size`` at a time inside each
+    Arrow batch, the model predicts wordpiece labels, labels are
+    realigned to words (``realign_wordpiece_labels``), and the
+    per-document label stream feeds the same BIO decode as every other
+    tagger. ``model_factory`` is a zero-arg callable returning the
+    ``predict`` function; pass ``cache_key`` (e.g. the model path) to
+    memoize the loaded model per executor worker.
     """
     import pandas as pd
 
     def run(batches):
-        model = None
+        predict = _PREDICT_CACHE.get(cache_key) if cache_key else None
+        if predict is None:
+            predict = model_factory()
+            if cache_key:
+                _PREDICT_CACHE[cache_key] = predict
         for pdf in batches:
-            if model is None:
-                try:  # executor-local singleton, loaded once per worker
-                    import torch  # noqa: F401
-                    from transformers import (  # noqa: F401
-                        AutoModelForTokenClassification,
-                        AutoTokenizer,
-                    )
-                except ImportError as e:  # pragma: no cover - sandbox
-                    raise ImportError(
-                        "model_ner needs torch+transformers; install them "
-                        f"and point model_path at a token-classification "
-                        f"checkpoint (got {model_path!r})"
-                    ) from e
-                model = AutoModelForTokenClassification.from_pretrained(
-                    model_path
-                ).eval()
+            rows = []
+            sents = [list(s) for s in pdf["toks"]]
+            metas = list(zip(pdf["doc_id"], pdf["sent_start"]))
+            for off in range(0, len(sents), batch_size):
+                chunk = sents[off:off + batch_size]
+                preds = predict(chunk)
+                for (doc_id, s0), toks_, (wpl, w2w, cm) in zip(
+                    metas[off:off + batch_size], chunk, preds
+                ):
+                    labels = realign_wordpiece_labels(wpl, w2w, cm, len(toks_))
+                    for i, (t, lab) in enumerate(zip(toks_, labels)):
+                        rows.append((doc_id, int(s0) + i, t, lab))
             yield pd.DataFrame(
-                columns=["doc_id", "tok_idx", "token", "bio_tag"]
-            )  # pragma: no cover - real inference goes here
+                rows, columns=["doc_id", "tok_idx", "token", "bio_tag"]
+            )
 
-    tagged = tokens_df.select("doc_id", "tok_idx", "token").mapInPandas(
+    tagged = sent_tokens_df.select("doc_id", "sent_start", "toks").mapInPandas(
         run, schema="doc_id string, tok_idx int, token string, bio_tag string"
     )
-    return bio_decode(tagged)
+    return bio_decode(tagged, resolve_inconsistencies)
 
 
 CAP_TOKEN_RE = r"^[A-Z][a-z']*$"

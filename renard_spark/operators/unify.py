@@ -213,9 +213,12 @@ def characters_table(unified_mentions: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("doc_id", "char_id")
         .agg(
-            F.max_by(
+            # frequency ties break toward the SMALLEST name — the repo's
+            # canonical first-in-sorted-order convention (the reference's
+            # Counter is insertion-ordered, i.e. hash-seed dependent)
+            F.min_by(
                 "mention_str",
-                F.struct(F.col("n"), F.col("mention_str")),
+                F.struct((-F.col("n")).alias("n"), F.col("mention_str")),
             ).alias("most_frequent_name")
         )
     )

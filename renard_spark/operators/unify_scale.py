@@ -214,14 +214,18 @@ def unify_distributed(
     chars = labeled.groupBy(scope_col, "char_id").agg(
         F.array_sort(F.collect_set("mention_str")).alias("names")
     )
-    # majority gender vote, ties toward the first gender in sorted order
+    # majority gender vote; ties break toward the gender of the FIRST
+    # name in sorted-component order — same canonical rule as the
+    # parity path (unify_core.unify_doc), so both paths stay
+    # property-equal even on 1-1 MALE/FEMALE components.
     from pyspark.sql import Window
 
     votes = labeled.groupBy(scope_col, "char_id", "gender").agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("n"),
+        F.min("mention_str").alias("_first_name"),
     )
     wv = Window.partitionBy(scope_col, "char_id").orderBy(
-        F.col("n").desc(), F.col("gender").asc()
+        F.col("n").desc(), F.col("_first_name").asc()
     )
     gvote = (
         votes.withColumn("_r", F.row_number().over(wv))

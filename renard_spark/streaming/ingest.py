@@ -15,6 +15,8 @@ stage tables, not stream operators.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from renard_spark.corpus import DOCUMENTS_SCHEMA
@@ -31,6 +33,21 @@ def stream_documents(
     return r.parquet(input_path)
 
 
+def write_batch_tables(
+    catalog, out: dict[str, DataFrame], batch_id: int,
+    tables: tuple[str, ...],
+) -> None:
+    """Idempotent per-batch sink: each table's micro-batch output goes
+    to ``<table>/batch_id=N``. Committed partitions (``_SUCCESS``) are
+    skipped; partially-written ones are overwritten — replaying a batch
+    can never duplicate rows."""
+    for name in tables:
+        part = os.path.join(catalog.path(name), f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part, "_SUCCESS")):
+            continue
+        out[name].write.mode("overwrite").parquet(part)
+
+
 def run_incremental(
     stream_df: DataFrame,
     workdir: str,
@@ -43,10 +60,16 @@ def run_incremental(
 ):
     """Start the incremental pipeline; returns the StreamingQuery.
 
-    Each micro-batch runs the full doc-local pipeline and APPENDS its
-    stage outputs to the catalog tables (the same tables the batch
-    StageRunner writes), so batch and streaming runs are
-    interchangeable consumers.
+    Each micro-batch runs the full doc-local pipeline and writes its
+    stage outputs to a ``batch_id=N`` partition of each catalog table.
+    The sink is **idempotent per batch**: a replayed micro-batch (batch
+    failure mid-write, query restart) overwrites its own partition —
+    and is skipped outright if the partition already committed
+    (``_SUCCESS`` present) — so rows are never duplicated and the
+    'equivalent to a batch run over the union' invariant holds under
+    exactly-once replay. Readers see the extra ``batch_id`` partition
+    column via discovery; row content matches the batch StageRunner
+    tables.
     """
     from renard_spark.pipeline import character_graph_pipeline
 
@@ -59,9 +82,7 @@ def run_incremental(
         out = character_graph_pipeline(
             batch_df, gazetteer=gazetteer, dist=dist, persist=False
         )
-        for name in tables:
-            mode = "append" if catalog.exists(name) else "overwrite"
-            catalog.write(name, out[name], mode=mode)
+        write_batch_tables(catalog, out, batch_id, tables)
 
     writer = (
         stream_df.writeStream.foreachBatch(process)
