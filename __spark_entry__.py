@@ -34,6 +34,7 @@ CAST_TOKENS = [
 ]
 COOCCUR_DIST = 3
 DYN_WINDOW, DYN_OVERLAP = 20, 10
+SRP_TABLES = 2
 
 _SQL_TOKEN_RE = TOKEN_RE.replace("'", "''")
 _CAST_SQL = ", ".join(f"'{t}'" for t in CAST_TOKENS)
@@ -123,7 +124,7 @@ WITH t AS (
 )
 """
 
-_ORACLE_SIMHASH = f"""
+_SIMHASH_CTES = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS tok
   FROM documents
@@ -145,9 +146,33 @@ WITH toks AS (
            AS simhash_hex
   FROM hexd GROUP BY doc_id
 )
+"""
+
+_ORACLE_SIMHASH = _SIMHASH_CTES + """
 SELECT doc_id, simhash_hex,
        count(*) OVER (PARTITION BY simhash_hex)::BIGINT AS dup_group_size
 FROM fp
+"""
+
+_ORACLE_SIMHASH_PAIRS = _SIMHASH_CTES + """
+, keys AS (
+  SELECT doc_id, simhash_hex, b.b AS band,
+         substr(simhash_hex, b.b * 4 + 1, 4) AS band_key
+  FROM fp, range(0, 4) b(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash_hex AS ha, b2.simhash_hex AS hb
+  FROM keys a JOIN keys b2
+    ON a.band = b2.band AND a.band_key = b2.band_key
+   AND a.doc_id < b2.doc_id
+), ham AS (
+  SELECT doc_a, doc_b,
+    (SELECT sum(bit_count(xor(('0x' || substr(ha, p.p, 1))::INT,
+                              ('0x' || substr(hb, p.p, 1))::INT)))
+     FROM range(1, 17) p(p))::BIGINT AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 """
 
 _ORACLE_COSINE = """
@@ -193,6 +218,80 @@ WITH b AS (
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+_ORACLE_BIO = f"""
+{{base}}
+, tagged AS (
+  SELECT doc_id, tok_idx, token,
+    CASE WHEN token IN ({_CAST_SQL}) THEN 'B-PER'
+         WHEN lag(token) OVER w IN ({_CAST_SQL})
+              AND regexp_full_match(token, '[a-z]{{{{6,}}}}') THEN 'I-PER'
+         WHEN token = 'data' THEN 'I-PER'
+         ELSE 'O' END AS bio_tag
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)
+), mk AS (
+  SELECT doc_id, tok_idx, token, bio_tag,
+    (bio_tag LIKE 'B-%' OR bio_tag LIKE 'I-%') AS member,
+    CASE WHEN bio_tag LIKE 'B-%' THEN 1
+         WHEN bio_tag LIKE 'I-%'
+              AND coalesce(lag(bio_tag) OVER w2, 'O') NOT LIKE 'B-%'
+              AND coalesce(lag(bio_tag) OVER w2, 'O') NOT LIKE 'I-%' THEN 1
+         ELSE 0 END AS st
+  FROM tagged WINDOW w2 AS (PARTITION BY doc_id ORDER BY tok_idx)
+), grp AS (
+  SELECT doc_id, tok_idx, token, bio_tag, member,
+         sum(CASE WHEN member THEN st ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY tok_idx
+                 ROWS UNBOUNDED PRECEDING) AS ent
+  FROM mk
+)
+SELECT doc_id, min(tok_idx)::BIGINT AS start_idx,
+       (max(tok_idx) + 1)::BIGINT AS end_idx,
+       string_agg(token, ' ' ORDER BY tok_idx) AS mention_str,
+       substr(min_by(bio_tag, tok_idx), 3) AS tag
+FROM grp WHERE member GROUP BY doc_id, ent
+"""
+
+_ORACLE_SRP_MULTI = f"""
+WITH b AS (
+  SELECT vec_id, t.t AS table_id,
+    (SELECT string_agg(CASE WHEN
+        list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+          x -> x[1]::DOUBLE *
+               ((('0x' || substr(md5('t:' || t.t::VARCHAR || ':' || j.j::VARCHAR
+                                  || ':' || x[2]::VARCHAR), 1, 1))::INT
+                 % 2) * 2 - 1))) > 0
+        THEN '1' ELSE '0' END, '' ORDER BY j.j)
+     FROM range(0, 8) j(j)) AS bucket
+  FROM embeddings, range(0, {SRP_TABLES}) t(t)
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b2.vec_id AS neighbor_id
+  FROM b a JOIN b b2
+    ON a.table_id = b2.table_id AND a.bucket = b2.bucket
+   AND a.vec_id <> b2.vec_id
+), p AS (
+  SELECT c.vec_id, c.neighbor_id,
+         list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (na.nrm * nb.nrm)
+           AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_id
+  JOIN n nb ON nb.vec_id = c.neighbor_id
 ), r AS (
   SELECT vec_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY vec_id
@@ -505,6 +604,74 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bio_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIO decode (reference ner_entities, ner_utils.py:126-180) over a
+    deterministic tagging of the corpus tokens: cast tokens are B-PER,
+    a following long lowercase token continues as I-PER, and 'data' is
+    an orphan I-PER exercising resolve_inconsistencies — the same
+    decode every tagger (incl. model_ner) feeds."""
+    from pyspark.sql import Window
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    prev = F.lag("token").over(w)
+    tagged = toks.withColumn(
+        "bio_tag",
+        F.when(F.col("token").isin(CAST_TOKENS), F.lit("B-PER"))
+        .when(
+            prev.isin(CAST_TOKENS) & F.col("token").rlike(r"^[a-z]{6,}$"),
+            F.lit("I-PER"),
+        )
+        .when(F.col("token") == "data", F.lit("I-PER"))
+        .otherwise(F.lit("O")),
+    )
+    ents = ner.bio_decode(tagged, resolve_inconsistencies=True)
+    return _long_doc_id(ents).select(
+        "doc_id",
+        F.col("start_idx").cast("long").alias("start_idx"),
+        F.col("end_idx").cast("long").alias("end_idx"),
+        "mention_str", "tag",
+    )
+
+
+def q_srp_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP ANN: OR-amplified candidates across independent
+    bucket tables — the recall-hardened twin of srp_ann_topk."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    t = similarity.srp_multi_topk(emb, k=3, n_bits=8, n_tables=SRP_TABLES)
+    return t.select(
+        "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_capped_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs with a hot-bucket cap (max_bucket=5):
+    bounded candidate fanout even for boilerplate-heavy buckets."""
+    from renard_spark.functions import dedup
+
+    pairs = dedup.minhash_dedup(
+        _documents(spark, sf_dir), w=3, num_hashes=8, bands=4,
+        threshold=0.2, max_bucket=5,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter", "union_",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded 16-bit keys, hamming ≤ 3."""
+    from renard_spark.functions import dedup
+
+    sim = dedup.simhash(_documents(spark, sf_dir))
+    return dedup.simhash_near_pairs(sim, max_hamming=3, bands=4).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -545,6 +712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
         "embedding_near_dups": q_embedding_near_dups,
+        "bio_entities": q_bio_entities,
+        "srp_multi_topk": q_srp_multi_topk,
+        "capped_near_dups": q_capped_near_dups,
+        "simhash_near_pairs": q_simhash_near_pairs,
     }
 
 
@@ -661,6 +832,44 @@ pairs AS (
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
         """,
         "simhash_groups": _ORACLE_SIMHASH,
+        "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
+        "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
+        "srp_multi_topk": _ORACLE_SRP_MULTI,
+        "capped_near_dups": _MINHASH_CTES + """
+            , ranked AS (
+              SELECT doc_id, band, band_key,
+                     row_number() OVER (PARTITION BY band, band_key
+                                        ORDER BY doc_id) AS r
+              FROM bands
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM ranked a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              WHERE a.r <= 5
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.doc_a
+              JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            fullp AS (
+              SELECT c.doc_a, c.doc_b,
+                     coalesce(i.i, 0)::BIGINT AS inter,
+                     (na.n + nb.n - coalesce(i.i, 0))::BIGINT AS union_
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              JOIN sizes na ON na.doc_id = c.doc_a
+              JOIN sizes nb ON nb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, inter, union_,
+                   round(inter::DOUBLE / greatest(union_, 1), 6) AS jaccard
+            FROM fullp
+            WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
+        """,
         "cosine_topk": _ORACLE_COSINE,
         "srp_ann_topk": _ORACLE_SRP_ANN,
         "bm25_topk": _oracle_bm25(),

@@ -162,7 +162,7 @@ def jaccard_verify(
 def minhash_dedup(
     docs: DataFrame, w: int = 3, num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS, threshold: float = 0.5,
-    text_col: str = "text",
+    text_col: str = "text", max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH bands →
     candidate join → exact-Jaccard verify. The shingle table feeds
@@ -173,7 +173,7 @@ def minhash_dedup(
     session-lifetime persist)."""
     sh = shingles(docs, w, text_col).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes))
+    cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes), max_bucket)
     return jaccard_verify(cands, sh, threshold)
 
 

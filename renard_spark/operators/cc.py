@@ -162,9 +162,10 @@ def connected_components_star(
     )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
-        row = df.agg(
+        # order-independent, overflow-free edge-set fingerprint
+        row = df.select(F.xxhash64("x", "y").alias("h")).agg(
             F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.sum(F.xxhash64("x", "y")), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"),
         ).first()
         return (row["c"], row["h"])
 
