@@ -73,6 +73,83 @@ def samenoun_context(
     )
 
 
+def neighbors_context(
+    sentences_df: DataFrame, k: int = 4
+) -> DataFrame:
+    """Neighbors context retrieval (reference NERNeighborsContextRetriever,
+    ner/retrieval.py:215-240): for each sentence, the k/2 preceding and
+    k/2 following sentences of the same document.
+
+    Replicates the reference's slicing edge case exactly: when
+    element_i < k/2 the left slice ``elements[element_i - k/2 :
+    element_i]`` wraps negative and yields NO left context (not a
+    partial window), so early sentences get right context only.
+
+    sentences_df: any table with (doc_id, sent_idx) — one row per
+    sentence. → (doc_id, sent_idx, ctx_sent_idx, side).
+    """
+    assert k % 2 == 0, "k must be even (k/2 per side)"
+    half = k // 2
+    s = sentences_df.select("doc_id", "sent_idx").distinct()
+    o = s.select(
+        F.col("doc_id").alias("_d"), F.col("sent_idx").alias("ctx_sent_idx")
+    )
+    left = (
+        (F.col("sent_idx") >= half)
+        & (F.col("ctx_sent_idx") >= F.col("sent_idx") - half)
+        & (F.col("ctx_sent_idx") < F.col("sent_idx"))
+    )
+    right = (
+        (F.col("ctx_sent_idx") > F.col("sent_idx"))
+        & (F.col("ctx_sent_idx") <= F.col("sent_idx") + half)
+    )
+    return (
+        s.join(o, (s["doc_id"] == o["_d"]) & (left | right))
+        .select(
+            "doc_id", "sent_idx", "ctx_sent_idx",
+            F.when(F.col("ctx_sent_idx") < F.col("sent_idx"), "left")
+            .otherwise("right")
+            .alias("side"),
+        )
+    )
+
+
+def ensemble_context(matches: list[DataFrame], k: int = 4) -> DataFrame:
+    """Ensemble context retrieval (reference NEREnsembleContextRetriever,
+    ner/retrieval.py:343-375): union the member retrievers' matches,
+    keep top-k per (doc, sentence) by score. Each member DataFrame:
+    (doc_id, sent_idx, ctx_doc_id, ctx_sent_idx[, score]).
+
+    Scoreless matches rank below scored ones in canonical
+    (ctx_doc_id, ctx_sent_idx) order — a deterministic replacement for
+    the reference's ``random.choices`` fallback (:374-375), which is
+    seed-dependent and unreproducible by design.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        if "score" not in df.columns:
+            df = df.withColumn("score", F.lit(None).cast("double"))
+        return df.select(
+            "doc_id", "sent_idx", "ctx_doc_id", "ctx_sent_idx", "score"
+        )
+
+    u = norm(matches[0])
+    for m in matches[1:]:
+        u = u.unionByName(norm(m))
+    # a match found by several retrievers keeps its best score
+    u = u.groupBy("doc_id", "sent_idx", "ctx_doc_id", "ctx_sent_idx").agg(
+        F.max("score").alias("score")
+    )
+    w = Window.partitionBy("doc_id", "sent_idx").orderBy(
+        F.col("score").desc_nulls_last(),
+        F.col("ctx_doc_id").asc(),
+        F.col("ctx_sent_idx").asc(),
+    )
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bm25_index(docs: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
     """Build postings/doclen/df tables from (doc_id, text)."""
     toks = docs.select(

@@ -1,11 +1,21 @@
 """Catalog abstraction: named stage tables.
 
-On a production cluster this is an Iceberg catalog
-(``spark.sql.catalog.<name>`` + ``df.writeTo(...).append()`` with
-partition transforms on bucket(doc_id)); the sandbox has no Iceberg
-jars, so the default implementation is parquet directories with the
-identical API surface. Every stage table is written partitioned and can
-be re-read by name — the checkpoint primitive behind stage resume.
+Two implementations behind one API surface (write/read/exists/drop):
+
+- ``IcebergCatalog`` — the production path (north_star names Iceberg):
+  ``df.writeTo("catalog.db.table")`` with a ``bucket(N, doc_id)``
+  partition transform, so stage tables are co-located by document and
+  downstream doc-keyed joins prune to matching buckets. Selected when
+  the session has a ``spark.sql.catalog.<name>`` configured (the
+  sandbox has no Iceberg jars, so this branch is exercised only on a
+  real cluster; its API parity with the fallback is unit-tested via
+  the shared contract below).
+- ``ParquetCatalog`` — parquet directories with the identical surface;
+  ``bucket(doc_id)`` approximated by repartition on the bucket key.
+
+Every stage table is written under a name and re-read by name — the
+checkpoint primitive behind stage resume (reference ``rerun_from``,
+core.py:737-780).
 """
 
 from __future__ import annotations
@@ -48,7 +58,61 @@ class ParquetCatalog:
             shutil.rmtree(p)
 
 
-def get_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
-    """Future: return an IcebergCatalog when the session has one
-    configured; parquet-dirs otherwise."""
+class IcebergCatalog:
+    """Iceberg-backed stage tables: same contract as ParquetCatalog.
+
+    ``root`` is a namespace path ``catalog.db`` (e.g. ``stage.kg``);
+    table identity is ``catalog.db.name``. Writes use the DataFrameV2
+    API — ``createOrReplace`` for overwrite, ``append`` otherwise —
+    with a ``bucket(num_buckets, bucket_by)`` partition transform when
+    requested, which is the real co-location the parquet fallback only
+    approximates.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.namespace = namespace
+        catalog = namespace.split(".", 1)[0]
+        db = namespace.split(".", 1)[1] if "." in namespace else "default"
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}")
+
+    def path(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.path(name))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite",
+              bucket_by: str | None = None, num_buckets: int = 0) -> None:
+        ident = self.path(name)
+        w = df.writeTo(ident).using("iceberg")
+        if bucket_by and num_buckets:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(F.bucket(num_buckets, bucket_by))
+        if mode == "overwrite" or not self.exists(name):
+            w.createOrReplace()
+        else:
+            df.writeTo(ident).append()
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.table(self.path(name))
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+
+
+def get_catalog(
+    spark: SparkSession, root: str
+) -> ParquetCatalog | IcebergCatalog:
+    """Dispatch on the session config: a ``root`` of the form
+    ``catalog.db`` whose catalog has a ``spark.sql.catalog.<catalog>``
+    implementation configured gets the Iceberg catalog; filesystem
+    paths (or unconfigured names) fall back to parquet directories with
+    the identical API."""
+    if "/" not in root and not root.startswith("."):
+        cat = root.split(".", 1)[0]
+        impl = spark.conf.get(f"spark.sql.catalog.{cat}", None)
+        if impl:
+            return IcebergCatalog(spark, root)
     return ParquetCatalog(spark, root)

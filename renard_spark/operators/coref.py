@@ -25,6 +25,178 @@ from pyspark.sql import functions as F
 
 from renard_spark.resources.gazetteers import FEMALE_PRONOUNS, MALE_PRONOUNS
 
+# A coref *scorer* is the injectable model seam (the reference's tibert
+# predict call, corefs/corefs.py:97-132): given a batch of token blocks
+# it returns, per block, a list of chains, each chain a list of
+# (start, end) token spans RELATIVE to the block (end exclusive).
+# Everything around the scorer — 512-token block split, per-block
+# prediction, cross-block chain concatenation or merging, canonical
+# chain ids — is pure logic below, unit-testable without torch.
+
+Span = tuple[int, int]
+Chain = list[Span]
+
+
+def split_blocks(tokens: list[str], block_size: int) -> list[tuple[int, list[str]]]:
+    """Fixed-size token blocks [(block_start, block_tokens), ...] —
+    the reference's list-comprehension split (corefs/corefs.py:101-104)."""
+    return [
+        (s, tokens[s : s + block_size])
+        for s in range(0, max(len(tokens), 1), block_size)
+    ]
+
+
+def concat_block_chains(
+    block_chains: list[list[Chain]], block_starts: list[int]
+) -> list[Chain]:
+    """Cross-block chain CONCATENATION — the semantics of tibert's
+    ``CoreferenceDocument.concatenated`` used by the reference's
+    non-hierarchical path (corefs/corefs.py:118-132): each block's
+    chains are offset by the block start and the chain lists are
+    concatenated; chains never merge across blocks."""
+    out: list[Chain] = []
+    for chains, off in zip(block_chains, block_starts):
+        for chain in chains:
+            out.append([(s + off, e + off) for s, e in chain])
+    return out
+
+
+def merge_chains_by_surface(
+    chains: list[Chain], tokens: list[str]
+) -> list[Chain]:
+    """Deterministic stand-in for the reference's model-driven
+    hierarchical merging (corefs/corefs.py:106-116, tibert
+    ``hierarchical_merging=True``): chains from different blocks merge
+    when they share an identical mention surface form. Union-find over
+    chains keyed by surface; mentions deduped and re-sorted."""
+    parent = list(range(len(chains)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_surface: dict[str, int] = {}
+    for i, chain in enumerate(chains):
+        for s, e in chain:
+            surf = " ".join(tokens[s:e])
+            if surf in by_surface:
+                ra, rb = find(i), find(by_surface[surf])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            else:
+                by_surface[surf] = i
+    groups: dict[int, set[Span]] = {}
+    for i, chain in enumerate(chains):
+        groups.setdefault(find(i), set()).update(chain)
+    return [sorted(g) for _, g in sorted(groups.items())]
+
+
+def resolve_doc_corefs(
+    tokens: list[str],
+    scorer,
+    block_size: int = 512,
+    hierarchical_merging: bool = False,
+) -> list[Chain]:
+    """One document through the reference's block loop: split → score
+    per block (scorer handles its own batching) → concatenate or
+    merge. Chains are returned sorted by (first span, ...) — the
+    canonical order chain ids are assigned in."""
+    blocks = split_blocks(tokens, block_size)
+    starts = [s for s, _ in blocks]
+    per_block = scorer([b for _, b in blocks])
+    chains = concat_block_chains(per_block, starts)
+    if hierarchical_merging:
+        chains = merge_chains_by_surface(chains, tokens)
+    return sorted([sorted(c) for c in chains if c])
+
+
+def make_rule_scorer(
+    surfaces: set[str], max_dist: int = 30, lang: str = "eng"
+):
+    """The rule resolver as ONE scorer instance: single-token gazetteer
+    mentions form a chain per surface; each pronoun within ``max_dist``
+    tokens after the nearest preceding mention joins that mention's
+    chain. Same semantics as the DataFrame-native ``rule_corefs``
+    (property-tested equal when chains don't straddle blocks)."""
+    pronouns = {p.lower() for p in MALE_PRONOUNS[lang] | FEMALE_PRONOUNS[lang]}
+
+    def scorer(blocks: list[list[str]]) -> list[list[Chain]]:
+        out = []
+        for toks in blocks:
+            chains: dict[str, Chain] = {}
+            last: tuple[str, int] | None = None  # (surface, end)
+            for i, t in enumerate(toks):
+                if t in surfaces:
+                    chains.setdefault(t, []).append((i, i + 1))
+                    last = (t, i + 1)
+                elif (
+                    t.lower() in pronouns
+                    and last is not None
+                    and i - last[1] <= max_dist
+                ):
+                    chains[last[0]].append((i, i + 1))
+            out.append([chains[k] for k in sorted(chains)])
+        return out
+
+    return scorer
+
+
+_SCORER_CACHE: dict[str, object] = {}
+
+
+def model_corefs(
+    doc_tokens_df: DataFrame,
+    scorer_factory,
+    block_size: int = 512,
+    hierarchical_merging: bool = False,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Model-backed coreference over (doc_id, tokens array<string>) —
+    the reference's BertCoreferenceResolver loop (corefs/corefs.py:
+    97-132) as an Arrow-batched operator: per doc, 512-token block
+    split, scorer prediction per block, chain concatenation (or the
+    hierarchical merge), canonical chain ids.
+
+    → corefs(doc_id, chain_id, start_idx, end_idx, mention_str), the
+    same schema as ``rule_corefs``. ``scorer_factory`` is a zero-arg
+    callable returning the scorer; ``cache_key`` memoizes it per
+    executor worker (model singleton).
+    """
+    import pandas as pd
+
+    def run(batches):
+        scorer = _SCORER_CACHE.get(cache_key) if cache_key else None
+        if scorer is None:
+            scorer = scorer_factory()
+            if cache_key:
+                _SCORER_CACHE[cache_key] = scorer
+        for pdf in batches:
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                toks = list(toks)
+                chains = resolve_doc_corefs(
+                    toks, scorer, block_size, hierarchical_merging
+                )
+                for cid, chain in enumerate(chains):
+                    for s, e in chain:
+                        rows.append(
+                            (doc_id, cid, s, e, " ".join(toks[s:e]))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chain_id", "start_idx", "end_idx", "mention_str",
+                ],
+            )
+
+    return doc_tokens_df.select("doc_id", "tokens").mapInPandas(
+        run,
+        schema="doc_id string, chain_id int, start_idx int, end_idx int,"
+        " mention_str string",
+    )
+
 
 def rule_corefs(
     tokens_df: DataFrame,

@@ -5,8 +5,9 @@ The reference scores each sentence with NLTK VADER's compound metric
 deterministic valence-lexicon scorer with the same output shape and the
 VADER-style normalization compound = s/√(s²+α): a broadcast join from
 tokens to the lexicon, one groupBy per sentence — no Python UDF at all.
-The lexicon is a compact from-scratch word list; a full VADER lexicon
-can be dropped in as a parquet dim table without code changes.
+The lexicon = a core narrative word list below + the ~380-entry
+extended compilation in resources/valence.py (same [-4,4] VADER scale);
+the full VADER list remains drop-in replaceable as a parquet dim table.
 """
 
 from __future__ import annotations
@@ -16,10 +17,13 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from renard_spark.resources.valence import EXTENDED_VALENCE
+
 ALPHA = 15.0  # VADER's normalization constant
 
-# compact valence lexicon (from-scratch; extend freely)
-LEXICON: dict[str, float] = {
+# core narrative valences (kept verbatim for fixture stability;
+# these override the extended list on key collisions)
+_CORE: dict[str, float] = {
     "delightful": 2.9, "charming": 2.2, "wonderful": 2.7, "agreeable": 1.8,
     "happy": 2.1, "happiness": 2.4, "glad": 1.7, "love": 3.2, "loved": 2.9,
     "smile": 1.4, "smiled": 1.4, "pleased": 1.9, "pleasure": 2.0,
@@ -29,6 +33,8 @@ LEXICON: dict[str, float] = {
     "displeased": -1.8, "angry": -2.3, "terrible": -2.8, "awful": -2.6,
     "bad": -1.9, "cruel": -2.6, "disagreeable": -1.7, "wretched": -2.4,
 }
+
+LEXICON: dict[str, float] = {**EXTENDED_VALENCE, **_CORE}
 
 
 def lexicon_df(spark) -> DataFrame:
