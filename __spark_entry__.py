@@ -382,6 +382,17 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the default parallelism before
+    per-row-heavy work (shingling, 64-bit-vote hashing): the test
+    corpora are single parquet files, so without this the heaviest map
+    stage runs as ONE task. At production scale the scan is already
+    many splits and this repartition is a cheap no-op-sized shuffle of
+    raw text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ingest.normalize_documents(_documents(spark, sf_dir))
     toks = tokenize.tokens(docs)
@@ -519,7 +530,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import dedup
 
-    sh = dedup.shingles(_documents(spark, sf_dir), w=3)
+    sh = dedup.shingles(_spread(_documents(spark, sf_dir)), w=3)
     return dedup.lsh_band_keys(dedup.minhash_signatures(sh, 8), 4, 8)
 
 
@@ -538,7 +549,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import dedup
 
-    g = dedup.simhash_dup_groups(dedup.simhash(_documents(spark, sf_dir)))
+    g = dedup.simhash_dup_groups(dedup.simhash(_spread(_documents(spark, sf_dir))))
     return g.select(
         "doc_id",
         F.lower(F.lpad(F.hex("simhash"), 16, "0")).alias("simhash_hex"),
@@ -589,6 +600,20 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),
         "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (the streaming-capable
+    twin of user_sessions; identical membership incl. the exact-gap
+    boundary — see functions/events.session_window_aggregates)."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = fevents.session_window_aggregates(ev, 30)
+    return s.select(
+        "user_id", "session_start", "session_end",
         F.col("n_events").cast("long").alias("n_events"),
     )
 
@@ -666,7 +691,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded 16-bit keys, hamming ≤ 3."""
     from renard_spark.functions import dedup
 
-    sim = dedup.simhash(_documents(spark, sf_dir))
+    sim = dedup.simhash(_spread(_documents(spark, sf_dir)))
     return dedup.simhash_near_pairs(sim, max_hamming=3, bands=4).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -712,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
         "embedding_near_dups": q_embedding_near_dups,
+        "session_windows": q_session_windows,
         "bio_entities": q_bio_entities,
         "srp_multi_topk": q_srp_multi_topk,
         "capped_near_dups": q_capped_near_dups,
@@ -893,6 +919,22 @@ pairs AS (
             )
             SELECT user_id, session_id::BIGINT AS session_id,
                    min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM sess GROUP BY user_id, session_id
         """,

@@ -170,8 +170,14 @@ def minhash_dedup(
     localCheckpoint-ed — one materialization shared by all branches,
     and the blocks are released with the DataFrame (nothing stays
     pinned in executor storage across unrelated queries, unlike a
-    session-lifetime persist)."""
-    sh = shingles(docs, w, text_col).localCheckpoint(eager=True)
+    session-lifetime persist). Documents are spread across the default
+    parallelism first: a single-file corpus scan would otherwise
+    shingle on ONE task and the checkpoint would serialize the heaviest
+    step of the whole job."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(docs.repartition(par), w, text_col).localCheckpoint(
+        eager=True
+    )
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidates(lsh_band_keys(sigs, bands, num_hashes), max_bucket)
     return jaccard_verify(cands, sh, threshold)

@@ -34,6 +34,34 @@ def windowed_event_aggregates(
     )
 
 
+def session_window_aggregates(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` — the
+    streaming-capable twin of ``sessionize``: the identical expression
+    runs under Structured Streaming (after withWatermark), where the
+    state store merges windows incrementally. Session membership is
+    identical to the gaps-and-islands path INCLUDING the boundary: an
+    event exactly ``gap`` after its predecessor merges (adjacent
+    session windows coalesce), matching ``sessionize``'s strict
+    ``> gap`` split — asserted by an exact-gap fixture test.
+
+    → (user_id, session_start, session_end, n_events) where
+    session_end = max event ts (not the window's +gap horizon)."""
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window(ts_col, f"{gap_minutes} minutes").alias("sw"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
 ) -> DataFrame:

@@ -57,6 +57,150 @@ def detect_quotes(
     )
 
 
+# --------------------------------------------------------------------
+# Model-shape speaker attribution (reference BertSpeakerDetector,
+# speaker_attribution.py:21-136): per quote, a QUOTE_CTX_LEN-token
+# context window, candidate speakers = characters mentioned inside it,
+# each candidate represented by its SPEAKER_REPR_NB mentions closest to
+# the quote; an injected scorer rates (quote, candidate) pairs and the
+# argmax wins IF its score clears 0.5 (:119-124), else NULL. The neural
+# scorer itself lives in the external grimbert package — here it is the
+# injectable seam, so candidate construction is pure, tested logic.
+# --------------------------------------------------------------------
+
+QUOTE_CTX_LEN = 512  # reference speaker_attribution.py:24
+SPEAKER_REPR_NB = 4  # reference speaker_attribution.py:25
+
+
+def build_speaker_examples(
+    n_tokens: int,
+    quotes: list[tuple[int, int, int]],
+    mentions: list[tuple[str, int, int]],
+    ctx_len: int = QUOTE_CTX_LEN,
+    repr_nb: int = SPEAKER_REPR_NB,
+) -> list[tuple[int, str, list[tuple[int, int]]]]:
+    """Candidate-speaker example construction.
+
+    quotes: (quote_id, start, end); mentions: (char_id, start, end).
+    The context window is ``ctx_len`` tokens centered on the quote,
+    shifted (not shrunk) at document edges. Candidates are characters
+    with ≥1 mention fully inside the window; each keeps its ``repr_nb``
+    mentions nearest to the quote start (canonical distance/position
+    tie-break). → [(quote_id, char_id, [(ms, me), ...])], sorted.
+    """
+    out = []
+    for qid, qs, qe in sorted(quotes):
+        center = (qs + qe) // 2
+        lo = max(0, center - ctx_len // 2)
+        hi = min(n_tokens, lo + ctx_len)
+        lo = max(0, hi - ctx_len)
+        cands: dict[str, list[tuple[int, int]]] = {}
+        for cid, ms, me in mentions:
+            if ms >= lo and me <= hi:
+                cands.setdefault(cid, []).append((ms, me))
+        for cid in sorted(cands):
+            reps = sorted(
+                cands[cid], key=lambda m: (abs(m[0] - qs), m)
+            )[:repr_nb]
+            out.append((qid, cid, sorted(reps)))
+    return out
+
+
+def model_speakers(
+    doc_tokens_df: DataFrame,
+    quotes_df: DataFrame,
+    unified_mentions: DataFrame,
+    scorer_factory,
+    ctx_len: int = QUOTE_CTX_LEN,
+    repr_nb: int = SPEAKER_REPR_NB,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Model-backed speaker attribution, same output schema as
+    ``attribute_speakers``: (doc_id, quote_id, start, end,
+    speaker_char_id nullable, speaker_score).
+
+    ``scorer_factory`` → scorer(batch) where each batch item is
+    (tokens, (quote_start, quote_end), char_id, rep_spans) and the
+    return is one float score per item; the per-quote argmax
+    (score desc, char_id asc) is kept only when score > 0.5."""
+    qa = quotes_df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("quote_id", "start", "end")).alias("_qs")
+    )
+    ma = unified_mentions.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("char_id", "start_idx", "end_idx")
+        ).alias("_ms")
+    )
+    assembled = (
+        doc_tokens_df.select("doc_id", "tokens")
+        .join(qa, "doc_id")
+        .join(ma, "doc_id", "left")
+    )
+
+    from renard_spark.operators.ner import _PREDICT_CACHE
+
+    def run(batches):
+        scorer = _PREDICT_CACHE.get(cache_key) if cache_key else None
+        if scorer is None:
+            scorer = scorer_factory()
+            if cache_key:
+                _PREDICT_CACHE[cache_key] = scorer
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens, qs, ms in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["_qs"], pdf["_ms"]
+            ):
+                tokens = list(tokens)
+                quotes = [
+                    (int(q["quote_id"]), int(q["start"]), int(q["end"]))
+                    for q in qs
+                ]
+                mentions = [
+                    (m["char_id"], int(m["start_idx"]), int(m["end_idx"]))
+                    for m in (ms if ms is not None else [])
+                ]
+                examples = build_speaker_examples(
+                    len(tokens), quotes, mentions, ctx_len, repr_nb
+                )
+                bounds = {qid: (s, e) for qid, s, e in quotes}
+                scores = scorer(
+                    [
+                        (tokens, bounds[qid], cid, reps)
+                        for qid, cid, reps in examples
+                    ]
+                )
+                best: dict[int, tuple[float, str]] = {}
+                for (qid, cid, _), sc in zip(examples, scores):
+                    cur = best.get(qid)
+                    # argmax: score desc, char_id asc on ties
+                    if cur is None or (-sc, cid) < (-cur[0], cur[1]):
+                        best[qid] = (float(sc), cid)
+                for qid, s, e in quotes:
+                    sc_cid = best.get(qid)
+                    if sc_cid is not None and sc_cid[0] > 0.5:
+                        rows.append((doc_id, qid, s, e, sc_cid[1], sc_cid[0]))
+                    else:
+                        rows.append(
+                            (doc_id, qid, s, e, None,
+                             sc_cid[0] if sc_cid else None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "quote_id", "start", "end",
+                    "speaker_char_id", "speaker_score",
+                ],
+            )
+
+    return assembled.mapInPandas(
+        run,
+        schema="doc_id string, quote_id int, start int, end int,"
+        " speaker_char_id string, speaker_score double",
+    )
+
+
 def attribute_speakers(
     quotes_df: DataFrame,
     unified_mentions: DataFrame,

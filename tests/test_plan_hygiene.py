@@ -40,6 +40,20 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     assert m and "spans" not in m.group(1), m
 
 
+def test_new_queries_stay_jvm_side(spark):
+    """Round-2 driver queries: no Python at all in the plan (pure
+    window/higher-order/band-join work) and no nested-loop joins."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("bio_entities", "srp_multi_topk", "capped_near_dups",
+                  "simhash_near_pairs"):
+        plan = _plan(e.queries()[name](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_no_row_udfs_in_full_pipeline(spark):
     docs = corpus.generate_documents(spark, 5)
     out = pipeline.character_graph_pipeline(docs, persist=False)

@@ -1,0 +1,149 @@
+"""Streaming twins of the event/dedup operators: the batch result is
+the oracle for every streaming job (stream==batch equality through a
+file source with availableNow)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from renard_spark.functions import events as fevents
+from renard_spark.streaming.events import (
+    stream_exact_dedup,
+    stream_sessions,
+    stream_windowed_aggregates,
+)
+
+EVENTS_SCHEMA = (
+    "user_id string, event_type string, ts timestamp, value double"
+)
+
+
+def _events_fixture(spark):
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    rows = []
+    for u in range(6):
+        t = base + dt.timedelta(minutes=7 * u)
+        for i in range(15):
+            # gaps of 11 (in-session) or 47 (session break) minutes
+            t = t + dt.timedelta(minutes=47 if i % 5 == 4 else 11)
+            rows.append((f"u{u}", f"e{i % 3}", t, float(i)))
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_session_window_matches_gaps_and_islands(spark):
+    ev = _events_fixture(spark)
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in fevents.session_window_aggregates(ev, 30).collect()
+    }
+    gai = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in fevents.sessionize(ev, 30).drop("session_id").collect()
+    }
+    assert native == gai
+
+
+def test_session_window_boundary_agreement(spark):
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [("u", "e", base, 0.0),
+         ("u", "e", base + dt.timedelta(minutes=30), 1.0),
+         ("u", "e", base + dt.timedelta(minutes=61), 2.0)],
+        EVENTS_SCHEMA,
+    )
+    # exactly-gap pair MERGES on both paths (adjacent session windows
+    # coalesce; gaps-and-islands splits strictly on > gap); the
+    # 31-minute gap splits on both
+    assert fevents.session_window_aggregates(ev, 30).count() == 2
+    assert fevents.sessionize(ev, 30).count() == 2
+
+
+def _run_stream(spark, inp, ck, out_name, build):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(inp)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(out_name)
+
+
+def test_stream_windows_match_batch(spark, tmp_path):
+    ev = _events_fixture(spark)
+    inp = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(inp)
+
+    # append-mode windows only emit when the watermark passes them: add
+    # a far-future flush row (dropped from comparison) to close all
+    flush = spark.createDataFrame(
+        [("flush", "flush", dt.datetime(2027, 1, 1), 0.0)], EVENTS_SCHEMA
+    )
+    flush.write.mode("append").parquet(inp)
+
+    got = _run_stream(
+        spark, inp, str(tmp_path / "ck1"), "win_out",
+        lambda s: stream_windowed_aggregates(s, "1 hour", "0 seconds"),
+    ).filter("event_type <> 'flush'")
+    want = fevents.windowed_event_aggregates(ev, "1 hour")
+    key = lambda r: (r.window_start, r.event_type, r.n, round(r.total_value, 6))
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    ev = _events_fixture(spark)
+    inp = str(tmp_path / "ev2")
+    ev.coalesce(2).write.parquet(inp)
+    flush = spark.createDataFrame(
+        [("flush", "flush", dt.datetime(2027, 1, 1), 0.0)], EVENTS_SCHEMA
+    )
+    flush.write.mode("append").parquet(inp)
+
+    got = _run_stream(
+        spark, inp, str(tmp_path / "ck2"), "sess_out",
+        lambda s: stream_sessions(s, 30, "0 seconds"),
+    ).filter("user_id <> 'flush'")
+    want = fevents.session_window_aggregates(ev, 30)
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [("1", "alpha beta"), ("2", "alpha beta"), ("3", "unique one")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(inp)
+    # second file arrives as a later micro-batch with a cross-batch dup
+    spark.createDataFrame(
+        [("4", "alpha beta"), ("5", "another text")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.fp) for r in spark.table("dedup_out").collect()}
+    doc_ids = {d for d, _ in got}
+    # one doc per distinct text; within-batch dup '2' and cross-batch
+    # dup '4' both dropped
+    assert doc_ids == {"1", "3", "5"}
+    assert len(got) == 3
