@@ -114,6 +114,89 @@ def neighbors_context(
     )
 
 
+def neural_rerank_context(
+    matches: DataFrame,
+    sent_tokens_df: DataFrame,
+    scorer_factory,
+    k: int = 3,
+    threshold: float = 0.0,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Neural context reranking (reference NERNeuralContextRetriever,
+    ner/retrieval.py:212-341): heuristic matches are rescored by a
+    classifier over (context ++ [SEP] ++ element) pairs; keep the top-k
+    per element with score > threshold (:334-341).
+
+    The classifier is the injected seam: ``scorer_factory`` → scorer(
+    batch of (element_toks, ctx_toks, side)) → one P(relevant) float
+    per pair (the reference's softmax class-1 score, :289-296).
+
+    matches: (doc_id, sent_idx, ctx_doc_id, ctx_sent_idx[, side]);
+    sent_tokens_df: (doc_id, sent_idx, toks). side is derived
+    canonically ((doc, sent) order) when absent.
+    → matches + (score, rank), rank ≤ k, score > threshold.
+    """
+    m = matches.select("doc_id", "sent_idx", "ctx_doc_id", "ctx_sent_idx")
+    el = sent_tokens_df.select(
+        F.col("doc_id"), F.col("sent_idx"), F.col("toks").alias("_el_toks")
+    )
+    cx = sent_tokens_df.select(
+        F.col("doc_id").alias("ctx_doc_id"),
+        F.col("sent_idx").alias("ctx_sent_idx"),
+        F.col("toks").alias("_ctx_toks"),
+    )
+    j = (
+        m.join(el, ["doc_id", "sent_idx"])
+        .join(cx, ["ctx_doc_id", "ctx_sent_idx"])
+        .withColumn(
+            "side",
+            F.when(
+                F.struct("ctx_doc_id", "ctx_sent_idx")
+                < F.struct("doc_id", "sent_idx"),
+                "left",
+            ).otherwise("right"),
+        )
+    )
+
+    from renard_spark.operators.ner import _PREDICT_CACHE
+
+    def run(batches):
+        scorer = _PREDICT_CACHE.get(cache_key) if cache_key else None
+        if scorer is None:
+            scorer = scorer_factory()
+            if cache_key:
+                _PREDICT_CACHE[cache_key] = scorer
+        import pandas as pd
+
+        for pdf in batches:
+            batch = [
+                (list(e), list(c), s)
+                for e, c, s in zip(
+                    pdf["_el_toks"], pdf["_ctx_toks"], pdf["side"]
+                )
+            ]
+            scores = scorer(batch) if batch else []
+            out = pdf[
+                ["doc_id", "sent_idx", "ctx_doc_id", "ctx_sent_idx", "side"]
+            ].copy()
+            out["score"] = [float(s) for s in scores]
+            yield out
+
+    scored = j.mapInPandas(
+        run,
+        schema="doc_id string, sent_idx int, ctx_doc_id string,"
+        " ctx_sent_idx int, side string, score double",
+    )
+    w = Window.partitionBy("doc_id", "sent_idx").orderBy(
+        F.col("score").desc(), F.col("ctx_doc_id").asc(),
+        F.col("ctx_sent_idx").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("score") > threshold))
+    )
+
+
 def ensemble_context(matches: list[DataFrame], k: int = 4) -> DataFrame:
     """Ensemble context retrieval (reference NEREnsembleContextRetriever,
     ner/retrieval.py:343-375): union the member retrievers' matches,

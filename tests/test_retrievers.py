@@ -4,7 +4,11 @@ the reference's retrieve() loops (test oracle only)."""
 
 from __future__ import annotations
 
-from renard_spark.functions.retrieval import ensemble_context, neighbors_context
+from renard_spark.functions.retrieval import (
+    ensemble_context,
+    neighbors_context,
+    neural_rerank_context,
+)
 
 
 def reference_neighbors(element_i: int, n_elements: int, k: int):
@@ -80,3 +84,37 @@ def test_ensemble_union_topk(spark):
 
     out2 = ensemble_context([unscored], k=2).collect()
     assert sorted((r.rank, r.ctx_sent_idx) for r in out2) == [(1, 1), (2, 3)]
+
+
+def test_neural_rerank_topk_threshold_and_sides(spark):
+    sents = spark.createDataFrame(
+        [("d", i, [f"w{i}", "tok"]) for i in range(6)],
+        "doc_id string, sent_idx int, toks array<string>",
+    )
+    matches = spark.createDataFrame(
+        [("d", 3, "d", c) for c in (0, 1, 4, 5)],
+        "doc_id string, sent_idx int, ctx_doc_id string, ctx_sent_idx int",
+    )
+
+    def scorer_factory():
+        # deterministic: score by the ctx sentence's leading token
+        # number — ctx 5 best, then 4, 1, 0; verify side plumbed through
+        def scorer(batch):
+            out = []
+            for el, ctx, side in batch:
+                assert el[0] == "w3"
+                n = int(ctx[0][1:])
+                assert side == ("left" if n < 3 else "right")
+                out.append(n / 10.0)
+            return out
+        return scorer
+
+    got = neural_rerank_context(
+        matches, sents, scorer_factory, k=3, threshold=0.05
+    ).collect()
+    ranked = sorted((r.rank, r.ctx_sent_idx, r.score, r.side) for r in got)
+    # top-3 by score, then the 0.0-scored ctx 0 is cut by threshold
+    # anyway; ctx 1 (0.1) survives the threshold and takes rank 3
+    assert ranked == [
+        (1, 5, 0.5, "right"), (2, 4, 0.4, "right"), (3, 1, 0.1, "left"),
+    ]
