@@ -35,6 +35,7 @@ CAST_TOKENS = [
 COOCCUR_DIST = 3
 DYN_WINDOW, DYN_OVERLAP = 20, 10
 SRP_TABLES = 2
+IVF_CENTROIDS, IVF_NPROBE = 16, 2
 
 _SQL_TOKEN_RE = TOKEN_RE.replace("'", "''")
 _CAST_SQL = ", ".join(f"'{t}'" for t in CAST_TOKENS)
@@ -297,6 +298,60 @@ WITH b AS (
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM p
+)
+SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+_ORACLE_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS centroid_id
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+), cn AS (
+  SELECT centroid_id, cvec,
+         sqrt(list_sum(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE)))
+           AS cnrm
+  FROM cents
+), scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (v.nrm * c.cnrm)
+           AS cos_c
+  FROM n v CROSS JOIN cn c
+), probes AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, centroid_id ASC)
+           AS probe_rank
+  FROM scored
+), assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM probes WHERE probe_rank = 1
+), cand AS (
+  SELECT DISTINCT p.vec_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE p.probe_rank <= {IVF_NPROBE} AND p.vec_id <> a.neighbor_id
+), pairs AS (
+  SELECT c.vec_id, c.neighbor_id,
+         list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (na.nrm * nb.nrm)
+           AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_id
+  JOIN n nb ON nb.vec_id = c.neighbor_id
+), r AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
 )
 SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
 FROM r WHERE rank <= 3
@@ -672,6 +727,20 @@ def q_srp_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic md5-sampled codebook, nprobe cells per
+    query, exact cosine re-rank within cells."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    t = similarity.ivf_topk(
+        emb, k=3, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+    return t.select(
+        "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_capped_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs with a hot-bucket cap (max_bucket=5):
     bounded candidate fanout even for boilerplate-heavy buckets."""
@@ -740,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "bio_entities": q_bio_entities,
         "srp_multi_topk": q_srp_multi_topk,
+        "ivf_topk": q_ivf_topk,
         "capped_near_dups": q_capped_near_dups,
         "simhash_near_pairs": q_simhash_near_pairs,
     }
@@ -861,6 +931,7 @@ pairs AS (
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
         "srp_multi_topk": _ORACLE_SRP_MULTI,
+        "ivf_topk": _ORACLE_IVF,
         "capped_near_dups": _MINHASH_CTES + """
             , ranked AS (
               SELECT doc_id, band, band_key,

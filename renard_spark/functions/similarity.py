@@ -76,6 +76,114 @@ def cosine_topk(
     )
 
 
+# ------------------------------------------------------------------ IVF
+# Inverted-file ANN: a coarse quantizer partitions vectors into
+# n_centroids cells; queries probe their nprobe nearest cells and
+# re-rank exactly within them. Centroid selection is DETERMINISTIC —
+# the vectors with the smallest md5(vec_id) — rather than k-means:
+# reproducible across engines (the DuckDB oracle replicates the index
+# bit-for-bit) and, like k-means, a data-sampled codebook. A trained
+# k-means codebook can replace ivf_centroids behind the same schema.
+
+
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(centroid_id, cvec): the n_centroids vectors with the smallest
+    md5(vec_id) (TakeOrdered — no full sort), ranked in that order."""
+    cents = (
+        emb.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("_h", "_cid")  # tiny: n_centroids rows
+    return (
+        cents.withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", "cvec")
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, centroids: DataFrame, nprobe: int = 1,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, centroid_id, probe_rank) — each vector's ``nprobe``
+    nearest centroids by cosine (probe_rank 1 = assignment cell).
+    Broadcast cross join against the tiny codebook, then a window
+    argmin — one narrow pass over the vectors."""
+    c = centroids.withColumn("_cn", _norm(F.col("cvec")))
+    e = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "centroid_id",
+        (_dot(F.col("v"), F.col("cvec")) / (F.col("n") * F.col("_cn"))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("vec_id", "centroid_id", "probe_rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``nprobe`` nearest
+    cells, candidates are the vectors ASSIGNED (probe_rank 1) to those
+    cells, exact cosine re-ranks. All joins are equi on centroid_id —
+    per-query candidate count ≈ nprobe·N/n_centroids, never the
+    quadratic brute-force pass. → (vec_id, neighbor_id, cosine, rank).
+    """
+    cents = ivf_centroids(emb, n_centroids, vec_col, id_col)
+    probes = ivf_assignments(emb, cents, nprobe, vec_col, id_col)
+    assign = probes.filter(F.col("probe_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("_ac"),
+    )
+    cand = (
+        probes.select("vec_id", "centroid_id")
+        .join(assign, F.col("centroid_id") == F.col("_ac"))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    e = with_norm(emb, vec_col)
+    ea = e.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    eb = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    scored = cand.join(ea, "vec_id").join(eb, "neighbor_id").select(
+        "vec_id", "neighbor_id",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_plane_sign(j, d):
     """Deterministic ±1 plane entry: low bit of md5('{j}:{d}')."""
     digit = F.conv(

@@ -165,6 +165,34 @@ def test_srp_multi_topk_bucket_cap_bounds_fanout(spark):
         assert len(nbrs) <= 5
 
 
+def test_ivf_topk_exact_scores_and_cell_structure(spark):
+    rng = random.Random(19)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(8)] for i in range(60)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id int, embedding array<float>"
+    )
+    cents = similarity.ivf_centroids(emb, 8)
+    assert cents.count() == 8
+    assign = similarity.ivf_assignments(emb, cents, nprobe=1)
+    # every vector lands in exactly one cell
+    assert assign.count() == 60
+    assert assign.select("vec_id").distinct().count() == 60
+
+    top = similarity.ivf_topk(emb, k=3, n_centroids=8, nprobe=2)
+    spark_vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    truth = _brute_cosine(spark_vecs)
+    rows = top.collect()
+    assert rows, "IVF produced no candidates"
+    for r in rows:
+        assert abs(truth[(r.vec_id, r.neighbor_id)] - r.cosine) < 1e-6
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.rank)
+    for v, ranks in by_vec.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
 def test_lsh_candidates_bucket_cap(spark):
     bk = spark.createDataFrame(
         [(f"d{i}", 0, "samekey") for i in range(10)],
