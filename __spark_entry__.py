@@ -674,11 +674,15 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (SRP candidates + threshold)."""
+    """Embedding-cosine near-dup pairs: multi-table SRP candidates
+    (OR-amplified recall — single-table SRP at 8 bits misses ~70% of
+    cosine-0.9 pairs) + exact-cosine threshold."""
     from renard_spark.functions import dedup
 
     emb = _embeddings(spark, sf_dir)
-    pairs = dedup.embedding_near_dups(emb, threshold=0.4, n_bits=8)
+    pairs = dedup.embedding_near_dups(
+        emb, threshold=0.4, n_bits=8, n_tables=SRP_TABLES
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
@@ -1009,27 +1013,36 @@ pairs AS (
                    count(*)::BIGINT AS n_events
             FROM sess GROUP BY user_id, session_id
         """,
-        "embedding_near_dups": """
+        "embedding_near_dups": f"""
 WITH b AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id, t.t AS table_id,
     (SELECT string_agg(CASE WHEN
         list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
           x -> x[1]::DOUBLE *
-               ((('0x' || substr(md5(j.j::VARCHAR || ':' || x[2]::VARCHAR), 1, 1))::INT
+               ((('0x' || substr(md5('t:' || t.t::VARCHAR || ':' || j.j::VARCHAR
+                                  || ':' || x[2]::VARCHAR), 1, 1))::INT
                  % 2) * 2 - 1))) > 0
         THEN '1' ELSE '0' END, '' ORDER BY j.j)
      FROM range(0, 8) j(j)) AS bucket
-  FROM embeddings
+  FROM embeddings, range(0, {SRP_TABLES}) t(t)
 ), n AS (
-  SELECT vec_id, embedding, bucket,
+  SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
            AS nrm
-  FROM b
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2
+    ON a.table_id = b2.table_id AND a.bucket = b2.bucket
+   AND a.vec_id < b2.vec_id
 ), p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm) AS cosine
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (na.nrm * nb.nrm)
+           AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.id_a
+  JOIN n nb ON nb.vec_id = c.id_b
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
         """,
