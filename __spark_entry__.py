@@ -102,6 +102,45 @@ SELECT doc_id, round(score, 6) AS en_score,
 FROM s
 """
 
+def _oracle_langid_multi() -> str:
+    from renard_spark.functions.text import STOPWORDS_BY_LANG
+
+    langs = sorted(STOPWORDS_BY_LANG)
+    ratio = {
+        lang: (
+            "len(list_filter(list_transform(tk, x -> lower(x)), "
+            f"x -> list_contains([{', '.join(repr(w) for w in STOPWORDS_BY_LANG[lang])}], x)))::DOUBLE"
+            " / greatest(len(tk), 1)"
+        )
+        for lang in langs
+    }
+    score_cols = ",\n    ".join(
+        f"{ratio[lang]} AS {lang}_score" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"{lang}_score" for lang in langs) + ")"
+    whens = "\n       ".join(
+        f"WHEN {lang}_score = {best} THEN '{lang}'" for lang in langs
+    )
+    rounded = ", ".join(
+        f"round({lang}_score, 6) AS {lang}_score" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, {rounded},
+  CASE WHEN {best} < 0.08 THEN 'unknown'
+       {whens}
+       END AS lang_pred
+FROM s
+"""
+
+
 _MINHASH_CTES = f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
@@ -576,6 +615,12 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from renard_spark.functions import text as ftext
+
+    return ftext.language_id_multi(_documents(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
@@ -800,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_edges": q_cumulative_edges,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
+        "language_id_multi": q_language_id_multi,
         "fingerprints": q_fingerprints,
         "minhash_bands": q_minhash_bands,
         "near_dup_pairs": q_near_dup_pairs,
@@ -894,6 +940,7 @@ pairs AS (
         """,
         "quality_scores": _ORACLE_QUALITY,
         "language_id": _ORACLE_LANGID,
+        "language_id_multi": _oracle_langid_multi(),
         "fingerprints": r"""
             SELECT doc_id, md5(text) AS fp,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_fp

@@ -20,6 +20,32 @@ STOPWORDS = [
     "as", "by", "from", "not", "but", "they", "he", "she", "you", "i",
 ]
 
+# per-language function-word lists (public knowledge; highest-frequency
+# closed-class words, chosen to minimize cross-language collisions)
+STOPWORDS_BY_LANG: dict[str, list[str]] = {
+    "en": STOPWORDS,
+    # ASCII-only entries: TOKEN_RE splits non-ASCII letters, so accented
+    # function words (être, für, él) can never match a token anyway
+    "fr": [
+        "le", "la", "les", "un", "une", "des", "et", "ou", "de", "du",
+        "dans", "sur", "est", "sont", "il", "elle", "nous", "vous",
+        "que", "qui", "ne", "pas", "au", "aux", "ce", "cette", "mais",
+        "pour", "avec", "dont",
+    ],
+    "de": [
+        "der", "die", "das", "ein", "eine", "und", "oder", "von", "zu",
+        "im", "auf", "ist", "sind", "er", "sie", "wir", "ihr", "dass",
+        "nicht", "aber", "mit", "dem", "den", "des", "war",
+        "werden", "wird", "sich", "auch", "ich",
+    ],
+    "es": [
+        "el", "los", "las", "uno", "unas", "unos", "y", "o", "en",
+        "es", "son", "ella", "nosotros", "ellos", "no", "pero",
+        "para", "con", "por", "se", "su", "sus", "este", "esta",
+        "fue", "ser", "como", "cuando", "donde", "hay",
+    ],
+}
+
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 
 
@@ -82,6 +108,38 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(score >= 0.08, F.lit("en")).otherwise(F.lit("unknown")).alias(
             "lang_pred"
         ),
+    )
+
+
+def language_id_multi(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Multi-language function-word language ID: per-language stopword
+    hit ratio, argmax with canonical alphabetical tie-break, 'unknown'
+    when the best ratio < 0.08. One narrow projection (per-language
+    array folds) — no shuffle, same shape as ``language_id``.
+    → (doc_id, de_score, en_score, es_score, fr_score, lang_pred)."""
+    t = docs.select("doc_id", _toks(text_col).alias("tk"))
+    lower = F.transform("tk", lambda x: F.lower(x))
+    langs = sorted(STOPWORDS_BY_LANG)
+    scores = {
+        lang: F.size(
+            F.filter(lower, lambda x: x.isin(STOPWORDS_BY_LANG[lang]))
+        )
+        / F.greatest(F.size("tk"), F.lit(1))
+        for lang in langs
+    }
+    out = t.select(
+        "doc_id", *[scores[l].alias(f"{l}_score") for l in langs]
+    )
+    best = F.greatest(*[F.col(f"{l}_score") for l in langs])
+    pred = F.when(best < 0.08, F.lit("unknown"))
+    # alphabetical order ⇒ first language hitting the max wins ties —
+    # the same when-chain order the oracle SQL uses
+    for lang in langs:
+        pred = pred.when(F.col(f"{lang}_score") == best, F.lit(lang))
+    return out.select(
+        "doc_id",
+        *[F.round(f"{l}_score", 6).alias(f"{l}_score") for l in langs],
+        pred.alias("lang_pred"),
     )
 
 

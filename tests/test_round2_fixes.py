@@ -268,6 +268,24 @@ def test_most_frequent_name_tie_breaks_smallest(spark):
     assert row.most_frequent_name == "Anna"
 
 
+def test_language_id_multi(spark):
+    from renard_spark.functions.text import language_id_multi
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the mat and it was not sad"),
+            ("fr", "le chat est sur la table et il ne dort pas dans une boite"),
+            ("de", "der hund ist im haus und er wird nicht mit dem ball"),
+            ("es", "el perro es grande y no come pero las casas son sus"),
+            ("xx", "zorp blip quux flarn dree"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id_multi(docs).collect()}
+    assert got == {"en": "en", "fr": "fr", "de": "de", "es": "es",
+                   "xx": "unknown"}
+
+
 # ------------------------------------------------------- lazy BM25
 
 
