@@ -39,6 +39,9 @@ def character_graph_pipeline(
     persist: bool = True,
     additional_ner_classes: list[str] | None = None,
     extra_entities_df: DataFrame | None = None,
+    ner_model_factory=None,
+    coref_scorer_factory=None,
+    coref_block_size: int = 512,
 ) -> dict[str, DataFrame]:
     """Run the co-occurrence pipeline; returns all stage tables.
 
@@ -50,6 +53,12 @@ def character_graph_pipeline(
     dynamic-window scale path). persist=True caches the two stage
     tables every downstream branch re-reads (tokens, unified mentions)
     so the lazy DAG doesn't recompute ingest+tokenize per branch.
+
+    Model-backed stages swap in behind the same schemas (the
+    reference's pluggable-step semantics): ``ner_model_factory``
+    replaces the rule NER with ``ner.model_ner``;
+    ``coref_scorer_factory`` (when no corefs_df is given) computes
+    chains with ``coref.model_corefs`` at ``coref_block_size``.
     """
     gazetteer = gazetteer or default_gazetteer()
     docs = ingest.normalize_documents(documents_df)
@@ -61,7 +70,17 @@ def character_graph_pipeline(
     if persist:
         st = st.persist()
     toks = tokenize.tokens(docs)
-    entities = ner.rule_ner_sentences(st, gazetteer)
+    if ner_model_factory is not None:
+        entities = ner.model_ner(st, ner_model_factory)
+    else:
+        entities = ner.rule_ner_sentences(st, gazetteer)
+    if coref_scorer_factory is not None and corefs_df is None:
+        from renard_spark.operators import coref as coref_mod
+
+        corefs_df = coref_mod.model_corefs(
+            tokenize.doc_tokens(toks), coref_scorer_factory,
+            block_size=coref_block_size,
+        )
     if unifier == "graph_rules":
         unified = unify.graph_rules_unify(
             entities, corefs_df, min_appearances=min_appearances
@@ -134,10 +153,12 @@ def conversational_pipeline(
     conversation_dist: tuple[int, str] = (1, "tokens"),
     graph_type: str = "conversation",
     persist: bool = True,
+    speaker_scorer_factory=None,
 ) -> dict[str, DataFrame]:
     """Reference preconfigured conversational pipeline
     (preconfigured.py:88-94: dist 1): quotes → speakers →
-    conversation/mention graph."""
+    conversation/mention graph. ``speaker_scorer_factory`` swaps the
+    rule attributor for ``quotes.model_speakers`` (same schema)."""
     from renard_spark.operators import conversation, quotes
 
     gazetteer = gazetteer or default_gazetteer()
@@ -150,7 +171,12 @@ def conversational_pipeline(
     if persist:
         unified = unified.persist()
     q = quotes.detect_quotes(toks)
-    speakers = quotes.attribute_speakers(q, unified)
+    if speaker_scorer_factory is not None:
+        speakers = quotes.model_speakers(
+            tokenize.doc_tokens(toks), q, unified, speaker_scorer_factory
+        )
+    else:
+        speakers = quotes.attribute_speakers(q, unified)
     if graph_type == "conversation":
         edges = conversation.conversation_edges(
             speakers, dist=conversation_dist[0], unit=conversation_dist[1],
