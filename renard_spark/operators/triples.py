@@ -36,7 +36,14 @@ def cumulative_edges(edges_df: DataFrame, snapshot_col: str = "window_id") -> Da
 
     Missing (edge, snapshot) combinations are densified so every
     snapshot reports every edge seen so far (nx.compose semantics).
+
+    The input feeds three consumers (snapshot ids, edge ids, the dense
+    left join); Catalyst does not reuse the upstream exchanges across
+    them (verified: 0 ReusedExchange), so the snapshot edges are
+    eagerly localCheckpoint-ed — one upstream computation instead of
+    three, blocks released with the DataFrame.
     """
+    edges_df = edges_df.localCheckpoint(eager=True)
     keys = ["doc_id", "src", "dst"]
     snaps = edges_df.select("doc_id", snapshot_col).distinct()
     edge_ids = edges_df.select(*keys).distinct()

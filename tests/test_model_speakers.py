@@ -79,6 +79,28 @@ def test_model_speakers_argmax_and_gate(spark):
     assert abs(rows[1].speaker_score - 0.4) < 1e-9
 
 
+def test_conversational_pipeline_with_model_speakers(spark):
+    from renard_spark import corpus, pipeline
+
+    docs = corpus.generate_documents(spark, 15, seed=41)
+
+    def factory():
+        return lambda batch: [0.9] * len(batch)  # everyone's credible
+
+    out = pipeline.conversational_pipeline(
+        docs, persist=False, speaker_scorer_factory=factory
+    )
+    speakers = out["speakers"]
+    assert set(speakers.columns) >= {
+        "doc_id", "quote_id", "start", "end", "speaker_char_id",
+        "speaker_score",
+    }
+    rows = speakers.collect()
+    assert rows and any(r.speaker_char_id is not None for r in rows)
+    # triples derive from the model-attributed speakers without error
+    out["triples"].collect()
+
+
 def test_model_speakers_tie_breaks_by_char_id(spark):
     doc_tokens = spark.createDataFrame(
         [("d1", [f"t{i}" for i in range(30)])],

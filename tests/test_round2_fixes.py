@@ -268,6 +268,27 @@ def test_most_frequent_name_tie_breaks_smallest(spark):
     assert row.most_frequent_name == "Anna"
 
 
+def test_giant_doc_join_path_bounded(spark):
+    """Pathological single document (8k mentions, heavy positional
+    overlap): the bucketed containment join path must complete and
+    match the per-doc grouped path — the huge-doc scale shape the
+    grouped path can't parallelize within."""
+    rng = random.Random(29)
+    rows = [
+        ("big", f"c{rng.randint(0, 50)}", s, s + 1)
+        for s in sorted(rng.randint(0, 20000) for _ in range(8000))
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id string, char_id string, start_idx int, end_idx int"
+    )
+    join_path = cooccur.cooccurrence_edges(m, dist=5, unit="tokens")
+    grouped = cooccur.cooccurrence_edges_grouped(m, dist=5, unit="tokens")
+    key = lambda r: (r.doc_id, r.src, r.dst, r.weight)
+    a = sorted(map(key, join_path.collect()))
+    b = sorted(map(key, grouped.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_language_id_multi(spark):
     from renard_spark.functions.text import language_id_multi
 
