@@ -63,6 +63,44 @@ def test_resolve_doc_blocks_vs_whole_doc():
     assert whole == merged
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_block_concat_properties(data):
+    n_tokens = data.draw(st.integers(1, 120))
+    block_size = data.draw(st.sampled_from([3, 7, 16, 512]))
+    tokens = [f"t{i % 9}" for i in range(n_tokens)]
+    blocks = split_blocks(tokens, block_size)
+    # split covers the doc exactly, in order, without overlap
+    assert [t for _, b in blocks for t in b] == tokens
+    assert [s for s, _ in blocks] == [
+        i * block_size for i in range(len(blocks))
+    ]
+    # a scorer chaining every block-local token pair: after concat all
+    # spans are absolute, in-bounds, and chain counts add up per block
+    def scorer(bs):
+        return [
+            [[(i, i + 1) for i in range(len(b))]] if b else [] for b in bs
+        ]
+
+    chains = resolve_doc_corefs(tokens, scorer, block_size)
+    assert len(chains) == sum(1 for _, b in blocks if b)
+    for chain in chains:
+        for s, e in chain:
+            assert 0 <= s < e <= n_tokens
+    merged = resolve_doc_corefs(
+        tokens, scorer, block_size, hierarchical_merging=True
+    )
+    # merging can only reduce the number of chains, never lose spans
+    assert len(merged) <= len(chains)
+    assert {sp for c in merged for sp in c} == {
+        sp for c in chains for sp in c
+    }
+
+
 def _chain_sets(df):
     out = {}
     for r in df.collect():

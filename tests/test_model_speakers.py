@@ -10,6 +10,46 @@ from renard_spark.operators.quotes import (
 )
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_candidate_construction_invariants(data):
+    n_tokens = data.draw(st.integers(10, 300))
+    ctx_len = data.draw(st.sampled_from([16, 64, 512]))
+    repr_nb = data.draw(st.integers(1, 4))
+    quotes = [
+        (i, s, min(s + data.draw(st.integers(1, 9)), n_tokens))
+        for i, s in enumerate(
+            data.draw(st.lists(st.integers(0, n_tokens - 1), max_size=4))
+        )
+    ]
+    mentions = [
+        (f"c{data.draw(st.integers(0, 3))}", s, s + 1)
+        for s in data.draw(st.lists(st.integers(0, n_tokens - 1), max_size=25))
+    ]
+    out = build_speaker_examples(
+        n_tokens, quotes, mentions, ctx_len, repr_nb
+    )
+    window = min(ctx_len, n_tokens)
+    per_quote: dict[int, set[str]] = {}
+    for qid, cid, reps in out:
+        assert 1 <= len(reps) <= repr_nb
+        assert reps == sorted(reps)
+        # every representation lies inside a window of ctx_len tokens
+        lo, hi = min(s for s, _ in reps), max(e for _, e in reps)
+        assert hi - lo <= window
+        assert cid not in per_quote.get(qid, set())  # one row per cand
+        per_quote.setdefault(qid, set()).add(cid)
+    # a whole-document window admits every mentioned character
+    if window >= n_tokens and mentions:
+        all_chars = {c for c, _, _ in mentions}
+        for qid, _, _ in quotes:
+            assert per_quote.get(qid, set()) == all_chars
+
+
 def test_candidate_window_and_reprs():
     # doc of 1000 tokens, quote at [500, 510): window [255, 767)
     quotes = [(0, 500, 510)]
