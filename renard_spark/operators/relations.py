@@ -55,6 +55,54 @@ def parse_text_triples(df: DataFrame, text_col: str = "generated") -> DataFrame:
     )
 
 
+def model_relations(
+    sent_tokens_df: DataFrame,
+    generator_factory,
+    batch_size: int = 4,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Generative relation extraction with an injected text2text model
+    (the reference's T5 seam, relation_extraction.py:181-196: per
+    sentence the generator emits a '(s, r, o)(s2, r2, o2)' string;
+    everything after generation — regex parse, character resolution,
+    self/ambiguous drops — is the shared DataFrame post-processing).
+
+    ``generator_factory`` → generate(batch: list[list[str]]) → one
+    generated string per sentence. Input: the compact per-sentence form
+    (doc_id, sent_idx, toks). → raw triples
+    (doc_id, sent_idx, raw_subj, rel, raw_obj), feed to resolve_triples.
+    """
+    import pandas as pd
+
+    from renard_spark.operators.ner import _PREDICT_CACHE
+
+    def run(batches):
+        generate = _PREDICT_CACHE.get(cache_key) if cache_key else None
+        if generate is None:
+            generate = generator_factory()
+            if cache_key:
+                _PREDICT_CACHE[cache_key] = generate
+        for pdf in batches:
+            sents = [list(s) for s in pdf["toks"]]
+            outs: list[str] = []
+            for off in range(0, len(sents), batch_size):
+                outs.extend(generate(sents[off:off + batch_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sent_idx": pdf["sent_idx"],
+                    "generated": outs,
+                }
+            )
+
+    generated = sent_tokens_df.select("doc_id", "sent_idx", "toks").mapInPandas(
+        run, schema="doc_id string, sent_idx int, generated string"
+    )
+    return parse_text_triples(generated).select(
+        "doc_id", "sent_idx", "raw_subj", "rel", "raw_obj"
+    )
+
+
 def name_to_char(characters_df: DataFrame) -> DataFrame:
     """(doc_id, name, char_id|NULL): the unique character owning the
     name, NULL when ambiguous (identify_character,

@@ -157,6 +157,50 @@ def test_pattern_relations_and_resolution(spark):
     assert relations.relational_edges(resolved, min_rel_occurrences=2).count() == 0
 
 
+def test_model_relations_generator_seam(spark):
+    """model_relations with a fake text2text generator reproduces the
+    pattern extractor's raw triples when the generator applies the
+    same verb rule (the reference's T5 seam, relation_extraction.py:
+    181-196, with all shared post-processing downstream)."""
+    sent_toks = spark.createDataFrame(
+        [
+            ("d", 0, "Elizabeth wrote to Darcy .".split()),
+            ("d", 1, "Lizzy danced with Darcy .".split()),
+            ("d", 2, "Nothing happened here .".split()),
+        ],
+        "doc_id string, sent_idx int, toks array<string>",
+    )
+
+    def factory():
+        names = {"Elizabeth", "Darcy", "Lizzy"}
+
+        def generate(batch):
+            outs = []
+            for sent in batch:
+                trips = []
+                for i, t in enumerate(sent):
+                    if t in relations.RELATION_VERBS:
+                        pre = [x for x in sent[:i] if x in names]
+                        post = [x for x in sent[i + 1:] if x in names]
+                        if pre and post:
+                            trips.append(
+                                f"({pre[-1]}, {relations.RELATION_VERBS[t]},"
+                                f" {post[0]})"
+                            )
+                outs.append("".join(trips))
+            return outs
+
+        return generate
+
+    raw = relations.model_relations(sent_toks, factory, batch_size=2)
+    got = {(r.doc_id, r.sent_idx, r.raw_subj, r.rel, r.raw_obj)
+           for r in raw.collect()}
+    assert got == {
+        ("d", 0, "Elizabeth", "wrote_to", "Darcy"),
+        ("d", 1, "Lizzy", "danced_with", "Darcy"),
+    }
+
+
 def test_parse_text_triples(spark):
     df = spark.createDataFrame(
         [("d", 0, "(Jane, loves, Bingley) and (A, saw, B)")],
