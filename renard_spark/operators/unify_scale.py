@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from renard_spark.functions.names import parse_name
-from renard_spark.operators.cc import connected_components
+from renard_spark.operators.cc import (
+    ConvergenceError,
+    connected_components,
+    connected_components_star,
+)
 from renard_spark.operators.unify_core import infer_gender
 from renard_spark.resources.gazetteers import hypocorism_related
 
@@ -125,7 +129,13 @@ def unify_distributed(
     singles = names.select(
         F.concat_ws(SEP, scope_col, "mention_str").alias("src")
     ).withColumn("dst", F.col("src"))
-    comp0 = connected_components(edges.unionByName(singles))
+    all_edges = edges.unionByName(singles)
+    try:
+        # alias graphs are star-ish (tiny diameter) — hash-to-min wins
+        comp0 = connected_components(all_edges)
+    except ConvergenceError:
+        # pathological long-chain alias graph: O(log n)-round variant
+        comp0 = connected_components_star(all_edges)
 
     membership0 = comp0.select(
         F.split_part("vertex", F.lit(SEP), F.lit(1)).alias(scope_col),
