@@ -805,6 +805,21 @@ def q_capped_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ACTION: MinHash near-dup pairs → connected-component
+    clusters → canonical keep/drop per doc (smallest id survives).
+    The oracle replicates the clustering with a recursive CTE."""
+    from renard_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.minhash_dedup(
+        docs, w=3, num_hashes=8, bands=4, threshold=0.2
+    )
+    return dedup.dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", F.col("keep").cast("long").alias("keep")
+    )
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded 16-bit keys, hamming ≤ 3."""
     from renard_spark.functions import dedup
@@ -861,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_multi_topk": q_srp_multi_topk,
         "ivf_topk": q_ivf_topk,
         "capped_near_dups": q_capped_near_dups,
+        "dedup_groups": q_dedup_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
     }
 
@@ -979,6 +995,47 @@ pairs AS (
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
         """,
         "simhash_groups": _ORACLE_SIMHASH,
+        "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.doc_a
+              JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            dup_pairs AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              JOIN sizes na ON na.doc_id = c.doc_a
+              JOIN sizes nb ON nb.doc_id = c.doc_b
+              WHERE coalesce(i.i, 0)::DOUBLE
+                    / greatest(na.n + nb.n - coalesce(i.i, 0), 1) >= 0.2
+            ),
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            r(u, l) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.l FROM r JOIN e ON e.u = r.u
+            ),
+            clusters AS (
+              SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u
+            )
+            SELECT doc_id, cluster_id,
+                   (doc_id = cluster_id)::BIGINT AS keep
+            FROM clusters
+        """,
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
         "srp_multi_topk": _ORACLE_SRP_MULTI,

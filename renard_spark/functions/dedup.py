@@ -183,6 +183,35 @@ def minhash_dedup(
     return jaccard_verify(cands, sh, threshold)
 
 
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS → keep/drop decision — the
+    dedup *action* of a training pipeline: connected components over
+    the pair graph, cluster_id = smallest doc id in the cluster, and
+    keep = (doc == cluster_id), i.e. one canonical survivor per
+    cluster. Docs in no pair are singleton clusters (kept).
+
+    → (doc_id, cluster_id, keep int). Vertices are zero-padded so the
+    CC's lexicographic min equals the numeric min.
+    """
+    from renard_spark.operators.cc import connected_components
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    singles = docs.select(pad(id_col).alias("src")).withColumn(
+        "dst", F.col("src")
+    )
+    comp = connected_components(edges.unionByName(singles))
+    out = comp.select(
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return out.withColumn(
+        "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64
