@@ -520,6 +520,36 @@ def q_naive_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRulesCharacterUnifier PARITY path (per-doc alias graph in
+    applyInPandas) on the driver corpus. Cast tokens are distinct
+    lowercase single-token names — no hypocorism/title/last/first rule
+    links — so components are singletons and the oracle is the exact
+    naive grouping: this drives the full Arrow parity machinery through
+    the value-hash gate."""
+    unified = unify.graph_rules_unify(_mentions(spark, sf_dir))
+    return _long_doc_id(
+        unify.characters_table(unified).select(
+            "doc_id", "char_id",
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
+def q_scale_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SCALE path (pair-rule join + iterative connected
+    components + per-component contradiction refinement) on the driver
+    corpus — same singleton-component argument as q_graph_characters,
+    so the naive grouping is the oracle."""
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    unified = unify_distributed(_mentions(spark, sf_dir))
+    counted = unified.groupBy("doc_id", "char_id").agg(
+        F.count(F.lit(1)).cast("long").alias("mention_count")
+    )
+    return _long_doc_id(counted)
+
+
 def q_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence character network, token unit, dist=3."""
     unified = unify.naive_unify(_mentions(spark, sf_dir))
@@ -853,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
         "naive_characters": q_naive_characters,
+        "graph_characters": q_graph_characters,
+        "scale_characters": q_scale_characters,
         "cooccur_edges": q_cooccur_edges,
         "triples": q_triples,
         "exact_dedup": q_exact_dedup,
@@ -904,6 +936,16 @@ pairs AS (
             FROM documents
         """,
         "naive_characters": _BASE_CTES
+        + """
+            SELECT doc_id, token AS char_id, count(*)::BIGINT AS mention_count
+            FROM m GROUP BY doc_id, token
+        """,
+        "graph_characters": _BASE_CTES
+        + """
+            SELECT doc_id, token AS char_id, count(*)::BIGINT AS mention_count
+            FROM m GROUP BY doc_id, token
+        """,
+        "scale_characters": _BASE_CTES
         + """
             SELECT doc_id, token AS char_id, count(*)::BIGINT AS mention_count
             FROM m GROUP BY doc_id, token
