@@ -52,11 +52,15 @@ def connected_components(
     callers with long-chain graphs should use
     ``connected_components_star`` instead.
     """
-    # undirected symmetric closure + self loops
+    # undirected symmetric closure + self loops — checkpointed ONCE:
+    # e is re-joined every round, and without the checkpoint each round
+    # would recompute the caller's whole upstream plan (e.g. the
+    # pair-rule Arrow UDF in unify_scale)
     e = (
         edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     comp = (
         e.select(F.col("a").alias("vertex"))

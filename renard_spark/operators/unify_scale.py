@@ -94,10 +94,14 @@ def unify_distributed(
     """→ unified mentions (scope, char_id, names, gender, mention_str,
     start_idx, end_idx), same shape as unify.graph_rules_unify."""
     per = entities_df.filter(F.col("tag") == character_tag)
+    # names and linked pairs feed several consumers each (pair sides,
+    # node/edge sides, labeling) and carry Arrow-UDF stages —
+    # checkpoint once instead of recomputing the UDFs per consumer
     names = (
         per.select(scope_col, "mention_str")
         .distinct()
         .withColumn("gender", _gender_udf("mention_str"))
+        .localCheckpoint(eager=True)
     )
 
     a = names.select(
@@ -113,8 +117,10 @@ def unify_distributed(
     pairs = a.join(
         b, (a["_s"] == b["_s2"]) & (a["n1"] < b["n2"])
     ).drop("_s2")
-    linked = pairs.withColumn("linked", _alias_rule_udf("n1", "n2")).filter(
-        "linked"
+    linked = (
+        pairs.withColumn("linked", _alias_rule_udf("n1", "n2"))
+        .filter("linked")
+        .localCheckpoint(eager=True)
     )
 
     # Stage 1 — distributed CC over the UNCUT alias graph. Cuts never
@@ -146,6 +152,21 @@ def unify_distributed(
     # Stage 2 — exact contradiction pass per initial component
     # (canonical sorted-pair order; component graphs are tiny), inside
     # one cogrouped applyInPandas keyed by (scope, comp0).
+    #
+    # Singleton components (the vast majority: any name with no alias
+    # link) CANNOT contradict — they bypass the cogroup entirely
+    # (char_id = the name itself), so the Python-per-group cost is paid
+    # only for true multi-name components.
+    sizes = membership0.groupBy(scope_col, "comp0").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    multi_keys = sizes.filter("_n > 1").select(scope_col, "comp0")
+    single_membership = membership0.join(
+        multi_keys, [scope_col, "comp0"], "left_anti"
+    ).select(
+        scope_col, "mention_str", F.col("mention_str").alias("char_id")
+    )
+    membership0 = membership0.join(multi_keys, [scope_col, "comp0"], "left_semi")
     node_side = membership0.join(names, [scope_col, "mention_str"]).select(
         scope_col, "comp0", "mention_str", "gender"
     )
@@ -219,6 +240,7 @@ def unify_distributed(
             refine,
             schema=f"{scope_col} string, mention_str string, char_id string",
         )
+        .unionByName(single_membership)
     )
     labeled = membership.join(names, [scope_col, "mention_str"])
     chars = labeled.groupBy(scope_col, "char_id").agg(
