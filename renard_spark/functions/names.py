@@ -9,6 +9,7 @@ first, middle, last. Pure Python — runs inside Arrow-batched UDFs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from renard_spark.resources.gazetteers import PARSER_TITLES
 
@@ -27,7 +28,10 @@ class ParsedName:
         return " ".join(p for p in (self.first, self.middle, self.last) if p)
 
 
+@lru_cache(maxsize=1 << 16)
 def parse_name(name: str, lang: str = "eng") -> ParsedName:
+    """Memoized per executor worker: corpora repeat the same surface
+    forms millions of times (ParsedName is frozen, so sharing is safe)."""
     toks = name.split()
     titles = PARSER_TITLES.get(lang, PARSER_TITLES["eng"])
     title_parts: list[str] = []

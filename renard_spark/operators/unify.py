@@ -187,10 +187,58 @@ def graph_rules_unify(
 
         return grouped.applyInPandas(run_cogroup, schema=UNIFIED_SCHEMA)
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return run_doc(pdf, None)
+    # No-corefs hot path: applyInPandas pays one Python call PER GROUP
+    # (per document) — measured ~10× slower than the pure algorithm at
+    # 5k docs, and per-doc overhead × 10^12 docs is the scale killer.
+    # Instead: repartition+sort by doc_id, then ONE mapInPandas call per
+    # Arrow batch, grouping inside pandas. A document can span two
+    # batches of the same partition (the iterator preserves order), so
+    # the trailing doc of each batch is carried into the next.
+    def run_batched(batches):
+        def process(pdf: pd.DataFrame):
+            rows = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                mentions = list(
+                    zip(
+                        g["mention_str"],
+                        g["start_idx"].astype(int),
+                        g["end_idx"].astype(int),
+                    )
+                )
+                for c in unify_doc(mentions, None, **kwargs):
+                    for surface, s, e in c["mentions"]:
+                        rows.append(
+                            (doc_id, c["char_id"], c["names"], c["gender"],
+                             surface, s, e)
+                        )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "char_id", "names", "gender",
+                    "mention_str", "start_idx", "end_idx",
+                ],
+            )
 
-    return per.groupBy("doc_id").applyInPandas(run_group, schema=UNIFIED_SCHEMA)
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            mask = pdf["doc_id"] == last_doc
+            pending = pdf[mask]
+            work = pdf[~mask]
+            if not work.empty:
+                yield process(work)
+        if pending is not None and not pending.empty:
+            yield process(pending)
+
+    part = per.repartition(
+        *( [num_partitions] if num_partitions else [] ), "doc_id"
+    ).sortWithinPartitions("doc_id")
+    return part.mapInPandas(run_batched, schema=UNIFIED_SCHEMA)
 
 
 def characters_table(unified_mentions: DataFrame) -> DataFrame:
