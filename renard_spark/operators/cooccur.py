@@ -306,14 +306,19 @@ def cooccurrence_edges_grouped(
     polarities_df: DataFrame | None = None,
     sent_info_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document exact extraction in ONE shuffle (cogroup by doc_id
-    + applyInPandas) — the parity/fast path for the common shape (many
-    modest documents). Identical output to ``cooccurrence_edges`` (the
-    join path stays for huge single documents / dynamic variants);
-    equality is property-tested.
+    """Per-document exact extraction in ONE shuffle — the parity/fast
+    path for the common shape (many modest documents). Identical output
+    to ``cooccurrence_edges`` (the join path stays for huge single
+    documents / dynamic variants); equality is property-tested.
 
     Runs the reference's sorted early-break block scan
     (graph_extraction.py:315-369) per doc inside an Arrow batch.
+
+    Execution shape: mentions and sentence-bound rows are UNIONED with
+    a kind tag, repartitioned+sorted by doc_id, and processed by ONE
+    ``mapInPandas`` call per Arrow batch (trailing doc carried across
+    batch boundaries) — per-document Python-call overhead, the scale
+    killer of a per-group cogroup at 10^12 docs, never happens.
     """
     import pandas as pd
 
@@ -325,10 +330,11 @@ def cooccurrence_edges_grouped(
         ", polarity double" if with_pol else ""
     )
 
+    cols = ["doc_id", "src", "dst", "weight"] + (
+        ["polarity"] if with_pol else []
+    )
+
     def extract(mpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "src", "dst", "weight"] + (
-            ["polarity"] if with_pol else []
-        )
         if mpdf.empty:
             return pd.DataFrame(columns=cols)
         doc_id = mpdf["doc_id"].iloc[0]
@@ -409,15 +415,66 @@ def cooccurrence_edges_grouped(
                 ["doc_id", "sent_idx"],
                 "left",
             ).fillna(0.0, subset=["polarity"])
-    else:
-        sent_info = mentions_df.sparkSession.createDataFrame(
-            [], "doc_id string, sent_idx int, sent_start int, sent_end int"
+        else:
+            sent_info = sent_info.withColumn("polarity", F.lit(0.0))
+        tagged = sent_info.select(
+            "doc_id", F.lit(0).alias("_kind"),
+            "sent_idx", "sent_start", "sent_end", "polarity",
+            F.lit(None).cast("string").alias("char_id"),
+            F.lit(None).cast("int").alias("start_idx"),
+            F.lit(None).cast("int").alias("end_idx"),
+        ).unionByName(
+            m.select(
+                "doc_id", F.lit(1).alias("_kind"),
+                F.lit(None).cast("int").alias("sent_idx"),
+                F.lit(None).cast("int").alias("sent_start"),
+                F.lit(None).cast("int").alias("sent_end"),
+                F.lit(None).cast("double").alias("polarity"),
+                "char_id", "start_idx", "end_idx",
+            )
         )
-    return (
-        m.groupBy("doc_id")
-        .cogroup(sent_info.groupBy("doc_id"))
-        .applyInPandas(extract, schema=schema)
-    )
+    else:
+        tagged = m.select(
+            "doc_id", F.lit(1).alias("_kind"),
+            F.lit(None).cast("int").alias("sent_idx"),
+            F.lit(None).cast("int").alias("sent_start"),
+            F.lit(None).cast("int").alias("sent_end"),
+            F.lit(None).cast("double").alias("polarity"),
+            "char_id", "start_idx", "end_idx",
+        )
+
+    def run_batched(batches):
+        def process(pdf: pd.DataFrame):
+            outs = []
+            for _, g in pdf.groupby("doc_id", sort=False):
+                mrows = g[g["_kind"] == 1]
+                srows = g[g["_kind"] == 0]
+                outs.append(extract(mrows, srows))
+            if not outs:
+                return pd.DataFrame(columns=cols_out)
+            return pd.concat(outs, ignore_index=True)
+
+        cols_out = ["doc_id", "src", "dst", "weight"] + (
+            ["polarity"] if with_pol else []
+        )
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            mask = pdf["doc_id"] == last_doc
+            pending = pdf[mask]
+            work = pdf[~mask]
+            if not work.empty:
+                yield process(work)
+        if pending is not None and not pending.empty:
+            yield process(pending)
+
+    part = tagged.repartition("doc_id").sortWithinPartitions("doc_id")
+    return part.mapInPandas(run_batched, schema=schema)
 
 
 def add_window_ids(
