@@ -443,38 +443,17 @@ def cooccurrence_edges_grouped(
             "char_id", "start_idx", "end_idx",
         )
 
-    def run_batched(batches):
-        def process(pdf: pd.DataFrame):
-            outs = []
-            for _, g in pdf.groupby("doc_id", sort=False):
-                mrows = g[g["_kind"] == 1]
-                srows = g[g["_kind"] == 0]
-                outs.append(extract(mrows, srows))
-            if not outs:
-                return pd.DataFrame(columns=cols_out)
-            return pd.concat(outs, ignore_index=True)
+    from renard_spark.operators.utils import map_in_pandas_by_key
 
-        cols_out = ["doc_id", "src", "dst", "weight"] + (
-            ["polarity"] if with_pol else []
-        )
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if pdf.empty:
-                continue
-            last_doc = pdf["doc_id"].iloc[-1]
-            mask = pdf["doc_id"] == last_doc
-            pending = pdf[mask]
-            work = pdf[~mask]
-            if not work.empty:
-                yield process(work)
-        if pending is not None and not pending.empty:
-            yield process(pending)
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("doc_id", sort=False):
+            outs.append(extract(g[g["_kind"] == 1], g[g["_kind"] == 0]))
+        if not outs:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(outs, ignore_index=True)
 
-    part = tagged.repartition("doc_id").sortWithinPartitions("doc_id")
-    return part.mapInPandas(run_batched, schema=schema)
+    return map_in_pandas_by_key(tagged, process, schema=schema)
 
 
 def add_window_ids(

@@ -28,7 +28,12 @@ def detect_quotes(
     tokens_df: DataFrame, quote_pairs: list[tuple[str, str]] | None = None
 ) -> DataFrame:
     """→ quotes(doc_id, quote_id, start, end) with end exclusive
-    (both quote-mark tokens included in [start, end))."""
+    (both quote-mark tokens included in [start, end)).
+
+    Quote-mark rows (a tiny filtered fraction of tokens) are
+    repartitioned+sorted by doc and scanned in ONE mapInPandas call per
+    Arrow batch (docs grouped inside pandas, trailing doc carried) —
+    not one Python call per document."""
     pairs = quote_pairs or DEFAULT_QUOTE_PAIRS
     opens = {p[0] for p in pairs}
     marks = opens | {p[1] for p in pairs}
@@ -37,23 +42,30 @@ def detect_quotes(
         "doc_id", "tok_idx", "token"
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("tok_idx")
-        rows = []
+    def scan_doc(doc_id, g: pd.DataFrame, rows: list) -> None:
         open_start = None
         qid = 0
-        for tok_idx, token in zip(pdf["tok_idx"], pdf["token"]):
+        for tok_idx, token in zip(g["tok_idx"], g["token"]):
             if open_start is None:
                 if token in opens:
                     open_start = int(tok_idx)
             else:
-                rows.append((pdf["doc_id"].iloc[0], qid, open_start, int(tok_idx) + 1))
+                rows.append((doc_id, qid, open_start, int(tok_idx) + 1))
                 qid += 1
                 open_start = None
+
+    from renard_spark.operators.utils import map_in_pandas_by_key
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            scan_doc(doc_id, g, rows)
         return pd.DataFrame(rows, columns=["doc_id", "quote_id", "start", "end"])
 
-    return qtoks.groupBy("doc_id").applyInPandas(
-        scan, schema="doc_id string, quote_id int, start int, end int"
+    return map_in_pandas_by_key(
+        qtoks, process,
+        schema="doc_id string, quote_id int, start int, end int",
+        sort_cols=("tok_idx",),
     )
 
 

@@ -6,11 +6,12 @@
   expressed as join + window argmax (no UDF at all).
 - ``graph_rules_unify``: the alias-graph unifier
   (character_unification.py:159-464). Pair rules + contradiction edge
-  removal + connected components run **per document** inside an
-  Arrow-batched ``applyInPandas`` (the per-doc graph is tiny — distinct
-  PER names of one document — while docs distribute across executors).
-  A fully distributed CC path for cross-document entity tables lives in
-  ``operators.cc``.
+  removal + connected components run **per document** (the per-doc
+  graph is tiny — distinct PER names of one document — while docs
+  distribute across executors) via the per-Arrow-batch execution in
+  ``operators.utils.map_in_pandas_by_key`` — one Python call per batch,
+  never per document. A fully distributed CC path for cross-document
+  entity tables lives in ``operators.cc``/``operators.unify_scale``.
 
 Unified-mention schema (stage table):
     unified_mentions(doc_id, char_id, names:array<string>, gender,
@@ -107,7 +108,6 @@ def graph_rules_unify(
     link_corefs_mentions: bool = False,
     ignore_lone_titles: set[str] | None = None,
     ignore_leading_determiner: bool = False,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """Alias-graph unification, distributed across documents.
 
@@ -187,58 +187,36 @@ def graph_rules_unify(
 
         return grouped.applyInPandas(run_cogroup, schema=UNIFIED_SCHEMA)
 
-    # No-corefs hot path: applyInPandas pays one Python call PER GROUP
-    # (per document) — measured ~10× slower than the pure algorithm at
-    # 5k docs, and per-doc overhead × 10^12 docs is the scale killer.
-    # Instead: repartition+sort by doc_id, then ONE mapInPandas call per
-    # Arrow batch, grouping inside pandas. A document can span two
-    # batches of the same partition (the iterator preserves order), so
-    # the trailing doc of each batch is carried into the next.
-    def run_batched(batches):
-        def process(pdf: pd.DataFrame):
-            rows = []
-            for doc_id, g in pdf.groupby("doc_id", sort=False):
-                mentions = list(
-                    zip(
-                        g["mention_str"],
-                        g["start_idx"].astype(int),
-                        g["end_idx"].astype(int),
-                    )
+    # No-corefs hot path: per-group applyInPandas pays one Python call
+    # PER DOCUMENT (~10× the algorithm cost at 5k docs — the scale
+    # killer at 10^12 docs); use the shared per-Arrow-batch execution.
+    from renard_spark.operators.utils import map_in_pandas_by_key
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            mentions = list(
+                zip(
+                    g["mention_str"],
+                    g["start_idx"].astype(int),
+                    g["end_idx"].astype(int),
                 )
-                for c in unify_doc(mentions, None, **kwargs):
-                    for surface, s, e in c["mentions"]:
-                        rows.append(
-                            (doc_id, c["char_id"], c["names"], c["gender"],
-                             surface, s, e)
-                        )
-            return pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "char_id", "names", "gender",
-                    "mention_str", "start_idx", "end_idx",
-                ],
             )
+            for c in unify_doc(mentions, None, **kwargs):
+                for surface, s, e in c["mentions"]:
+                    rows.append(
+                        (doc_id, c["char_id"], c["names"], c["gender"],
+                         surface, s, e)
+                    )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "char_id", "names", "gender",
+                "mention_str", "start_idx", "end_idx",
+            ],
+        )
 
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if pdf.empty:
-                continue
-            last_doc = pdf["doc_id"].iloc[-1]
-            mask = pdf["doc_id"] == last_doc
-            pending = pdf[mask]
-            work = pdf[~mask]
-            if not work.empty:
-                yield process(work)
-        if pending is not None and not pending.empty:
-            yield process(pending)
-
-    part = per.repartition(
-        *( [num_partitions] if num_partitions else [] ), "doc_id"
-    ).sortWithinPartitions("doc_id")
-    return part.mapInPandas(run_batched, schema=UNIFIED_SCHEMA)
+    return map_in_pandas_by_key(per, process, schema=UNIFIED_SCHEMA)
 
 
 def characters_table(unified_mentions: DataFrame) -> DataFrame:

@@ -20,6 +20,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def map_in_pandas_by_key(
+    df: DataFrame,
+    process,
+    schema: str,
+    key: str = "doc_id",
+    sort_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key imperative logic WITHOUT per-key Python calls: the
+    per-group applyInPandas/cogroup APIs invoke Python once per GROUP —
+    measured ~10× the algorithm cost at 5k-doc scale and the dominant
+    constant at 10^12 docs. Instead: repartition+sort by ``key``, then
+    ONE ``mapInPandas`` call per Arrow batch; ``process(pdf)`` receives
+    a frame of complete key-groups (group rows are contiguous; the
+    trailing group of each batch is carried into the next batch of the
+    same partition, which the iterator delivers in order)."""
+    import pandas as pd
+
+    def run(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            last = pdf[key].iloc[-1]
+            mask = pdf[key] == last
+            pending = pdf[mask]
+            work = pdf[~mask]
+            if not work.empty:
+                yield process(work)
+        if pending is not None and not pending.empty:
+            yield process(pending)
+
+    part = df.repartition(key).sortWithinPartitions(key, *sort_cols)
+    return part.mapInPandas(run, schema=schema)
+
+
 def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
     """(value, vocab_id) in first-appearance order of ``order_col``."""
     firsts = df.groupBy(col).agg(F.min(order_col).alias("_first"))
