@@ -176,21 +176,35 @@ def graph_rules_unify(
             ],
         )
 
-    if has_corefs:
-        cor = corefs_df.select(
-            "doc_id", "chain_id", "start_idx", "end_idx", "mention_str"
-        )
-        grouped = per.groupBy("doc_id").cogroup(cor.groupBy("doc_id"))
-
-        def run_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            return run_doc(left, right)
-
-        return grouped.applyInPandas(run_cogroup, schema=UNIFIED_SCHEMA)
-
-    # No-corefs hot path: per-group applyInPandas pays one Python call
-    # PER DOCUMENT (~10× the algorithm cost at 5k docs — the scale
-    # killer at 10^12 docs); use the shared per-Arrow-batch execution.
+    # Per-group applyInPandas/cogroup would pay one Python call PER
+    # DOCUMENT (~10× the algorithm cost at 5k docs — the scale killer
+    # at 10^12 docs); both paths use the shared per-Arrow-batch
+    # execution, with chains riding along as kind-tagged rows.
     from renard_spark.operators.utils import map_in_pandas_by_key
+
+    if has_corefs:
+        tagged = per.select(
+            "doc_id", F.lit(1).alias("_kind"),
+            F.lit(None).cast("int").alias("chain_id"),
+            "start_idx", "end_idx", "mention_str",
+        ).unionByName(
+            corefs_df.select(
+                "doc_id", F.lit(0).alias("_kind"),
+                "chain_id", "start_idx", "end_idx", "mention_str",
+            )
+        )
+
+        def process_with_chains(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, g in pdf.groupby("doc_id", sort=False):
+                frames.append(run_doc(g[g["_kind"] == 1], g[g["_kind"] == 0]))
+            if not frames:
+                return run_doc(pd.DataFrame(columns=pdf.columns), None)
+            return pd.concat(frames, ignore_index=True)
+
+        return map_in_pandas_by_key(
+            tagged, process_with_chains, schema=UNIFIED_SCHEMA
+        )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -255,6 +255,55 @@ def test_gender_tie_component_parity_vs_scale(spark):
     assert len(pg) == 1 and next(iter(pg))[1] == "MALE"
 
 
+def test_graph_rules_unify_coref_path_matches_core(spark):
+    """The batched Spark wrapper WITH coref chains == unify_doc run
+    driver-side per document (chains drive gender votes and mention
+    assignment)."""
+    from renard_spark.operators.unify_core import unify_doc
+
+    ents_rows = [
+        ("d1", "Elizabeth", 0, 1, "PER"),
+        ("d1", "Mr Darcy", 5, 7, "PER"),
+        ("d1", "Darcy", 12, 13, "PER"),
+        ("d2", "Jane", 0, 1, "PER"),
+        ("d2", "Jane Bennet", 8, 10, "PER"),
+    ]
+    chain_rows = [
+        ("d1", 0, 0, 1, "Elizabeth"), ("d1", 0, 3, 4, "she"),
+        ("d1", 1, 5, 7, "Mr Darcy"), ("d1", 1, 9, 10, "he"),
+        ("d2", 0, 0, 1, "Jane"), ("d2", 0, 4, 5, "her"),
+    ]
+    ents = spark.createDataFrame(
+        ents_rows,
+        "doc_id string, mention_str string, start_idx int, end_idx int,"
+        " tag string",
+    )
+    chains = spark.createDataFrame(
+        chain_rows,
+        "doc_id string, chain_id int, start_idx int, end_idx int,"
+        " mention_str string",
+    )
+    got = {}
+    for r in unify.graph_rules_unify(ents, chains).collect():
+        got.setdefault(r.doc_id, set()).add(
+            (r.char_id, tuple(r.names), r.gender, r.mention_str,
+             r.start_idx, r.end_idx)
+        )
+    want = {}
+    for doc in ("d1", "d2"):
+        ms = [(m, s, e) for d, m, s, e, _ in ents_rows if d == doc]
+        ch: dict[int, list] = {}
+        for d, cid, s, e, m in chain_rows:
+            if d == doc:
+                ch.setdefault(cid, []).append((m, s, e))
+        for c in unify_doc(ms, list(ch.values())):
+            for m, s, e in c["mentions"]:
+                want.setdefault(doc, set()).add(
+                    (c["char_id"], tuple(c["names"]), c["gender"], m, s, e)
+                )
+    assert got == want
+
+
 def test_most_frequent_name_tie_breaks_smallest(spark):
     unified = spark.createDataFrame(
         [
