@@ -74,3 +74,60 @@ def read_conll2002_bio(
             "_in_sent", "_chunk"
         )
     return tokens.select("doc_id", "sent_idx", "tok_idx", "token", "bio_tag")
+
+
+def labeled_sentences(bio_df: DataFrame) -> DataFrame:
+    """Training-dataset shape of a BIO corpus — the engine twin of
+    ``hgdataset_from_conll2002`` (ner_utils.py:234-275): entities are
+    DECODED (normalizing BIO inconsistencies) then RE-ENCODED as
+    canonical B-/I- tags, sentences carry parallel token/label arrays,
+    and labels are class ids over the sorted distinct tag vocabulary
+    (HF ClassLabel semantics).
+
+    bio_df: (doc_id, sent_idx, tok_idx, token, bio_tag) →
+    (doc_id, sent_idx, tokens array<string>, labels array<int>,
+     label_names array<string> — the id→name mapping, same every row).
+    """
+    from renard_spark.operators.ner import bio_decode
+
+    ents = bio_decode(bio_df, resolve_inconsistencies=True)
+    e = ents.select(
+        F.col("doc_id").alias("_d"), "start_idx", "end_idx",
+        F.col("tag").alias("_tag"),
+    )
+    retagged = bio_df.join(
+        e,
+        (bio_df["doc_id"] == e["_d"])
+        & (bio_df["tok_idx"] >= e["start_idx"])
+        & (bio_df["tok_idx"] < e["end_idx"]),
+        "left",
+    ).select(
+        "doc_id", "sent_idx", "tok_idx", "token",
+        F.when(F.col("_tag").isNull(), "O")
+        .when(F.col("tok_idx") == F.col("start_idx"), F.concat(F.lit("B-"), "_tag"))
+        .otherwise(F.concat(F.lit("I-"), "_tag"))
+        .alias("tag"),
+    )
+    vocab = retagged.select("tag").distinct()
+    wv = Window.orderBy("tag")
+    vocab = vocab.withColumn("label", F.row_number().over(wv) - 1)
+    names = vocab.orderBy("label").groupBy().agg(
+        F.collect_list("tag").alias("label_names")
+    )
+    return (
+        retagged.join(F.broadcast(vocab), "tag")
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+                lambda s: s["token"],
+            ).alias("tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tok_idx", F.col("label")))
+                ),
+                lambda s: s["label"],
+            ).alias("labels"),
+        )
+        .crossJoin(F.broadcast(names))
+    )

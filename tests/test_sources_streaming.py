@@ -50,6 +50,34 @@ def test_read_conll_bio(spark, tmp_path):
     assert ("Elizabeth Bennet" in {m for _, _, _, m in got})
 
 
+def test_labeled_sentences_hgdataset_twin(spark, tmp_path):
+    """labeled_sentences == the reference's hgdataset_from_conll2002
+    re-encoding: decoded entities re-tagged canonically, labels = class
+    ids over the sorted tag vocabulary, parallel per-sentence arrays.
+    The fixture contains an orphan I- (resolve) and an I- continuation
+    whose re-encode must normalize."""
+    from renard_spark.sources.conll import labeled_sentences
+
+    p = tmp_path / "lab.bio"
+    p.write_text(
+        "Elizabeth\tB-PER\nBennet\tI-PER\nsaw\tO\nLondon\tI-LOC\n"
+        "\nDarcy\tB-PER\nleft\tO\n"
+    )
+    bio = read_conll2002_bio(spark, str(p), doc_id="d0")
+    rows = labeled_sentences(bio).collect()
+    by_sent = {r.sent_idx: r for r in rows}
+    names = rows[0].label_names
+    # vocabulary = sorted distinct re-encoded tags
+    assert names == ["B-LOC", "B-PER", "I-PER", "O"]
+    lab = {n: i for i, n in enumerate(names)}
+    s0, s1 = by_sent[0], by_sent[1]
+    assert s0.tokens == ["Elizabeth", "Bennet", "saw", "London"]
+    # orphan I-LOC starts an entity on decode → re-encoded as B-LOC
+    assert s0.labels == [lab["B-PER"], lab["I-PER"], lab["O"], lab["B-LOC"]]
+    assert s1.tokens == ["Darcy", "left"]
+    assert s1.labels == [lab["B-PER"], lab["O"]]
+
+
 def test_tag_conversion_and_max_sent_len(spark, tmp_path):
     p = tmp_path / "fix2.bio"
     p.write_text("a\tB\nb\tI\nc\tI\nd\tI\n")
