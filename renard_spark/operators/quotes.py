@@ -5,7 +5,7 @@ open/close scan over quote-mark tokens: an opening mark opens a quote
 when none is open; ANY quote mark closes an open quote. The engine
 filters the token stream to quote marks first (a tiny fraction of
 tokens — JVM-side filter), then runs the alternating scan per doc in an
-Arrow-batched applyInPandas.
+Arrow-batched per-batch scan (map_in_pandas_by_key).
 
 Speaker attribution: the reference uses a neural scorer
 (speaker_attribution.py:21-136, score>0.5 else None). The engine ships
