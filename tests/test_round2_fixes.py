@@ -255,6 +255,46 @@ def test_gender_tie_component_parity_vs_scale(spark):
     assert len(pg) == 1 and next(iter(pg))[1] == "MALE"
 
 
+def test_map_in_pandas_by_key_batch_boundary_carry(spark):
+    """Force 7-row Arrow batches so key-groups SPAN batch boundaries:
+    the trailing-group carry must reassemble every group exactly (the
+    default 10k batches never exercise this path in other tests)."""
+    from renard_spark.operators.utils import map_in_pandas_by_key
+
+    rows = [
+        (f"doc{d:02d}", i, d * 100 + i) for d in range(9) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, i int, v int")
+
+    def process(pdf):
+        import pandas as pd
+
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            # group must arrive COMPLETE and in sort order
+            out.append((doc_id, len(g), int(g["v"].sum()),
+                        list(g["i"]) == sorted(g["i"])))
+        return pd.DataFrame(out, columns=["doc_id", "n", "s", "ordered"])
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r.doc_id: (r.n, r.s, r.ordered)
+            for r in map_in_pandas_by_key(
+                df, process, "doc_id string, n int, s long, ordered boolean",
+                sort_cols=("i",),
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {
+        f"doc{d:02d}": (5, sum(d * 100 + i for i in range(5)), True)
+        for d in range(9)
+    }
+    assert got == want
+
+
 def test_graph_rules_unify_coref_path_matches_core(spark):
     """The batched Spark wrapper WITH coref chains == unify_doc run
     driver-side per document (chains drive gender votes and mention
