@@ -192,23 +192,61 @@ def dedup_clusters(
     keep = (doc == cluster_id), i.e. one canonical survivor per
     cluster. Docs in no pair are singleton clusters (kept).
 
-    → (doc_id, cluster_id, keep int). Vertices are zero-padded so the
-    CC's lexicographic min equals the numeric min.
-    """
-    from renard_spark.operators.cc import connected_components
+    → (doc_id, cluster_id, keep int) with ``doc_id``/``cluster_id`` in
+    the CALLER'S id type: numeric ids are zero-padded only internally
+    (so CC's lexicographic min equals the numeric min) and joined back
+    to the originals; string ids pass through untouched (canonical
+    survivor = lexicographically smallest id).
 
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
-    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
-    singles = docs.select(pad(id_col).alias("src")).withColumn(
+    Near-dup chains (A~B~C~…, boilerplate-heavy corpora) can exceed the
+    hash-to-min iteration budget; on ConvergenceError the O(log n)
+    large-star/small-star algorithm takes over, mirroring
+    ``unify_scale``'s fallback.
+    """
+    from pyspark.sql import types as T
+
+    from renard_spark.operators.cc import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    numeric = isinstance(
+        docs.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if numeric:
+        key = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    else:
+        key = lambda c: F.col(c).cast("string")
+    edges = pairs.select(key("doc_a").alias("src"), key("doc_b").alias("dst"))
+    singles = docs.select(key(id_col).alias("src")).withColumn(
         "dst", F.col("src")
     )
-    comp = connected_components(edges.unionByName(singles))
-    out = comp.select(
-        F.col("vertex").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
+    all_edges = edges.unionByName(singles)
+    try:
+        comp = connected_components(all_edges)
+    except ConvergenceError:
+        comp = connected_components_star(all_edges)
+    # map padded internal vertex keys back to the caller's original ids
+    idmap = docs.select(
+        F.col(id_col).alias("_orig"), key(id_col).alias("_k")
+    ).distinct()
+    out = (
+        comp.join(idmap, comp["vertex"] == idmap["_k"])
+        .select(F.col("_orig").alias("doc_id"), "component")
+        .join(
+            idmap.select(
+                F.col("_orig").alias("cluster_id"),
+                F.col("_k").alias("component"),
+            ),
+            "component",
+        )
     )
-    return out.withColumn(
-        "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
     )
 
 

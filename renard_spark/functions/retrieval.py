@@ -158,14 +158,10 @@ def neural_rerank_context(
         )
     )
 
-    from renard_spark.operators.ner import _PREDICT_CACHE
+    from renard_spark.operators.ner import cached_model
 
     def run(batches):
-        scorer = _PREDICT_CACHE.get(cache_key) if cache_key else None
-        if scorer is None:
-            scorer = scorer_factory()
-            if cache_key:
-                _PREDICT_CACHE[cache_key] = scorer
+        scorer = cached_model("reranker", cache_key, scorer_factory)
         import pandas as pd
 
         for pdf in batches:

@@ -78,9 +78,10 @@ def connected_components(
             .agg(F.min("nbr_comp").alias("min_nbr"))
             .withColumnRenamed("a", "vertex")
         )
-        # one checkpointed frame carries both old and new labels, so the
-        # convergence probe is a plain filter-count over materialized
-        # data — no old-vs-new re-join, no plan recompute.
+        # one frame carries both old and new labels, and the lazy
+        # localCheckpoint is materialized BY the changed-count action —
+        # one Spark job per round (probe folded into the checkpoint
+        # write), no old-vs-new re-join, no plan recompute.
         upd = (
             comp.join(nbr, "vertex", "left")
             .select(
@@ -90,9 +91,9 @@ def connected_components(
                     "component", F.coalesce("min_nbr", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = upd.filter(F.col("component") != F.col("_old")).limit(1).count()
+        changed = upd.filter(F.col("component") != F.col("_old")).count()
         comp = upd.select("vertex", "component")
         if changed == 0:
             converged = True
@@ -173,7 +174,8 @@ def connected_components_star(
         ).first()
         return (row["c"], row["h"])
 
-    prev = None
+    prev_sig: tuple[int, int] | None = None
+    prev_e: DataFrame | None = None
     converged = False
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
@@ -183,13 +185,19 @@ def connected_components_star(
         sym2 = sym2.select(F.col("x").alias("a"), F.col("y").alias("b"))
         e = _small_star(sym2).localCheckpoint()
         sig = _sig(e)
-        if sig == prev:
-            converged = True
-            break
-        prev = sig
+        if sig == prev_sig and prev_e is not None:
+            # The (count, bit_xor(xxhash64)) signature can never report
+            # a false "changed" on equal sets, but it CAN report a
+            # false fixpoint on a hash collision between unequal sets —
+            # which would silently return partial labels. Confirm with
+            # ONE exact anti-join (counts already match and both frames
+            # are distinct, so one direction suffices) before trusting.
+            if e.join(prev_e, ["x", "y"], "left_anti").limit(1).count() == 0:
+                converged = True
+                break
+        prev_sig = sig
+        prev_e = e
     if not converged:
-        # hash-sum probe can only produce a false "changed", never a
-        # false fixpoint on equal sets; warn and verify via labels below.
         warnings.warn(
             f"connected_components_star: no fixpoint after {max_iter} "
             "rounds — labels may be partial"

@@ -39,10 +39,12 @@ Chain = list[Span]
 
 def split_blocks(tokens: list[str], block_size: int) -> list[tuple[int, list[str]]]:
     """Fixed-size token blocks [(block_start, block_tokens), ...] —
-    the reference's list-comprehension split (corefs/corefs.py:101-104)."""
+    the reference's list-comprehension split (corefs/corefs.py:101-104).
+    An empty token list yields ZERO blocks (``range(0, 0, bs)`` in the
+    reference), so injected scorers never see an empty block."""
     return [
         (s, tokens[s : s + block_size])
-        for s in range(0, max(len(tokens), 1), block_size)
+        for s in range(0, len(tokens), block_size)
     ]
 
 
@@ -103,6 +105,8 @@ def resolve_doc_corefs(
     per block (scorer handles its own batching) → concatenate or
     merge. Chains are returned sorted by (first span, ...) — the
     canonical order chain ids are assigned in."""
+    if not tokens:
+        return []
     blocks = split_blocks(tokens, block_size)
     starts = [s for s, _ in blocks]
     per_block = scorer([b for _, b in blocks])

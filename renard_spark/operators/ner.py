@@ -198,7 +198,22 @@ def hf_ner_model(model_path: str, max_length: int = 512):
     return predict  # pragma: no cover
 
 
-_PREDICT_CACHE: dict[str, object] = {}
+_PREDICT_CACHE: dict[tuple[str, str], object] = {}
+
+
+def cached_model(namespace: str, cache_key: str | None, factory):
+    """Executor-local model cache, namespaced per operator: the same
+    caller-supplied ``cache_key`` (e.g. one shared model path) used by
+    two different stages (NER vs speaker scorer vs reranker ...) must
+    never return the other stage's callable, so the real key is
+    ``(namespace, cache_key)``."""
+    key = (namespace, cache_key)
+    fn = _PREDICT_CACHE.get(key) if cache_key else None
+    if fn is None:
+        fn = factory()
+        if cache_key:
+            _PREDICT_CACHE[key] = fn
+    return fn
 
 
 def model_ner(
@@ -224,11 +239,7 @@ def model_ner(
     import pandas as pd
 
     def run(batches):
-        predict = _PREDICT_CACHE.get(cache_key) if cache_key else None
-        if predict is None:
-            predict = model_factory()
-            if cache_key:
-                _PREDICT_CACHE[cache_key] = predict
+        predict = cached_model("ner", cache_key, model_factory)
         for pdf in batches:
             rows = []
             sents = [list(s) for s in pdf["toks"]]

@@ -74,14 +74,10 @@ def model_relations(
     """
     import pandas as pd
 
-    from renard_spark.operators.ner import _PREDICT_CACHE
+    from renard_spark.operators.ner import cached_model
 
     def run(batches):
-        generate = _PREDICT_CACHE.get(cache_key) if cache_key else None
-        if generate is None:
-            generate = generator_factory()
-            if cache_key:
-                _PREDICT_CACHE[cache_key] = generate
+        generate = cached_model("relgen", cache_key, generator_factory)
         for pdf in batches:
             sents = [list(s) for s in pdf["toks"]]
             outs: list[str] = []

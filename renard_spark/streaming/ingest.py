@@ -40,7 +40,23 @@ def write_batch_tables(
     """Idempotent per-batch sink: each table's micro-batch output goes
     to ``<table>/batch_id=N``. Committed partitions (``_SUCCESS``) are
     skipped; partially-written ones are overwritten — replaying a batch
-    can never duplicate rows."""
+    can never duplicate rows.
+
+    Filesystem-path sink only: ``IcebergCatalog.path()`` returns a
+    table identifier (``catalog.db.name``), not a directory, so the
+    os.path logic below would write to a bogus relative dir — dispatch
+    refuses it. (Iceberg gets per-batch idempotence from its own
+    snapshot/commit model; wire ``writeTo(...).append`` + a batch_id
+    column there instead.) Note the ``_SUCCESS`` probe is driver-local
+    ``os.path`` — correct for local/NFS paths, not for HDFS/S3 URIs.
+    """
+    from renard_spark.io.catalog import ParquetCatalog
+
+    if not isinstance(catalog, ParquetCatalog):
+        raise NotImplementedError(
+            "write_batch_tables is a filesystem sink; the Iceberg "
+            "catalog needs a snapshot-based idempotent append instead"
+        )
     for name in tables:
         part = os.path.join(catalog.path(name), f"batch_id={batch_id}")
         if os.path.exists(os.path.join(part, "_SUCCESS")):

@@ -23,7 +23,8 @@ def test_split_blocks():
     assert split_blocks(toks, 4) == [
         (0, toks[0:4]), (4, toks[4:8]), (8, toks[8:10])
     ]
-    assert split_blocks([], 4) == [(0, [])]
+    # reference's range(0, len(tokens), bs): zero blocks for zero tokens
+    assert split_blocks([], 4) == []
 
 
 def test_concat_offsets_and_keeps_chains_separate():

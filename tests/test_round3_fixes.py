@@ -1,0 +1,124 @@
+"""Regression tests for the round-3 ADVICE.md fixes."""
+
+import pytest
+
+import renard_spark.operators.cc as cc_mod
+from renard_spark.functions.dedup import dedup_clusters
+from renard_spark.operators.coref import resolve_doc_corefs, split_blocks
+from renard_spark.operators.ner import _PREDICT_CACHE, cached_model
+
+
+# ---------------------------------------------------- dedup_clusters typing
+
+
+def test_dedup_clusters_string_ids(spark):
+    """String doc ids must come back as strings (ADVICE: the old code
+    cast vertices to long, NULLing every non-numeric id)."""
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-z",)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert set(out) == {"doc-a", "doc-b", "doc-c", "doc-z"}
+    assert all(isinstance(k, str) for k in out)
+    assert out["doc-a"]["cluster_id"] == "doc-a" and out["doc-a"]["keep"] == 1
+    assert out["doc-b"]["cluster_id"] == "doc-a" and out["doc-b"]["keep"] == 0
+    assert out["doc-c"]["cluster_id"] == "doc-a" and out["doc-c"]["keep"] == 0
+    assert out["doc-z"]["cluster_id"] == "doc-z" and out["doc-z"]["keep"] == 1
+
+
+def test_dedup_clusters_numeric_min_not_lexicographic(spark):
+    """Numeric ids: canonical survivor is the NUMERIC min (2 < 10, even
+    though '10' < '2' lexicographically) and the output type is long."""
+    docs = spark.createDataFrame([(10,), (2,), (7,)], ["doc_id"])
+    pairs = spark.createDataFrame([(10, 2)], ["doc_a", "doc_b"])
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert out[2]["cluster_id"] == 2 and out[2]["keep"] == 1
+    assert out[10]["cluster_id"] == 2 and out[10]["keep"] == 0
+    assert out[7]["cluster_id"] == 7 and out[7]["keep"] == 1
+
+
+def test_dedup_clusters_falls_back_to_star(spark, monkeypatch):
+    """On ConvergenceError (long near-dup chains) the star algorithm
+    takes over instead of crashing the dedup action (ADVICE medium)."""
+
+    def boom(*a, **k):
+        raise cc_mod.ConvergenceError("forced")
+
+    monkeypatch.setattr(cc_mod, "connected_components", boom)
+    docs = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------- model cache keying
+
+
+def test_cached_model_namespaced_per_operator():
+    """Same cache_key under two operator namespaces must return two
+    different callables (ADVICE: shared flat cache returned the wrong
+    model when one path was reused for two stages)."""
+    _PREDICT_CACHE.clear()
+    a = cached_model("ner", "shared/path", lambda: "ner-model")
+    b = cached_model("speaker", "shared/path", lambda: "speaker-model")
+    assert a == "ner-model" and b == "speaker-model"
+    # memoized per namespace
+    assert cached_model("ner", "shared/path", lambda: "new") == "ner-model"
+    # no cache_key → no memoization
+    assert cached_model("ner", None, lambda: "fresh") == "fresh"
+    _PREDICT_CACHE.clear()
+
+
+# -------------------------------------------------------- coref empty block
+
+
+def test_split_blocks_empty_tokens_yields_zero_blocks():
+    assert split_blocks([], 512) == []
+    assert split_blocks(["a"], 512) == [(0, ["a"])]
+
+
+def test_resolve_doc_corefs_never_calls_scorer_on_empty():
+    calls = []
+
+    def scorer(blocks):
+        calls.append(blocks)
+        return [[] for _ in blocks]
+
+    assert resolve_doc_corefs([], scorer) == []
+    assert calls == []
+
+
+# ----------------------------------------------- streaming sink dispatching
+
+
+def test_write_batch_tables_refuses_non_parquet_catalog():
+    from renard_spark.streaming.ingest import write_batch_tables
+
+    class FakeIceberg:
+        def path(self, name):
+            return f"cat.db.{name}"
+
+    with pytest.raises(NotImplementedError):
+        write_batch_tables(FakeIceberg(), {}, 0, ("tokens",))
+
+
+# ------------------------------------------------------------ CC fixpoint
+
+
+def test_cc_star_labels_match_hash_to_min(spark):
+    """After the exact-confirm change, star labels still match the
+    hash-to-min contract on a mixed star+chain graph."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")], ["src", "dst"]
+    )
+    lab1 = {r["vertex"]: r["component"]
+            for r in cc_mod.connected_components(edges).collect()}
+    lab2 = {r["vertex"]: r["component"]
+            for r in cc_mod.connected_components_star(edges).collect()}
+    assert lab1 == lab2 == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q",
+    }
