@@ -860,6 +860,134 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- alias-linking unification (multi-name components) -------------------
+#
+# The plain cast corpus degenerates to singleton components (every cast
+# token is a distinct single-token name), so the alias-LINKING rules of
+# GraphRulesCharacterUnifier were hash-gated only via pytest. These two
+# queries synthesize two-token PER mentions from adjacent (first, last)
+# token bigrams, case-alternated by position parity, which makes the
+# engine's rule set produce REAL multi-name components whose surviving
+# edge set is exactly SQL-expressible:
+#   * shared-FIRST-token pairs always link and are never contradicted
+#     (the contradiction needs equal case-sensitive lasts);
+#   * shared-LAST-token pairs link, but the contradiction pass removes
+#     exactly the direct edge when both firsts are non-empty and differ
+#     case-sensitively — so only MIXED-case pairs (initcap vs lower,
+#     case-sensitively different lasts) survive.
+# Property-tested equal to unify_core.unify_doc over random corpora in
+# tests/test_linked_oracle_semantics.py; the DuckDB oracle is the same
+# edge set + recursive-CTE connected components.
+LINK_FIRSTS = ["spark", "customer", "vector", "window"]
+LINK_LASTS = ["table", "stream", "batch", "join"]
+_LINK_FIRSTS_SQL = ", ".join(f"'{t}'" for t in LINK_FIRSTS)
+_LINK_LASTS_SQL = ", ".join(f"'{t}'" for t in LINK_LASTS)
+
+_ORACLE_LINKED = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents),
+       LATERAL (SELECT unnest(tl) AS tok, generate_subscripts(tl, 1) AS i) u
+), pairs0 AS (
+  SELECT doc_id, tok_idx, token AS t1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY tok_idx) AS t2
+  FROM toks
+), big AS (
+  SELECT doc_id, tok_idx,
+    CASE WHEN tok_idx % 2 = 0
+      THEN upper(substr(t1, 1, 1)) || substr(t1, 2) || ' '
+           || upper(substr(t2, 1, 1)) || substr(t2, 2)
+      ELSE t1 || ' ' || t2 END AS mention,
+    t1 AS fi, t2 AS la, (tok_idx % 2 = 0) AS up
+  FROM pairs0
+  WHERE t1 IN ({_LINK_FIRSTS_SQL}) AND t2 IN ({_LINK_LASTS_SQL})
+), names AS (
+  SELECT DISTINCT doc_id, mention, fi, la, up FROM big
+), ed AS (
+  SELECT a.doc_id, a.mention AS u, b.mention AS v
+  FROM names a JOIN names b ON a.doc_id = b.doc_id AND a.mention < b.mention
+  WHERE a.fi = b.fi OR (a.la = b.la AND a.up <> b.up)
+), e2 AS (
+  SELECT doc_id, u, v FROM ed
+  UNION SELECT doc_id, v AS u, u AS v FROM ed
+), r(doc_id, u, l) AS (
+  SELECT doc_id, mention, mention FROM names
+  UNION
+  SELECT e2.doc_id, e2.v, r.l
+  FROM r JOIN e2 ON e2.doc_id = r.doc_id AND e2.u = r.u
+), comp AS (
+  SELECT doc_id, u AS mention, min(l) AS char_id FROM r GROUP BY doc_id, u
+), nn AS (
+  SELECT doc_id, char_id, count(*)::BIGINT AS n_names
+  FROM comp GROUP BY doc_id, char_id
+)
+SELECT b.doc_id, c.char_id, nn.n_names, count(*)::BIGINT AS mention_count
+FROM big b
+JOIN comp c ON c.doc_id = b.doc_id AND c.mention = b.mention
+JOIN nn ON nn.doc_id = b.doc_id AND nn.char_id = c.char_id
+GROUP BY b.doc_id, c.char_id, nn.n_names
+"""
+
+
+def _linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic two-token PER mentions: adjacent (first, last) token
+    bigrams, initcap'd at even token positions (see comment above)."""
+    from pyspark.sql import Window
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    nxt = F.lead("token").over(w)
+    cased = F.when(
+        F.col("tok_idx") % 2 == 0,
+        F.concat(F.initcap("token"), F.lit(" "), F.initcap(F.col("nxt"))),
+    ).otherwise(F.concat(F.col("token"), F.lit(" "), F.col("nxt")))
+    return (
+        toks.withColumn("nxt", nxt)
+        .filter(F.col("token").isin(LINK_FIRSTS) & F.col("nxt").isin(LINK_LASTS))
+        .select(
+            "doc_id",
+            F.col("tok_idx").cast("int").alias("start_idx"),
+            (F.col("tok_idx") + 2).cast("int").alias("end_idx"),
+            cased.alias("mention_str"),
+            F.lit("PER").alias("tag"),
+        )
+    )
+
+
+def q_linked_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRules unification on a corpus with REAL alias links: the
+    shared-first/shared-last rules and the contradiction pass all fire
+    and the per-doc components have ≥2 names (n_names column)."""
+    ments = _linked_mentions(spark, sf_dir)
+    unified = unify.graph_rules_unify(ments)
+    chars = unify.characters_table(unified)
+    return _long_doc_id(
+        chars.select(
+            "doc_id", "char_id",
+            F.size("names").cast("long").alias("n_names"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
+def q_linked_scale_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed scale path (pair-rule join + iterative CC +
+    per-component contradiction refinement) on the same multi-name
+    corpus as q_linked_characters — the hardest operator hash-gated on
+    a non-degenerate input."""
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    ments = _linked_mentions(spark, sf_dir)
+    unified = unify_distributed(ments)
+    counted = unified.groupBy("doc_id", "char_id").agg(
+        F.size(F.first("names")).cast("long").alias("n_names"),
+        F.count(F.lit(1)).cast("long").alias("mention_count"),
+    )
+    return _long_doc_id(counted)
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -910,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_near_dups": q_capped_near_dups,
         "dedup_groups": q_dedup_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "linked_characters": q_linked_characters,
+        "linked_scale_characters": q_linked_scale_characters,
     }
 
 
@@ -1079,6 +1209,8 @@ pairs AS (
             FROM clusters
         """,
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
+        "linked_characters": _ORACLE_LINKED,
+        "linked_scale_characters": _ORACLE_LINKED,
         "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
         "srp_multi_topk": _ORACLE_SRP_MULTI,
         "ivf_topk": _ORACLE_IVF,
