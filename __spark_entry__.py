@@ -988,6 +988,58 @@ def q_linked_scale_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long_doc_id(counted)
 
 
+# Bench-only valence injection over the corpus vocabulary: the driver
+# docs contain no English sentiment words, so the DEFAULT lexicon would
+# score every sentence 0.0 and the polarity machinery would be gated on
+# a degenerate constant. These values exist only to exercise the
+# operator (broadcast lexicon join → per-sentence VADER normalization →
+# per-pair |p|-argmax → per-edge sum) with non-trivial numbers; real
+# corpora use the built-in lexicon (resources/valence.py).
+BENCH_LEXICON = [
+    ("fast", 1.2), ("slow", -1.4), ("big", 0.9), ("small", -0.6),
+    ("merge", 0.4), ("hash", -0.3), ("query", 0.2), ("scan", -0.2),
+]
+POLARITY_SENT_LEN = 10  # synthetic sentence = 10 tokens (corpus has no punctuation)
+_LEX_SQL = ", ".join(f"('{w}', {v})" for w, v in BENCH_LEXICON)
+
+
+def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment-weighted character network: per-sentence VADER-style
+    polarity (lexicon sum, s/√(s²+α)) feeding cooccurrence_edges'
+    polarity branch — pair polarity = max-|p| sentence in the pair's
+    sentence span (earliest wins ties), edge polarity = sum over pairs
+    (reference graph_extraction.py sentiment path, cooccur.py:236-289).
+    Sentences are synthetic fixed-length windows (corpus lacks
+    punctuation); the lexicon is the documented injection seam."""
+    from renard_spark.operators import sentiment
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs).withColumn(
+        "sent_idx",
+        F.floor(F.col("tok_idx") / POLARITY_SENT_LEN).cast("int"),
+    )
+    lex = spark.createDataFrame(BENCH_LEXICON, "word string, valence double")
+    # round BEFORE the per-pair |p|-argmax: two sentences with nominally
+    # opposite polarities (±x) must tie EXACTLY on |p| in both engines
+    # (raw doubles differ in the 1e-17s from summation order, flipping
+    # the argmax between Spark and DuckDB)
+    pol = sentiment.sentence_polarities(toks, lexicon=lex).withColumn(
+        "polarity", F.round("polarity", 6)
+    )
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(
+        mentions, COOCCUR_DIST, "tokens", tokens_df=toks, polarities_df=pol
+    )
+    return _long_doc_id(
+        edges.select(
+            "doc_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+            F.round("polarity", 6).alias("polarity"),
+        )
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -1040,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "linked_characters": q_linked_characters,
         "linked_scale_characters": q_linked_scale_characters,
+        "polarity_edges": q_polarity_edges,
     }
 
 
@@ -1211,6 +1264,32 @@ pairs AS (
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "linked_characters": _ORACLE_LINKED,
         "linked_scale_characters": _ORACLE_LINKED,
+        "polarity_edges": edges_ctes + f"""
+            , lex(word, val) AS (VALUES {_LEX_SQL}),
+            spol AS (
+              SELECT t.doc_id, (t.tok_idx // {POLARITY_SENT_LEN})::INT AS s,
+                     sum(coalesce(l.val, 0)) AS sv
+              FROM toks t LEFT JOIN lex l ON l.word = t.token
+              GROUP BY t.doc_id, (t.tok_idx // {POLARITY_SENT_LEN})
+            ), pol AS (
+              SELECT doc_id, s, round(sv / sqrt(sv * sv + 15.0), 6) AS p
+              FROM spol
+            ), pp AS (
+              SELECT pr.doc_id, pr.i, pr.j, pr.t1, pr.t2, p.p, p.s,
+                     row_number() OVER (
+                       PARTITION BY pr.doc_id, pr.i, pr.j
+                       ORDER BY abs(p.p) DESC, p.s ASC) AS rn
+              FROM pairs pr JOIN pol p ON p.doc_id = pr.doc_id
+                AND p.s >= pr.i // {POLARITY_SENT_LEN}
+                AND p.s <= pr.j // {POLARITY_SENT_LEN}
+              WHERE pr.t1 <> pr.t2
+            )
+            SELECT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst,
+                   count(*)::BIGINT AS weight,
+                   round(sum(p), 6) AS polarity
+            FROM pp WHERE rn = 1
+            GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
+        """,
         "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
         "srp_multi_topk": _ORACLE_SRP_MULTI,
         "ivf_topk": _ORACLE_IVF,

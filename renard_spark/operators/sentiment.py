@@ -5,9 +5,11 @@ The reference scores each sentence with NLTK VADER's compound metric
 deterministic valence-lexicon scorer with the same output shape and the
 VADER-style normalization compound = s/√(s²+α): a broadcast join from
 tokens to the lexicon, one groupBy per sentence — no Python UDF at all.
-The lexicon = a core narrative word list below + the ~380-entry
-extended compilation in resources/valence.py (same [-4,4] VADER scale);
-the full VADER list remains drop-in replaceable as a parquet dim table.
+The lexicon = a core narrative word list below + the ~2.7k-entry
+original compilation in resources/valence.py (same [-4,4] VADER scale).
+The real VADER list is drop-in loadable via ``load_vader_lexicon``
+(official TSV format) or any (word, valence) DataFrame passed to
+``sentence_polarities(lexicon=...)``.
 """
 
 from __future__ import annotations
@@ -43,14 +45,38 @@ def lexicon_df(spark) -> DataFrame:
     )
 
 
-def sentence_polarities(tokens_df: DataFrame) -> DataFrame:
+def load_vader_lexicon(spark, path: str) -> DataFrame:
+    """Parse the official ``vader_lexicon.txt`` TSV (MIT-licensed;
+    ``token\\tmean\\tstddev\\t[votes]``) into the (word, valence) shape
+    every scorer here consumes — the concrete drop-in seam for users
+    who ship the real ~7.5k-entry list (it cannot be vendored in this
+    offline container). Distributed read: the file may live on any
+    Hadoop-visible filesystem."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        raw.filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.lower(parts.getItem(0)).alias("word"),
+            parts.getItem(1).cast("double").alias("valence"),
+        )
+        .filter(F.col("valence").isNotNull())
+    )
+
+
+def sentence_polarities(
+    tokens_df: DataFrame, lexicon: DataFrame | None = None
+) -> DataFrame:
     """→ (doc_id, sent_idx, polarity double in [-1,1]).
 
     Every sentence gets a row (0.0 when no lexicon hits), mirroring the
     reference's one-polarity-per-sentence list (core.py:178-179).
+    ``lexicon`` (word string, valence double) overrides the built-in
+    list — the dim-table seam for a vendored VADER parquet or a
+    domain lexicon.
     """
     spark = tokens_df.sparkSession
-    lex = lexicon_df(spark)
+    lex = lexicon if lexicon is not None else lexicon_df(spark)
     hits = (
         tokens_df.join(
             F.broadcast(lex), F.lower(tokens_df["token"]) == lex["word"], "left"

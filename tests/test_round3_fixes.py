@@ -122,3 +122,34 @@ def test_cc_star_labels_match_hash_to_min(spark):
     assert lab1 == lab2 == {
         "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q",
     }
+
+
+# ---------------------------------------------------------------- lexicon
+
+
+def test_lexicon_expanded_and_consistent():
+    from renard_spark.operators.sentiment import LEXICON, polarity_py
+
+    assert len(LEXICON) >= 2500
+    assert all(-4.0 <= v <= 4.0 for v in LEXICON.values())
+    # inflections share the root's sign
+    assert LEXICON["celebrated"] == LEXICON["celebrate"] > 0
+    assert LEXICON["betrayed"] < 0 and LEXICON["torturing"] < 0
+    # compound normalization stays in [-1, 1]
+    assert -1 < polarity_py(["tortured", "miserable", "wretched"]) < 0
+    assert 0 < polarity_py(["joyful", "celebration"]) < 1
+
+
+def test_load_vader_lexicon_tsv(spark, tmp_path):
+    from renard_spark.operators.sentiment import load_vader_lexicon
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "$:\t-1.5\t0.8\t[-1, -1, -2]\n"
+        "GREAT\t3.1\t0.7\t[3, 3, 4]\n"
+        "\n"
+        "terrible\t-2.1\t0.6\t[-2, -2, -2]\n"
+    )
+    rows = {r["word"]: r["valence"] for r in
+            load_vader_lexicon(spark, str(p)).collect()}
+    assert rows == {"$:": -1.5, "great": 3.1, "terrible": -2.1}
