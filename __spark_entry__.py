@@ -1040,6 +1040,39 @@ def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The corpus has no quote-mark characters, so the token 'line' (not a
+# cast token) plays the quote mark: with open==close the QuoteDetector's
+# stateful scan pairs consecutive occurrences — expressible in SQL as
+# row_number parity (gaps-and-islands). dist=30 gives the conversation
+# band join real adjacent-quote pairs at sf0.01.
+QUOTE_MARK = "line"
+SPEAKER_MAX_GAP = 5
+CONV_DIST = 30
+
+
+def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversational character network: quote detection (alternating
+    open/close scan, quote_detection.py:17-71) → rule speaker
+    attribution (nearest mention after, then before, score-thresholded
+    like the reference's >0.5 gate, speaker_attribution.py:119-124) →
+    quote-adjacency conversation edges (graph_extraction.py:567-599)."""
+    from renard_spark.operators import conversation as conv
+    from renard_spark.operators import quotes as qops
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    qdf = qops.detect_quotes(toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)])
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    sp = qops.attribute_speakers(qdf, unified, max_gap=SPEAKER_MAX_GAP)
+    edges = conv.conversation_edges(sp, dist=CONV_DIST, unit="tokens")
+    return _long_doc_id(
+        edges.select(
+            "doc_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -1093,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_characters": q_linked_characters,
         "linked_scale_characters": q_linked_scale_characters,
         "polarity_edges": q_polarity_edges,
+        "speaker_edges": q_speaker_edges,
     }
 
 
@@ -1264,6 +1298,51 @@ pairs AS (
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "linked_characters": _ORACLE_LINKED,
         "linked_scale_characters": _ORACLE_LINKED,
+        "speaker_edges": _BASE_CTES + f"""
+            , lmarks AS (
+              SELECT doc_id, tok_idx,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tok_idx) - 1 AS r
+              FROM toks WHERE token = '{QUOTE_MARK}'
+            ), quotes AS (
+              SELECT a.doc_id, (a.r // 2)::INT AS quote_id,
+                     a.tok_idx AS qs, b.tok_idx + 1 AS qe
+              FROM lmarks a JOIN lmarks b
+                ON a.doc_id = b.doc_id AND b.r = a.r + 1
+              WHERE a.r % 2 = 0
+            ), cand AS (
+              SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
+                     m.tok_idx - q.qe AS gap, 0 AS side
+              FROM quotes q JOIN m ON m.doc_id = q.doc_id
+                AND m.tok_idx >= q.qe
+                AND m.tok_idx < q.qe + {SPEAKER_MAX_GAP}
+              UNION ALL
+              SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
+                     q.qs - (m.tok_idx + 1) AS gap, 1 AS side
+              FROM quotes q JOIN m ON m.doc_id = q.doc_id
+                AND m.tok_idx + 1 <= q.qs
+                AND m.tok_idx + 1 > q.qs - {SPEAKER_MAX_GAP}
+            ), best AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id, quote_id
+                                           ORDER BY side, gap, cand) AS rn
+              FROM cand
+            ), sp AS (
+              SELECT doc_id, quote_id, qs, qe, cand AS speaker
+              FROM best
+              WHERE rn = 1 AND (1.0 - gap / {2.0 * SPEAKER_MAX_GAP}
+                                - 0.2 * side) > 0.5
+            ), pr AS (
+              SELECT a.doc_id, a.speaker AS sp1, b.speaker AS sp2
+              FROM sp a JOIN sp b
+                ON a.doc_id = b.doc_id AND a.quote_id < b.quote_id
+              WHERE abs(CASE WHEN b.qs >= a.qe THEN b.qs - a.qe
+                             ELSE a.qs - b.qe END) <= {CONV_DIST}
+                AND a.speaker <> b.speaker
+            )
+            SELECT doc_id, least(sp1, sp2) AS src,
+                   greatest(sp1, sp2) AS dst, count(*)::BIGINT AS weight
+            FROM pr GROUP BY doc_id, least(sp1, sp2), greatest(sp1, sp2)
+        """,
         "polarity_edges": edges_ctes + f"""
             , lex(word, val) AS (VALUES {_LEX_SQL}),
             spol AS (
