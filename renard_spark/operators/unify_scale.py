@@ -85,14 +85,70 @@ def _gender_udf(names: pd.Series) -> pd.Series:
     return pd.Series([infer_gender(n, None, "eng") for n in names])
 
 
+def _chain_gender_votes(
+    names: DataFrame, corefs_df: DataFrame, scope_col: str
+) -> DataFrame:
+    """Fold coref-chain pronoun votes into per-name gender — the exact
+    ``infer_gender`` semantics (unify_core.py:75-96) as DataFrame ops:
+    title gender (already in ``names.gender``) wins when known; else,
+    over chains CONTAINING the name, count each chain's distinct male/
+    female pronoun SURFACES (set semantics: 'He' and 'he' are two
+    surfaces, a repeated 'he' is one) and majority-vote, ties UNKNOWN.
+    """
+    from renard_spark.resources.gazetteers import (
+        FEMALE_PRONOUNS,
+        MALE_PRONOUNS,
+    )
+
+    male = sorted(MALE_PRONOUNS["eng"])
+    female = sorted(FEMALE_PRONOUNS["eng"])
+    surf = corefs_df.select(scope_col, "chain_id", "mention_str").distinct()
+    counts = surf.groupBy(scope_col, "chain_id").agg(
+        F.sum(
+            F.when(F.lower("mention_str").isin(male), 1).otherwise(0)
+        ).alias("_mc"),
+        F.sum(
+            F.when(F.lower("mention_str").isin(female), 1).otherwise(0)
+        ).alias("_fc"),
+    )
+    votes = (
+        surf.join(counts, [scope_col, "chain_id"])
+        .groupBy(scope_col, "mention_str")
+        .agg(F.sum("_mc").alias("_m"), F.sum("_fc").alias("_f"))
+        .select(
+            scope_col,
+            "mention_str",
+            F.when(F.col("_m") > F.col("_f"), F.lit("MALE"))
+            .when(F.col("_f") > F.col("_m"), F.lit("FEMALE"))
+            .otherwise(F.lit("UNKNOWN"))
+            .alias("_vote"),
+        )
+    )
+    return names.join(votes, [scope_col, "mention_str"], "left").select(
+        scope_col,
+        "mention_str",
+        F.when(F.col("gender") != "UNKNOWN", F.col("gender"))
+        .otherwise(F.coalesce("_vote", F.lit("UNKNOWN")))
+        .alias("gender"),
+    )
+
+
 def unify_distributed(
     entities_df: DataFrame,
     character_tag: str = "PER",
     scope_col: str = "doc_id",
     min_appearances: int = 0,
+    corefs_df: DataFrame | None = None,
 ) -> DataFrame:
     """→ unified mentions (scope, char_id, names, gender, mention_str,
-    start_idx, end_idx), same shape as unify.graph_rules_unify."""
+    start_idx, end_idx), same shape as unify.graph_rules_unify.
+
+    ``corefs_df`` (scope, chain_id, mention_str, ...) joins chain
+    pronoun votes into the gender inference, closing the one semantic
+    gap vs the parity path's ``infer_gender(chains=...)``; the informed
+    gender then feeds the contradiction refinement exactly as there.
+    (Chain-mention assignment and the link_corefs_mentions rule remain
+    parity-path features.)"""
     per = entities_df.filter(F.col("tag") == character_tag)
     # names and linked pairs feed several consumers each (pair sides,
     # node/edge sides, labeling) and carry Arrow-UDF stages —
@@ -101,8 +157,10 @@ def unify_distributed(
         per.select(scope_col, "mention_str")
         .distinct()
         .withColumn("gender", _gender_udf("mention_str"))
-        .localCheckpoint(eager=True)
     )
+    if corefs_df is not None:
+        names = _chain_gender_votes(names, corefs_df, scope_col)
+    names = names.localCheckpoint(eager=True)
 
     a = names.select(
         F.col(scope_col).alias("_s"),

@@ -101,22 +101,67 @@ def char_blocks_to_token_blocks(
 ) -> DataFrame:
     """blocks (doc_id, block_id, char_start, char_end) ×
     offsets (doc_id, tok_idx, char_start, char_end) →
-    (doc_id, block_id, start, end) in token indices."""
-    o = offsets_df.select(
-        F.col("doc_id").alias("_d"),
-        F.col("tok_idx").alias("_t"),
-        F.col("char_start").alias("_cs"),
+    (doc_id, block_id, start, end) in token indices.
+
+    token for a char position = last token starting at/before it, else
+    token 0 — found by numpy ``searchsorted`` over the doc's sorted
+    token starts inside one Arrow batch. The old inequality join
+    fanned out O(blocks × tokens) rows per doc (the heaviest plan in
+    the repo for chapter-level blocks on book-length docs); this path
+    is one doc_id equi-join + O(B log T) lookups, bounded fanout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = offsets_df.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("char_start", "tok_idx"))
+        ).alias("_toks")
+    ).select(
+        "doc_id",
+        F.col("_toks.char_start").alias("_cs"),
+        F.col("_toks.tok_idx").alias("_ti"),
     )
-    # token for a char position = last token starting at/before it, else 0
-    j = blocks_df.join(
-        o, (blocks_df["doc_id"] == o["_d"]) & (o["_cs"] <= F.col("char_start")),
-        "left",
-    ).groupBy("doc_id", "block_id", "char_start", "char_end").agg(
-        F.coalesce(F.max("_t"), F.lit(0)).alias("start")
+    b = blocks_df.distinct().groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("block_id", "char_start", "char_end")
+        ).alias("_blocks")
     )
-    j2 = j.join(
-        o, (j["doc_id"] == o["_d"]) & (o["_cs"] <= F.col("char_end")), "left"
-    ).groupBy("doc_id", "block_id", "start").agg(
-        F.coalesce(F.max("_t"), F.lit(0)).alias("end")
+    joined = b.join(toks, "doc_id", "left")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blocks, cs, ti in zip(
+                pdf["doc_id"], pdf["_blocks"], pdf["_cs"], pdf["_ti"]
+            ):
+                cs_arr = np.asarray(
+                    cs if cs is not None else [], dtype=np.int64
+                )
+                ti_arr = np.asarray(
+                    ti if ti is not None else [], dtype=np.int64
+                )
+                for blk in blocks:
+                    if len(cs_arr) == 0:
+                        s = e = 0
+                    else:
+                        i1 = int(
+                            np.searchsorted(
+                                cs_arr, blk["char_start"], side="right"
+                            )
+                        ) - 1
+                        i2 = int(
+                            np.searchsorted(
+                                cs_arr, blk["char_end"], side="right"
+                            )
+                        ) - 1
+                        s = int(ti_arr[i1]) if i1 >= 0 else 0
+                        e = int(ti_arr[i2]) if i2 >= 0 else 0
+                    rows.append((doc_id, int(blk["block_id"]), s, e))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "block_id", "start", "end"]
+            )
+
+    return joined.mapInPandas(
+        run, schema="doc_id string, block_id int, start int, end int"
     )
-    return j2.select("doc_id", "block_id", "start", "end")

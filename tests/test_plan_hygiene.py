@@ -61,3 +61,26 @@ def test_no_row_udfs_in_full_pipeline(spark):
     assert "BatchEvalPython" not in plan  # only Arrow-batched stages
     # gazetteer-joins and dims must broadcast, never shuffle both sides
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_blocks_bounded_fanout(spark):
+    """char_blocks_to_token_blocks must be an equi-join + Arrow lookup,
+    never a row-explosion inequality join (the round-2 verdict's
+    heaviest-plan finding)."""
+    from renard_spark.operators import utils as oputils
+
+    blocks = spark.createDataFrame(
+        [("d1", 0, 0, 10), ("d1", 1, 10, 25)],
+        "doc_id string, block_id int, char_start int, char_end int",
+    )
+    offsets = spark.createDataFrame(
+        [("d1", i, i * 5, i * 5 + 4) for i in range(6)],
+        "doc_id string, tok_idx int, char_start int, char_end int",
+    )
+    out = oputils.char_blocks_to_token_blocks(blocks, offsets)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # correctness of the searchsorted mapping
+    got = {r["block_id"]: (r["start"], r["end"]) for r in out.collect()}
+    assert got == {0: (0, 2), 1: (2, 5)}

@@ -153,3 +153,92 @@ def test_load_vader_lexicon_tsv(spark, tmp_path):
     rows = {r["word"]: r["valence"] for r in
             load_vader_lexicon(spark, str(p)).collect()}
     assert rows == {"$:": -1.5, "great": 3.1, "terrible": -2.1}
+
+
+# --------------------------------------------- chain gender in scale path
+
+
+def test_scale_path_chain_gender_votes_match_parity(spark):
+    """unify_distributed(corefs_df=...) must infer the same genders and
+    components as the parity path: pronoun votes flow into the
+    contradiction refinement (a FEMALE-voted vs MALE-voted pair gets
+    its alias edge cut), and a known title still beats the vote."""
+    from renard_spark.operators import unify
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    ents = spark.createDataFrame(
+        [
+            ("d1", "Karenin", 0, 1, "PER"),
+            ("d1", "Karenin Alexandrovich", 5, 7, "PER"),
+            ("d1", "Mrs Brown", 20, 22, "PER"),
+        ],
+        "doc_id string, mention_str string, start_idx int, end_idx int,"
+        " tag string",
+    )
+    chains = spark.createDataFrame(
+        [
+            ("d1", 0, 0, 1, "Karenin"),
+            ("d1", 0, 30, 31, "he"),
+            ("d1", 1, 5, 7, "Karenin Alexandrovich"),
+            ("d1", 1, 40, 41, "she"),
+            ("d1", 1, 50, 51, "her"),
+            ("d1", 2, 20, 22, "Mrs Brown"),
+            ("d1", 2, 60, 61, "he"),
+            ("d1", 2, 70, 71, "him"),
+        ],
+        "doc_id string, chain_id int, start_idx int, end_idx int,"
+        " mention_str string",
+    )
+
+    def summarize(df):
+        return {
+            (r.char_id, r.gender, tuple(r.names))
+            for r in df.select("char_id", "gender", "names")
+            .distinct()
+            .collect()
+        }
+
+    parity = summarize(unify.graph_rules_unify(ents, corefs_df=chains))
+    scale = summarize(unify_distributed(ents, corefs_df=chains))
+    assert parity == scale
+    # votes fired: the shared-first pair is gender-cut into singletons,
+    # and the title beats three male pronoun votes
+    assert ("Karenin", "MALE", ("Karenin",)) in scale
+    assert (
+        "Karenin Alexandrovich", "FEMALE", ("Karenin Alexandrovich",)
+    ) in scale
+    assert ("Mrs Brown", "FEMALE", ("Mrs Brown",)) in scale
+    # without chains the same pair stays one UNKNOWN component
+    no_chain = summarize(unify_distributed(ents))
+    assert (
+        "Karenin", "UNKNOWN", ("Karenin", "Karenin Alexandrovich")
+    ) in no_chain
+
+
+# ------------------------------------------------- distributed CoNLL read
+
+
+def test_conll_reader_multi_file_distributed(spark, tmp_path):
+    """doc_id=None reads a directory of CoNLL files as one doc per file
+    with per-file windows — no global single-partition window."""
+    from renard_spark.sources.conll import read_conll2002_bio
+
+    (tmp_path / "a.conll").write_text(
+        "John\tB-PER\nSmith\tI-PER\n\nhello\tO\n"
+    )
+    (tmp_path / "b.conll").write_text("Mary\tB-PER\n\nbye\tO\n")
+    df = read_conll2002_bio(spark, str(tmp_path), doc_id=None)
+    rows = sorted(
+        (r["doc_id"], r["sent_idx"], r["tok_idx"], r["token"], r["bio_tag"])
+        for r in df.collect()
+    )
+    assert rows == [
+        ("a", 0, 0, "John", "B-PER"),
+        ("a", 0, 1, "Smith", "I-PER"),
+        ("a", 1, 2, "hello", "O"),
+        ("b", 0, 0, "Mary", "B-PER"),
+        ("b", 1, 1, "bye", "O"),
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # windows are partitioned (per file), never a global empty-key sort
+    assert "hashpartitioning(_file" in plan
