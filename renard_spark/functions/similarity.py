@@ -108,6 +108,55 @@ def ivf_centroids(
     )
 
 
+def ivf_kmeans_centroids(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """TRAINED codebook: seeded Lloyd's k-means behind the same
+    (centroid_id, cvec) schema as ``ivf_centroids``.
+
+    Init = the deterministic md5 sample (no RNG); each iteration is a
+    broadcast nearest-centroid assignment (cosine argmax, the same
+    metric the index probes with) + element-wise mean via
+    posexplode/groupBy — all equi-joins and narrow aggregations, never
+    a quadratic step. Cells that lose all members keep their previous
+    centroid. Means are float sums over shuffle order, so the codebook
+    is deterministic only to ~1e-15 — fine for an index, which is why
+    the DuckDB-gated driver query stays on the bit-reproducible sampled
+    codebook while this is the recall path (pytest vs brute force).
+    """
+    cents = ivf_centroids(emb, n_centroids, vec_col, id_col).select(
+        "centroid_id",
+        F.transform("cvec", lambda x: x.cast("double")).alias("cvec"),
+    )
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assign = ivf_assignments(e, cents, nprobe=1).select(
+            "vec_id", "centroid_id"
+        )
+        comp = (
+            e.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        newc = (
+            comp.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+            .select("centroid_id", F.col("_s.m").alias("_new"))
+        )
+        cents = (
+            cents.join(newc, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("_new", "cvec").alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assignments(
     emb: DataFrame, centroids: DataFrame, nprobe: int = 1,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -140,14 +189,21 @@ def ivf_assignments(
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their ``nprobe`` nearest
     cells, candidates are the vectors ASSIGNED (probe_rank 1) to those
     cells, exact cosine re-ranks. All joins are equi on centroid_id —
     per-query candidate count ≈ nprobe·N/n_centroids, never the
     quadratic brute-force pass. → (vec_id, neighbor_id, cosine, rank).
+    ``centroids`` injects a codebook (e.g. ``ivf_kmeans_centroids`` or
+    an offline-trained one); default is the md5-sampled quantizer.
     """
-    cents = ivf_centroids(emb, n_centroids, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, vec_col, id_col)
+    )
     probes = ivf_assignments(emb, cents, nprobe, vec_col, id_col)
     assign = probes.filter(F.col("probe_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),

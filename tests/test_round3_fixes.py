@@ -242,3 +242,48 @@ def test_conll_reader_multi_file_distributed(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # windows are partitioned (per file), never a global empty-key sort
     assert "hashpartitioning(_file" in plan
+
+
+# ------------------------------------------------------- trained IVF codebook
+
+
+def test_ivf_kmeans_codebook_improves_recall(spark):
+    """Seeded Lloyd's training (deterministic md5 init, no RNG) must
+    beat the raw sampled codebook on a clustered fixture — the sampled
+    quantizer typically lands two centroids in one cluster and merges
+    cells, which the mean updates fix."""
+    import math
+
+    from renard_spark.functions import similarity as S
+
+    rows = []
+    for c in range(4):
+        for i in range(40):
+            base = [0.0] * 8
+            base[c * 2] = 1.0
+            rows.append(
+                (c * 40 + i,
+                 [base[d] + 0.08 * math.sin(7 * c + 3 * i + d)
+                  for d in range(8)])
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).localCheckpoint()
+
+    truth = {(r["vec_id"], r["neighbor_id"])
+             for r in S.cosine_topk(emb, k=3).collect()}
+
+    def recall(cents=None):
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in S.ivf_topk(
+                emb, k=3, n_centroids=4, nprobe=1, centroids=cents
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    km = S.ivf_kmeans_centroids(emb, n_centroids=4, n_iter=5)
+    assert km.count() == 4
+    r_sampled, r_kmeans = recall(), recall(km)
+    assert r_kmeans > r_sampled
+    assert r_kmeans >= 0.98
