@@ -1061,9 +1061,16 @@ def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ingest.normalize_documents(_documents(spark, sf_dir))
     toks = tokenize.tokens(docs)
-    qdf = qops.detect_quotes(toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)])
+    # the Arrow quote-scan feeds the attribution join twice and the
+    # attributed quotes self-join in conversation_edges — checkpoint so
+    # each Arrow stage runs ONCE, not per plan reference
+    qdf = qops.detect_quotes(
+        toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
+    ).localCheckpoint(eager=True)
     unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
-    sp = qops.attribute_speakers(qdf, unified, max_gap=SPEAKER_MAX_GAP)
+    sp = qops.attribute_speakers(
+        qdf, unified, max_gap=SPEAKER_MAX_GAP
+    ).localCheckpoint(eager=True)
     edges = conv.conversation_edges(sp, dist=CONV_DIST, unit="tokens")
     return _long_doc_id(
         edges.select(

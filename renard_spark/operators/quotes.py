@@ -229,29 +229,26 @@ def attribute_speakers(
         F.col("end_idx").alias("_me"),
     )
     q = quotes_df
-    after = q.join(
+    # ONE doc-equi join covers both patterns (a mention can never match
+    # both: before implies _ms < start < end): the quotes subtree —
+    # often an Arrow quote-scan — is referenced once here instead of
+    # twice, and likewise the mention side.
+    is_after = m["_ms"] >= q["end"]
+    cands = q.join(
         m,
         (q["doc_id"] == m["_d"])
-        & (m["_ms"] >= q["end"])
-        & (m["_ms"] < q["end"] + max_gap),
+        & (
+            ((m["_ms"] >= q["end"]) & (m["_ms"] < q["end"] + max_gap))
+            | ((m["_me"] <= q["start"]) & (m["_me"] > q["start"] - max_gap))
+        ),
     ).select(
         "doc_id", "quote_id", "start", "end",
         F.col("_c").alias("cand"),
-        (F.col("_ms") - q["end"]).alias("gap"),
-        F.lit(0).alias("side"),
+        F.when(is_after, F.col("_ms") - q["end"])
+        .otherwise(q["start"] - F.col("_me"))
+        .alias("gap"),
+        F.when(is_after, F.lit(0)).otherwise(F.lit(1)).alias("side"),
     )
-    before = q.join(
-        m,
-        (q["doc_id"] == m["_d"])
-        & (m["_me"] <= q["start"])
-        & (m["_me"] > q["start"] - max_gap),
-    ).select(
-        "doc_id", "quote_id", "start", "end",
-        F.col("_c").alias("cand"),
-        (q["start"] - F.col("_me")).alias("gap"),
-        F.lit(1).alias("side"),
-    )
-    cands = after.unionByName(before)
     w = Window.partitionBy("doc_id", "quote_id").orderBy("side", "gap", "cand")
     # confidence mirrors the reference's thresholded scores
     # (speaker_attribution.py:119-124): prediction kept only when the
