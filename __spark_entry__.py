@@ -657,6 +657,20 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ftext.fingerprints(_documents(spark, sf_dir))
 
 
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (rolling k-gram hashes, per-window
+    rightmost-min selection) — the local-fingerprinting dedup primitive
+    behind the DuckDB hash gate."""
+    from renard_spark.functions import text as ftext
+
+    return ftext.winnow_fingerprints(
+        _spread(_documents(spark, sf_dir)), k=WINNOW_K, w=WINNOW_W
+    )
+
+
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import dedup
 
@@ -1049,6 +1063,43 @@ QUOTE_MARK = "line"
 SPEAKER_MAX_GAP = 5
 CONV_DIST = 30
 
+# shared oracle CTEs (on top of _BASE_CTES): quote pairing via
+# row_number parity + nearest-mention attribution with the >0.5 gate
+_SPEAKER_CTES = f"""
+, lmarks AS (
+  SELECT doc_id, tok_idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tok_idx) - 1 AS r
+  FROM toks WHERE token = '{QUOTE_MARK}'
+), quotes AS (
+  SELECT a.doc_id, (a.r // 2)::INT AS quote_id,
+         a.tok_idx AS qs, b.tok_idx + 1 AS qe
+  FROM lmarks a JOIN lmarks b
+    ON a.doc_id = b.doc_id AND b.r = a.r + 1
+  WHERE a.r % 2 = 0
+), spcand AS (
+  SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
+         m.tok_idx - q.qe AS gap, 0 AS side
+  FROM quotes q JOIN m ON m.doc_id = q.doc_id
+    AND m.tok_idx >= q.qe
+    AND m.tok_idx < q.qe + {SPEAKER_MAX_GAP}
+  UNION ALL
+  SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
+         q.qs - (m.tok_idx + 1) AS gap, 1 AS side
+  FROM quotes q JOIN m ON m.doc_id = q.doc_id
+    AND m.tok_idx + 1 <= q.qs
+    AND m.tok_idx + 1 > q.qs - {SPEAKER_MAX_GAP}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, quote_id
+                               ORDER BY side, gap, cand) AS rn
+  FROM spcand
+), sp AS (
+  SELECT doc_id, quote_id, qs, qe, cand AS speaker
+  FROM best
+  WHERE rn = 1 AND (1.0 - gap / {2.0 * SPEAKER_MAX_GAP}
+                    - 0.2 * side) > 0.5
+)
+"""
+
 
 def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversational character network: quote detection (alternating
@@ -1072,6 +1123,65 @@ def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf, unified, max_gap=SPEAKER_MAX_GAP
     ).localCheckpoint(eager=True)
     edges = conv.conversation_edges(sp, dist=CONV_DIST, unit="tokens")
+    return _long_doc_id(
+        edges.select(
+            "doc_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
+# window of 2 quotes, step 1: the driver docs carry ~2-5 quotes each,
+# so larger windows would degenerate to one window per doc
+CONV_WIN, CONV_OVERLAP = 2, 1
+
+
+def q_dynamic_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic conversational networks: windows of CONV_WIN quotes
+    (step CONV_WIN−CONV_OVERLAP) over ALL detected quotes (attributed
+    or not — the reference windows the quote sequence, then edges use
+    attributed ones), one conversation graph per window."""
+    from renard_spark.operators import conversation as conv
+    from renard_spark.operators import quotes as qops
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    qdf = qops.detect_quotes(
+        toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
+    ).localCheckpoint(eager=True)
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    sp = qops.attribute_speakers(
+        qdf, unified, max_gap=SPEAKER_MAX_GAP
+    ).localCheckpoint(eager=True)
+    windowed = conv.quote_windows(sp, CONV_WIN, CONV_OVERLAP)
+    edges = conv.conversation_edges(
+        windowed, dist=CONV_DIST, unit="tokens", group_col="window_id"
+    )
+    return _long_doc_id(
+        edges.select(
+            "doc_id", "window_id", "src", "dst",
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
+def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed speaker→mentioned-character network: characters
+    mentioned INSIDE an attributed quote get an edge from the speaker,
+    once per quote (reference graph_extraction.py:601-632)."""
+    from renard_spark.operators import conversation as conv
+    from renard_spark.operators import quotes as qops
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    qdf = qops.detect_quotes(
+        toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
+    ).localCheckpoint(eager=True)
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    sp = qops.attribute_speakers(
+        qdf, unified, max_gap=SPEAKER_MAX_GAP
+    ).localCheckpoint(eager=True)
+    edges = conv.mention_graph_edges(sp, unified)
     return _long_doc_id(
         edges.select(
             "doc_id", "src", "dst",
@@ -1134,6 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_scale_characters": q_linked_scale_characters,
         "polarity_edges": q_polarity_edges,
         "speaker_edges": q_speaker_edges,
+        "winnow_fps": q_winnow_fps,
+        "mention_edges": q_mention_edges,
+        "dynamic_conversation": q_dynamic_conversation,
     }
 
 
@@ -1261,6 +1374,32 @@ pairs AS (
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
         """,
         "simhash_groups": _ORACLE_SIMHASH,
+        "winnow_fps": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i.i AS pos,
+                     ('0x' || substr(md5(substr(s, i.i::INT, {WINNOW_K})),
+                                     1, 8))::BIGINT AS h
+              FROM t,
+                   LATERAL (SELECT unnest(range(1, length(s) - {WINNOW_K} + 2))
+                            AS i) i(i)
+              WHERE length(s) >= {WINNOW_K}
+            ), wsel AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY doc_id) AS ng,
+                     min(struct_pack(h := h, np := -pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS s
+              FROM g
+            )
+            SELECT DISTINCT doc_id, (-(s).np)::BIGINT AS pos,
+                   ((s).h)::BIGINT AS fp
+            FROM wsel WHERE pos <= ng - {WINNOW_W - 1}
+        """,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """
             , cand AS (
@@ -1305,40 +1444,8 @@ pairs AS (
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "linked_characters": _ORACLE_LINKED,
         "linked_scale_characters": _ORACLE_LINKED,
-        "speaker_edges": _BASE_CTES + f"""
-            , lmarks AS (
-              SELECT doc_id, tok_idx,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY tok_idx) - 1 AS r
-              FROM toks WHERE token = '{QUOTE_MARK}'
-            ), quotes AS (
-              SELECT a.doc_id, (a.r // 2)::INT AS quote_id,
-                     a.tok_idx AS qs, b.tok_idx + 1 AS qe
-              FROM lmarks a JOIN lmarks b
-                ON a.doc_id = b.doc_id AND b.r = a.r + 1
-              WHERE a.r % 2 = 0
-            ), cand AS (
-              SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
-                     m.tok_idx - q.qe AS gap, 0 AS side
-              FROM quotes q JOIN m ON m.doc_id = q.doc_id
-                AND m.tok_idx >= q.qe
-                AND m.tok_idx < q.qe + {SPEAKER_MAX_GAP}
-              UNION ALL
-              SELECT q.doc_id, q.quote_id, q.qs, q.qe, m.token AS cand,
-                     q.qs - (m.tok_idx + 1) AS gap, 1 AS side
-              FROM quotes q JOIN m ON m.doc_id = q.doc_id
-                AND m.tok_idx + 1 <= q.qs
-                AND m.tok_idx + 1 > q.qs - {SPEAKER_MAX_GAP}
-            ), best AS (
-              SELECT *, row_number() OVER (PARTITION BY doc_id, quote_id
-                                           ORDER BY side, gap, cand) AS rn
-              FROM cand
-            ), sp AS (
-              SELECT doc_id, quote_id, qs, qe, cand AS speaker
-              FROM best
-              WHERE rn = 1 AND (1.0 - gap / {2.0 * SPEAKER_MAX_GAP}
-                                - 0.2 * side) > 0.5
-            ), pr AS (
+        "speaker_edges": _BASE_CTES + _SPEAKER_CTES + f"""
+            , pr AS (
               SELECT a.doc_id, a.speaker AS sp1, b.speaker AS sp2
               FROM sp a JOIN sp b
                 ON a.doc_id = b.doc_id AND a.quote_id < b.quote_id
@@ -1349,6 +1456,58 @@ pairs AS (
             SELECT doc_id, least(sp1, sp2) AS src,
                    greatest(sp1, sp2) AS dst, count(*)::BIGINT AS weight
             FROM pr GROUP BY doc_id, least(sp1, sp2), greatest(sp1, sp2)
+        """,
+        "dynamic_conversation": _BASE_CTES + _SPEAKER_CTES + f"""
+            , rk AS (
+              SELECT doc_id, quote_id, qs, qe,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY qs, qe, quote_id) - 1 AS r,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM quotes
+            ), wins AS (
+              SELECT *, greatest(ceil((n - {CONV_WIN})::DOUBLE
+                                      / {CONV_WIN - CONV_OVERLAP})::INT + 1,
+                                 1) AS nwin
+              FROM rk
+            ), qw AS (
+              SELECT doc_id, quote_id, qs, qe,
+                     unnest(generate_series(
+                        greatest(ceil((r - {CONV_WIN} + 1)::DOUBLE
+                                      / {CONV_WIN - CONV_OVERLAP})::INT, 0),
+                        least(floor(r::DOUBLE
+                                    / {CONV_WIN - CONV_OVERLAP})::INT,
+                              nwin - 1)))::INT AS window_id
+              FROM wins
+            ), qws AS (
+              SELECT w.doc_id, w.window_id, w.quote_id, w.qs, w.qe,
+                     s.speaker
+              FROM qw w JOIN sp s
+                ON s.doc_id = w.doc_id AND s.quote_id = w.quote_id
+            ), pr AS (
+              SELECT a.doc_id, a.window_id,
+                     a.speaker AS sp1, b.speaker AS sp2
+              FROM qws a JOIN qws b
+                ON a.doc_id = b.doc_id AND a.window_id = b.window_id
+               AND a.quote_id < b.quote_id
+              WHERE abs(CASE WHEN b.qs >= a.qe THEN b.qs - a.qe
+                             ELSE a.qs - b.qe END) <= {CONV_DIST}
+                AND a.speaker <> b.speaker
+            )
+            SELECT doc_id, window_id, least(sp1, sp2) AS src,
+                   greatest(sp1, sp2) AS dst, count(*)::BIGINT AS weight
+            FROM pr
+            GROUP BY doc_id, window_id, least(sp1, sp2), greatest(sp1, sp2)
+        """,
+        "mention_edges": _BASE_CTES + _SPEAKER_CTES + """
+            , inside AS (
+              SELECT DISTINCT s.doc_id, s.quote_id,
+                     s.speaker AS src, m.token AS dst
+              FROM sp s JOIN m ON m.doc_id = s.doc_id
+                AND m.tok_idx >= s.qs AND m.tok_idx + 1 <= s.qe
+              WHERE s.speaker <> m.token
+            )
+            SELECT doc_id, src, dst, count(*)::BIGINT AS weight
+            FROM inside GROUP BY doc_id, src, dst
         """,
         "polarity_edges": edges_ctes + f"""
             , lex(word, val) AS (VALUES {_LEX_SQL}),

@@ -152,3 +152,63 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(text_col).alias("fp"),
         F.md5(F.trim(norm)).alias("norm_fp"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """MOSS winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every character k-gram of the whitespace-
+    normalized lowercased text, slide a window of w consecutive hashes,
+    select each window's minimum (rightmost position on hash ties),
+    dedupe selections. Guarantee: two documents sharing any substring
+    of length ≥ k + w − 1 share at least one fingerprint — the
+    rolling-hash near-dup primitive plagiarism/boilerplate detectors
+    build on.
+
+    → (doc_id, pos, fp): 1-based char position of each selected k-gram
+    and its 32-bit hash. Pure JVM — a higher-order k-gram transform +
+    ONE window aggregate per doc; no UDF, no join, output is ~2/(w+1)
+    of the k-gram count.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = docs.select("doc_id", norm.alias("_t")).filter(
+        F.length("_t") >= F.lit(k)
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - k + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.col("_t").substr(i, F.lit(k))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("_p0", "h"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h")
+    n = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("_ng", F.count(F.lit(1)).over(n))
+        .withColumn(
+            "_sel",
+            F.min(
+                F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+            ).over(win),
+        )
+        # only FULL windows of w hashes select fingerprints
+        .filter(F.col("pos") <= F.col("_ng") - (w - 1))
+        .select(
+            "doc_id",
+            (-F.col("_sel.np")).cast("long").alias("pos"),
+            F.col("_sel.h").alias("fp"),
+        )
+        .distinct()
+    )

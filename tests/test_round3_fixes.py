@@ -287,3 +287,59 @@ def test_ivf_kmeans_codebook_improves_recall(spark):
     r_sampled, r_kmeans = recall(), recall(km)
     assert r_kmeans > r_sampled
     assert r_kmeans >= 0.98
+
+
+# ---------------------------------------------------- winnowing fingerprints
+
+
+def _py_winnow(text, k, w):
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    out = set()
+    for j in range(0, len(hs) - w + 1):
+        best = min(range(j, j + w), key=lambda p: (hs[p], -p))
+        out.add((best + 1, hs[best]))
+    return out
+
+
+def test_winnow_fingerprints_match_sequential_oracle(spark):
+    from renard_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack   my box\nwith five dozen LIQUOR jugs"),
+        (2, "aaaaaaaaaaaaaaaa"),          # constant text → hash ties
+        (3, "short"),                     # < k chars → no fingerprints
+        (4, "exactly8!"),                 # 2 grams < w → no full window
+    ]
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _py_winnow(text, 8, 4), doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """MOSS guarantee: a shared substring of length >= k+w-1 yields at
+    least one shared fingerprint hash."""
+    from renard_spark.functions.text import winnow_fingerprints
+
+    shared = "a very distinctive shared passage of text"
+    docs = spark.createDataFrame(
+        [(0, "prefix one " + shared + " suffix alpha"),
+         (1, "totally different opening " + shared + " and ending")],
+        "doc_id int, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
