@@ -96,10 +96,18 @@ def sentence_polarities(
 def sentence_polarities_narrow(sent_tokens_df: DataFrame) -> DataFrame:
     """Zero-shuffle variant over the compact per-sentence form
     (doc_id, sent_idx, toks): the lexicon becomes a map literal and the
-    valence sum an ordered array fold — no join, no groupBy."""
-    lex = F.create_map(
-        *[F.lit(x) for kv in LEXICON.items() for x in kv]
-    )
+    valence sum an ordered array fold — no join, no groupBy.
+
+    The map is built with ``str_to_map`` over ONE string literal, not
+    ``create_map`` over 2·|lexicon| literal expressions: at 2.7k
+    entries the latter is a ~5.5k-node expression tree that costs
+    seconds of analysis on EVERY execution, while this is a 3-node
+    tree constant-folded once."""
+    assert not any("," in w or ":" in w for w in LEXICON)
+    packed = ",".join(f"{w}:{v!r}" for w, v in LEXICON.items())
+    lex = F.expr(
+        f"str_to_map('{packed}', ',', ':')"
+    ).cast("map<string,double>")
     s = F.aggregate(
         "toks",
         F.lit(0.0),
