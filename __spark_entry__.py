@@ -397,6 +397,24 @@ FROM r WHERE rank <= 3
 """
 
 
+def _oracle_bpe_tokens() -> str:
+    from renard_spark.functions.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return rf"""
+        SELECT doc_id,
+          len(list_filter(regexp_extract_all(text, '{pat}'),
+                          t -> trim(t) <> ''))::BIGINT AS n_bpe_tokens,
+          len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+            AS n_ws_tokens,
+          round(len(list_filter(regexp_extract_all(text, '{pat}'),
+                                t -> trim(t) <> ''))::DOUBLE
+                / greatest(len(regexp_split_to_array(trim(text), '\s+')),
+                           1), 6) AS bpe_per_word
+        FROM documents
+    """
+
+
 def _oracle_bm25() -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
     return f"""
@@ -660,6 +678,14 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K, WINNOW_W = 8, 4
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counting (GPT-2 split regex) vs whitespace
+    words — the model-token budget proxy of a training pipeline."""
+    from renard_spark.functions import text as ftext
+
+    return ftext.bpe_token_counts(_documents(spark, sf_dir))
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (rolling k-gram hashes, per-window
     rightmost-min selection) — the local-fingerprinting dedup primitive
@@ -897,7 +923,7 @@ LINK_LASTS = ["table", "stream", "batch", "join"]
 _LINK_FIRSTS_SQL = ", ".join(f"'{t}'" for t in LINK_FIRSTS)
 _LINK_LASTS_SQL = ", ".join(f"'{t}'" for t in LINK_LASTS)
 
-_ORACLE_LINKED = f"""
+_LINKED_CTES = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
   FROM (SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
@@ -936,11 +962,41 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, char_id, count(*)::BIGINT AS n_names
   FROM comp GROUP BY doc_id, char_id
 )
+"""
+
+_ORACLE_LINKED = _LINKED_CTES + """
 SELECT b.doc_id, c.char_id, nn.n_names, count(*)::BIGINT AS mention_count
 FROM big b
 JOIN comp c ON c.doc_id = b.doc_id AND c.mention = b.mention
 JOIN nn ON nn.doc_id = b.doc_id AND nn.char_id = c.char_id
 GROUP BY b.doc_id, c.char_id, nn.n_names
+"""
+
+# name helpers (Character.longest/shortest/most_frequent_name,
+# character_unification.py:23-39) with the engine's canonical
+# tie-breaks: longest = (max length, lexicographically largest),
+# shortest = (min length, smallest), most frequent = (max occurrence
+# count, smallest name)
+_ORACLE_CHAR_NAMES = _LINKED_CTES + """
+, occ AS (
+  SELECT b.doc_id, c.char_id, b.mention, count(*) AS cnt
+  FROM big b JOIN comp c ON c.doc_id = b.doc_id AND c.mention = b.mention
+  GROUP BY b.doc_id, c.char_id, b.mention
+), picks AS (
+  SELECT doc_id, char_id, mention, cnt,
+         row_number() OVER (PARTITION BY doc_id, char_id
+            ORDER BY length(mention) DESC, mention DESC) AS r_long,
+         row_number() OVER (PARTITION BY doc_id, char_id
+            ORDER BY length(mention) ASC, mention ASC) AS r_short,
+         row_number() OVER (PARTITION BY doc_id, char_id
+            ORDER BY cnt DESC, mention ASC) AS r_freq
+  FROM occ
+)
+SELECT doc_id, char_id,
+       max(CASE WHEN r_long = 1 THEN mention END) AS longest_name,
+       max(CASE WHEN r_short = 1 THEN mention END) AS shortest_name,
+       max(CASE WHEN r_freq = 1 THEN mention END) AS most_frequent_name
+FROM picks GROUP BY doc_id, char_id
 """
 
 
@@ -982,6 +1038,22 @@ def q_linked_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "char_id",
             F.size("names").cast("long").alias("n_names"),
             F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
+def q_character_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character name helpers (longest/shortest/most_frequent_name,
+    reference character_unification.py:23-39) on the multi-name linked
+    corpus, where the tie-breaks and the names/mentions distinction
+    actually matter."""
+    ments = _linked_mentions(spark, sf_dir)
+    unified = unify.graph_rules_unify(ments)
+    chars = unify.characters_table(unified)
+    return _long_doc_id(
+        chars.select(
+            "doc_id", "char_id",
+            "longest_name", "shortest_name", "most_frequent_name",
         )
     )
 
@@ -1247,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "mention_edges": q_mention_edges,
         "dynamic_conversation": q_dynamic_conversation,
+        "character_names": q_character_names,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -1444,6 +1518,8 @@ pairs AS (
         "simhash_near_pairs": _ORACLE_SIMHASH_PAIRS,
         "linked_characters": _ORACLE_LINKED,
         "linked_scale_characters": _ORACLE_LINKED,
+        "character_names": _ORACLE_CHAR_NAMES,
+        "bpe_tokens": _oracle_bpe_tokens(),
         "speaker_edges": _BASE_CTES + _SPEAKER_CTES + f"""
             , pr AS (
               SELECT a.doc_id, a.speaker AS sp1, b.speaker AS sp2
