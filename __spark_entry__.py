@@ -1058,6 +1058,44 @@ def q_character_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT canonicalization (north_rule: entity linking +
+    canonicalization over the whole table): distributed unification at
+    corpus scope over lowercase (first, last) bigram mentions. The same
+    surface in different documents resolves to one global entity, and
+    shared-first-token alias links merge name variants corpus-wide
+    (shared-last pairs are contradiction-cut; property test
+    test_linked_oracle_semantics proves components == group-by-first
+    for the all-lowercase corpus). Output keeps per-document provenance
+    (doc_id rides through the scale path as a passthrough column)."""
+    from pyspark.sql import Window
+
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    nxt = F.lead("token").over(w)
+    ments = (
+        toks.withColumn("nxt", nxt)
+        .filter(F.col("token").isin(LINK_FIRSTS) & F.col("nxt").isin(LINK_LASTS))
+        .select(
+            F.lit("corpus").alias("corpus"),
+            "doc_id",
+            F.col("tok_idx").cast("int").alias("start_idx"),
+            (F.col("tok_idx") + 2).cast("int").alias("end_idx"),
+            F.concat("token", F.lit(" "), "nxt").alias("mention_str"),
+            F.lit("PER").alias("tag"),
+        )
+    )
+    unified = unify_distributed(ments, scope_col="corpus")
+    out = unified.groupBy("doc_id", "char_id").agg(
+        F.size(F.first("names")).cast("long").alias("n_names"),
+        F.count(F.lit(1)).cast("long").alias("mention_count"),
+    )
+    return _long_doc_id(out)
+
+
 def q_linked_scale_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed scale path (pair-rule join + iterative CC +
     per-component contradiction refinement) on the same multi-name
@@ -1321,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_conversation": q_dynamic_conversation,
         "character_names": q_character_names,
         "bpe_tokens": q_bpe_tokens,
+        "global_characters": q_global_characters,
     }
 
 
@@ -1520,6 +1559,35 @@ pairs AS (
         "linked_scale_characters": _ORACLE_LINKED,
         "character_names": _ORACLE_CHAR_NAMES,
         "bpe_tokens": _oracle_bpe_tokens(),
+        "global_characters": f"""
+            WITH toks AS (
+              SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+                    FROM documents),
+                   LATERAL (SELECT unnest(tl) AS tok,
+                                   generate_subscripts(tl, 1) AS i) u
+            ), pairs0 AS (
+              SELECT doc_id, tok_idx, token AS t1,
+                     lead(token) OVER (PARTITION BY doc_id
+                                       ORDER BY tok_idx) AS t2
+              FROM toks
+            ), big AS (
+              SELECT doc_id, t1 AS fi, t1 || ' ' || t2 AS mention
+              FROM pairs0
+              WHERE t1 IN ({_LINK_FIRSTS_SQL}) AND t2 IN ({_LINK_LASTS_SQL})
+            ), gnames AS (
+              SELECT DISTINCT fi, mention FROM big
+            ), gcomp AS (
+              SELECT fi, min(mention) AS char_id,
+                     count(*)::BIGINT AS n_names
+              FROM gnames GROUP BY fi
+            )
+            SELECT b.doc_id, g.char_id, g.n_names,
+                   count(*)::BIGINT AS mention_count
+            FROM big b JOIN gcomp g ON g.fi = b.fi
+            GROUP BY b.doc_id, g.char_id, g.n_names
+        """,
         "speaker_edges": _BASE_CTES + _SPEAKER_CTES + f"""
             , pr AS (
               SELECT a.doc_id, a.speaker AS sp1, b.speaker AS sp2

@@ -324,13 +324,16 @@ def unify_distributed(
     )
     chars = chars.join(gvote, [scope_col, "char_id"])
 
+    # passthrough: any extra entity columns survive (e.g. doc_id when
+    # unifying at corpus scope — cross-document canonicalization keeps
+    # per-document provenance)
+    core = [scope_col, "char_id", "names", "gender",
+            "mention_str", "start_idx", "end_idx"]
+    extra = [c for c in per.columns if c not in core and c != "tag"]
     unified = (
         per.join(membership, [scope_col, "mention_str"])
         .join(chars, [scope_col, "char_id"])
-        .select(
-            scope_col, "char_id", "names", "gender",
-            "mention_str", "start_idx", "end_idx",
-        )
+        .select(*core, *extra)
     )
     if min_appearances > 0:
         from pyspark.sql import Window

@@ -343,3 +343,31 @@ def test_winnow_shared_substring_guarantee(spark):
     for r in winnow_fingerprints(docs, k=8, w=4).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1]
+
+
+# --------------------------------------------- scale-path passthrough cols
+
+
+def test_unify_distributed_preserves_passthrough_columns(spark):
+    """Corpus-scope unification keeps per-document provenance: extra
+    entity columns (doc_id here) ride through the scale path."""
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    ents = spark.createDataFrame(
+        [("all", "d1", "spark table", 0, 2, "PER"),
+         ("all", "d2", "spark table", 5, 7, "PER"),
+         ("all", "d2", "spark batch", 9, 11, "PER")],
+        "corpus string, doc_id string, mention_str string,"
+        " start_idx int, end_idx int, tag string",
+    )
+    out = unify_distributed(ents, scope_col="corpus")
+    assert "doc_id" in out.columns
+    rows = {(r["doc_id"], r["mention_str"], r["char_id"])
+            for r in out.collect()}
+    # same surface in different docs -> one global char (alias-merged
+    # with 'spark batch' via shared first, canonical min name)
+    assert rows == {
+        ("d1", "spark table", "spark batch"),
+        ("d2", "spark table", "spark batch"),
+        ("d2", "spark batch", "spark batch"),
+    }
