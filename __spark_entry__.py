@@ -677,6 +677,49 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K, WINNOW_W = 8, 4
 
+_ORACLE_WINNOW = rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i.i AS pos,
+                     ('0x' || substr(md5(substr(s, i.i::INT, {WINNOW_K})),
+                                     1, 8))::BIGINT AS h
+              FROM t,
+                   LATERAL (SELECT unnest(range(1, length(s) - {WINNOW_K} + 2))
+                            AS i) i(i)
+              WHERE length(s) >= {WINNOW_K}
+            ), wsel AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY doc_id) AS ng,
+                     min(struct_pack(h := h, np := -pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS s
+              FROM g
+            )
+            SELECT DISTINCT doc_id, (-(s).np)::BIGINT AS pos,
+                   ((s).h)::BIGINT AS fp
+            FROM wsel WHERE pos <= ng - {WINNOW_W - 1}
+"""
+
+
+WINNOW_MIN_SHARED = 25  # the 30-word synthetic vocab makes low
+# thresholds dense (108k pairs at 2); 25 keeps the gate output
+# meaningful (~1.5k genuinely-overlapping pairs)
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: near-dup pairs by winnowing-fingerprint
+    overlap — equi join on the fingerprint value, never quadratic."""
+    from renard_spark.functions import text as ftext
+
+    return ftext.winnow_near_dups(
+        _spread(_documents(spark, sf_dir)),
+        k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
+    )
+
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-token counting (GPT-2 split regex) vs whitespace
@@ -1360,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "character_names": q_character_names,
         "bpe_tokens": q_bpe_tokens,
         "global_characters": q_global_characters,
+        "winnow_dups": q_winnow_dups,
     }
 
 
@@ -1487,32 +1531,19 @@ pairs AS (
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
         """,
         "simhash_groups": _ORACLE_SIMHASH,
-        "winnow_fps": rf"""
-            WITH t AS (
-              SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
-              FROM documents
-            ), g AS (
-              SELECT doc_id, i.i AS pos,
-                     ('0x' || substr(md5(substr(s, i.i::INT, {WINNOW_K})),
-                                     1, 8))::BIGINT AS h
-              FROM t,
-                   LATERAL (SELECT unnest(range(1, length(s) - {WINNOW_K} + 2))
-                            AS i) i(i)
-              WHERE length(s) >= {WINNOW_K}
-            ), wsel AS (
-              SELECT doc_id, pos,
-                     count(*) OVER (PARTITION BY doc_id) AS ng,
-                     min(struct_pack(h := h, np := -pos)) OVER
-                       (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW
-                        AND {WINNOW_W - 1} FOLLOWING) AS s
-              FROM g
+        "winnow_dups": rf"""
+            WITH f AS ({_ORACLE_WINNOW}),
+            d AS (SELECT DISTINCT doc_id, fp FROM f),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS shared_fps
+              FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
             )
-            SELECT DISTINCT doc_id, (-(s).np)::BIGINT AS pos,
-                   ((s).h)::BIGINT AS fp
-            FROM wsel WHERE pos <= ng - {WINNOW_W - 1}
+            SELECT doc_a, doc_b, shared_fps FROM p
+            WHERE shared_fps >= {WINNOW_MIN_SHARED}
         """,
+        "winnow_fps": _ORACLE_WINNOW,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """
             , cand AS (

@@ -245,3 +245,38 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("bpe_per_word"),
     )
+
+
+def winnow_near_dups(
+    docs: DataFrame, k: int = 8, w: int = 4, min_shared: int = 2,
+    max_bucket: int | None = None, text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap — the MOSS
+    match step: docs sharing ≥ min_shared selected fingerprints.
+    The pair join is equi on the fingerprint value (never quadratic in
+    corpus size); ``max_bucket`` caps boilerplate fingerprints shared
+    by huge doc sets the same way the MinHash candidate join caps hot
+    band buckets (left side limited to each fingerprint's first
+    max_bucket docs by doc_id). → (doc_a, doc_b, shared_fps).
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(docs, k, w, text_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    left = fps
+    if max_bucket is not None:
+        wb = Window.partitionBy("fp").orderBy("doc_id")
+        left = (
+            fps.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+    a = left.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("_f2"))
+    return (
+        a.join(b, (a["fp"] == b["_f2"]) & (a["doc_a"] < b["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -371,3 +371,23 @@ def test_unify_distributed_preserves_passthrough_columns(spark):
         ("d2", "spark table", "spark batch"),
         ("d2", "spark batch", "spark batch"),
     }
+
+
+def test_winnow_near_dups_and_cap(spark):
+    from renard_spark.functions.text import winnow_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(6)] + [(9, "unrelated words entirely different content here")],
+        "doc_id int, text string",
+    )
+    pairs = winnow_near_dups(docs, k=8, w=4, min_shared=2)
+    rows = {(r["doc_a"], r["doc_b"]): r["shared_fps"] for r in pairs.collect()}
+    # all near-identical docs pair up; the unrelated doc pairs with none
+    assert all(a != 9 and b != 9 for a, b in rows)
+    assert len(rows) == 15  # C(6,2)
+    # cap bounds fanout: left side limited to 2 reps per fingerprint
+    capped = winnow_near_dups(docs, k=8, w=4, min_shared=2, max_bucket=2)
+    crows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert crows  # reps still pair
+    assert all(a in (0, 1) for a, _ in crows)  # only first-2 reps on the left
