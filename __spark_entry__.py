@@ -1101,6 +1101,43 @@ def q_character_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING behind the hash gate: the documents table
+    read as a file stream (availableNow), tokenized with the identical
+    narrow operator, written through a checkpointed parquet sink, read
+    back — the stream==batch invariant checked against the DuckDB
+    tokenization oracle rather than only pytest."""
+    import tempfile
+
+    import os
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    out_dir = tempfile.mkdtemp(prefix="renard_stream_toks_")
+    data, ckpt = os.path.join(out_dir, "data"), os.path.join(out_dir, "ckpt")
+    # the file stream source needs a DIRECTORY; the test table is one
+    # parquet file — link it into a temp input dir
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        f"{sf_dir}/documents.parquet",
+        os.path.join(in_dir, "documents.parquet"),
+    )
+    sdf = spark.readStream.schema(batch_schema).parquet(in_dir)
+    toks = tokenize.tokens(ingest.normalize_documents(sdf))
+    q = (
+        toks.select("doc_id", "tok_idx", "token")
+        .writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return _long_doc_id(spark.read.parquet(data)).select(
+        "doc_id", F.col("tok_idx").cast("long").alias("tok_idx"), "token"
+    )
+
+
 def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-DOCUMENT canonicalization (north_rule: entity linking +
     canonicalization over the whole table): distributed unification at
@@ -1404,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "global_characters": q_global_characters,
         "winnow_dups": q_winnow_dups,
+        "stream_tokens": q_stream_tokens,
     }
 
 
@@ -1544,6 +1582,14 @@ pairs AS (
             WHERE shared_fps >= {WINNOW_MIN_SHARED}
         """,
         "winnow_fps": _ORACLE_WINNOW,
+        "stream_tokens": f"""
+            SELECT doc_id, u.i - 1 AS tok_idx, u.tok AS token
+            FROM (SELECT doc_id,
+                         regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+                  FROM documents),
+                 LATERAL (SELECT unnest(tl) AS tok,
+                                 generate_subscripts(tl, 1) AS i) u
+        """,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """
             , cand AS (
