@@ -1101,6 +1101,42 @@ def q_character_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# relation verbs chosen from the corpus vocabulary, disjoint from the
+# cast (a verb that is also a mention could never sit strictly between
+# two adjacent mentions anyway, but disjointness keeps the oracle plain)
+REL_VERBS = {"scan": "scans", "sort": "sorts", "group": "groups"}
+# min=1: the corpus rarely repeats an exact (subj, rel, obj) within a
+# doc, so min=2 would leave a 3-row gate; the >=min filter semantics
+# are unit territory, the CHAIN is what this query hash-checks
+REL_MIN_OCC = 1
+
+
+def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full relation-extraction chain behind the gate: in-sentence
+    pattern triples (consecutive character mentions with the FIRST
+    relation verb strictly between them), name→character resolution
+    (identify_character semantics — unique owner, ambiguous→NULL,
+    self-relations dropped), and min-occurrence relational edges
+    (reference relation_extraction.py + graph_extraction.py:738-751)."""
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(
+        resolved, min_rel_occurrences=REL_MIN_OCC
+    )
+    return _long_doc_id(
+        edges.select(
+            "doc_id", "subj_char", "rel", "obj_char",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def q_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING behind the hash gate: the documents table
     read as a file stream (availableNow), tokenized with the identical
@@ -1442,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_characters": q_global_characters,
         "winnow_dups": q_winnow_dups,
         "stream_tokens": q_stream_tokens,
+        "relation_edges": q_relation_edges,
     }
 
 
@@ -1582,6 +1619,35 @@ pairs AS (
             WHERE shared_fps >= {WINNOW_MIN_SHARED}
         """,
         "winnow_fps": _ORACLE_WINNOW,
+        "relation_edges": _BASE_CTES + f"""
+            , rk AS (
+              SELECT doc_id, tok_idx, token,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tok_idx) AS r
+              FROM m
+            ), adj AS (
+              SELECT a.doc_id, a.tok_idx AS ai, a.token AS subj,
+                     b.tok_idx AS bi, b.token AS obj
+              FROM rk a JOIN rk b
+                ON a.doc_id = b.doc_id AND b.r = a.r + 1
+            ), verbs(verb, rel) AS (
+              VALUES {", ".join(f"('{v}', '{r}')" for v, r in REL_VERBS.items())}
+            ), vt AS (
+              SELECT t.doc_id, t.tok_idx, v.rel
+              FROM toks t JOIN verbs v ON lower(t.token) = v.verb
+            ), hits AS (
+              SELECT adj.doc_id, adj.subj, adj.obj, vt.rel,
+                     row_number() OVER (PARTITION BY adj.doc_id, adj.ai
+                                        ORDER BY vt.tok_idx) AS rn
+              FROM adj JOIN vt ON vt.doc_id = adj.doc_id
+                AND vt.tok_idx >= adj.ai + 1 AND vt.tok_idx < adj.bi
+            )
+            SELECT doc_id, subj AS subj_char, rel, obj AS obj_char,
+                   count(*)::BIGINT AS n
+            FROM hits WHERE rn = 1 AND subj <> obj
+            GROUP BY doc_id, subj, rel, obj
+            HAVING count(*) >= {REL_MIN_OCC}
+        """,
         "stream_tokens": f"""
             SELECT doc_id, u.i - 1 AS tok_idx, u.tok AS token
             FROM (SELECT doc_id,
