@@ -132,27 +132,54 @@ def realign_wordpiece_labels(
     wp_to_word: list[int | None],
     ctx_mask: list[int],
     n_tokens: int,
+    strict: bool = True,
 ) -> list[str]:
     """Wordpiece→token label realignment — exact semantics of the
     reference's ``batch_labels`` (ner/ner.py:266-299): start from all
     "O"; the inference window begins at the first 1 in the context
     mask; each wordpiece writes its label onto its word (so the LAST
     wordpiece of a word wins); context words and special tokens are
-    skipped."""
+    skipped.
+
+    ``strict=True`` is parity-faithful: inconsistent model output
+    (word indexes outside the mask/sentence) raises like the reference
+    does. ``strict=False`` is the production mode — out-of-range
+    writes from one bad model answer are dropped instead of killing
+    the whole Arrow task; the count of dropped writes is appended to
+    ``realign_dropped`` for job-level monitoring."""
     labels = ["O"] * n_tokens
     cm = list(ctx_mask)
     try:
         inference_start = cm.index(1)
     except ValueError:
         inference_start = 0
+    dropped = 0
     for j, lab in enumerate(wp_labels):
         ti = wp_to_word[j]
         if ti is None:
             continue
-        if cm[ti] == 0:
+        if strict:
+            if cm[ti] == 0:
+                continue
+            labels[ti - inference_start] = lab
             continue
-        labels[ti - inference_start] = lab
+        if ti < 0 or ti >= len(cm) or cm[ti] == 0:
+            if ti is not None and (ti < 0 or ti >= len(cm)):
+                dropped += 1
+            continue
+        pos = ti - inference_start
+        if 0 <= pos < n_tokens:
+            labels[pos] = lab
+        else:
+            dropped += 1
+    if dropped:
+        realign_dropped.append(dropped)
     return labels
+
+
+# per-task counter of clamped writes in strict=False mode (executor-
+# local; surface via logs/metrics in production)
+realign_dropped: list[int] = []
 
 
 def hf_ner_model(model_path: str, max_length: int = 512):
@@ -222,6 +249,7 @@ def model_ner(
     batch_size: int = 4,
     resolve_inconsistencies: bool = True,
     cache_key: str | None = None,
+    strict_realign: bool = True,
 ) -> DataFrame:
     """Model-backed NER over the compact per-sentence form
     (doc_id, sent_start, toks) → entities, same schema as the rule
@@ -250,7 +278,9 @@ def model_ner(
                 for (doc_id, s0), toks_, (wpl, w2w, cm) in zip(
                     metas[off:off + batch_size], chunk, preds
                 ):
-                    labels = realign_wordpiece_labels(wpl, w2w, cm, len(toks_))
+                    labels = realign_wordpiece_labels(
+                        wpl, w2w, cm, len(toks_), strict=strict_realign
+                    )
                     for i, (t, lab) in enumerate(zip(toks_, labels)):
                         rows.append((doc_id, int(s0) + i, t, lab))
             yield pd.DataFrame(

@@ -391,3 +391,26 @@ def test_winnow_near_dups_and_cap(spark):
     crows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert crows  # reps still pair
     assert all(a in (0, 1) for a, _ in crows)  # only first-2 reps on the left
+
+
+# ----------------------------------------------------- realign clamp mode
+
+
+def test_realign_strict_false_clamps_bad_model_output():
+    from renard_spark.operators import ner as ner_mod
+
+    wpl = ["B-PER", "I-PER", "O"]
+    w2w = [0, 7, None]      # word index 7 is out of range for 2 tokens
+    cm = [1, 1]
+    # parity mode dies like the reference
+    with pytest.raises(IndexError):
+        ner_mod.realign_wordpiece_labels(wpl, w2w, cm, 2, strict=True)
+    # production mode drops the bad write and counts it
+    ner_mod.realign_dropped.clear()
+    out = ner_mod.realign_wordpiece_labels(wpl, w2w, cm, 2, strict=False)
+    assert out == ["B-PER", "O"]
+    assert sum(ner_mod.realign_dropped) == 1
+    # well-formed output is identical in both modes
+    good = (["B-PER", "I-PER"], [0, 1], [1, 1])
+    assert ner_mod.realign_wordpiece_labels(*good, 2, strict=True) == \
+        ner_mod.realign_wordpiece_labels(*good, 2, strict=False)
