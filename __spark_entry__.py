@@ -1101,6 +1101,57 @@ def q_character_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic token→person-name mapping that makes the HYPOCORISM
+# gazetteer rule fire (the one alias-link rule with no gated query):
+# three families, each a formal hub + two nicknames. The gazetteer
+# relates hub↔nickname only (nickname↔nickname is NOT related — e.g.
+# bob~bobby is False), so per-doc components depend on WHICH names
+# co-occur: {bob, bobby} stays two singletons, {bob, bobby, robert}
+# unifies through the hub — real graph structure, exact SQL oracle.
+HYPO_MAP = {
+    "spark": "robert", "vector": "bob", "customer": "bobby",
+    "window": "elizabeth", "table": "liz", "batch": "beth",
+    "merge": "william", "stream": "bill", "filter": "billy",
+}
+# the exact hub↔nickname pairs (verified against the gazetteer in
+# tests/test_round3_fixes.py) — the oracle's edge list
+HYPO_EDGES = [
+    ("robert", "bob"), ("robert", "bobby"),
+    ("elizabeth", "liz"), ("elizabeth", "beth"),
+    ("william", "bill"), ("william", "billy"),
+]
+
+
+def q_hypocorism_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRules unification where the HYPOCORISM rule does the
+    linking: corpus tokens map to formal-name/nickname surfaces and
+    components form exactly through gazetteer relatedness (reference
+    hypocorisms.py:73-84 + character_unification.py:255-259)."""
+    hmap = F.create_map(*[F.lit(x) for kv in HYPO_MAP.items() for x in kv])
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    ments = (
+        toks.withColumn("_name", hmap[F.col("token")])
+        .filter(F.col("_name").isNotNull())
+        .select(
+            "doc_id",
+            F.col("tok_idx").cast("int").alias("start_idx"),
+            (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
+            F.col("_name").alias("mention_str"),
+            F.lit("PER").alias("tag"),
+        )
+    )
+    unified = unify.graph_rules_unify(ments)
+    chars = unify.characters_table(unified)
+    return _long_doc_id(
+        chars.select(
+            "doc_id", "char_id",
+            F.size("names").cast("long").alias("n_names"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
 # relation verbs chosen from the corpus vocabulary, disjoint from the
 # cast (a verb that is also a mention could never sit strictly between
 # two adjacent mentions anyway, but disjointness keeps the oracle plain)
@@ -1479,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dups": q_winnow_dups,
         "stream_tokens": q_stream_tokens,
         "relation_edges": q_relation_edges,
+        "hypocorism_characters": q_hypocorism_characters,
     }
 
 
@@ -1619,6 +1671,48 @@ pairs AS (
             WHERE shared_fps >= {WINNOW_MIN_SHARED}
         """,
         "winnow_fps": _ORACLE_WINNOW,
+        "hypocorism_characters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+                    FROM documents),
+                   LATERAL (SELECT unnest(tl) AS tok,
+                                   generate_subscripts(tl, 1) AS i) u
+            ), hmap(token, name) AS (
+              VALUES {", ".join(f"('{t}', '{n}')" for t, n in HYPO_MAP.items())}
+            ), ment AS (
+              SELECT t.doc_id, t.tok_idx, h.name
+              FROM toks t JOIN hmap h ON h.token = t.token
+            ), names AS (
+              SELECT DISTINCT doc_id, name FROM ment
+            ), fam(u, v) AS (
+              VALUES {", ".join(f"('{a}', '{b}')" for a, b in HYPO_EDGES)}
+            ), ed AS (
+              SELECT a.doc_id, a.name AS u, b.name AS v
+              FROM names a
+              JOIN names b ON a.doc_id = b.doc_id
+              JOIN fam ON (fam.u = a.name AND fam.v = b.name)
+                       OR (fam.u = b.name AND fam.v = a.name)
+            ), r(doc_id, u, l) AS (
+              SELECT doc_id, name, name FROM names
+              UNION
+              SELECT ed.doc_id, ed.v, r.l
+              FROM r JOIN ed ON ed.doc_id = r.doc_id AND ed.u = r.u
+            ), comp AS (
+              SELECT doc_id, u AS name, min(l) AS char_id
+              FROM r GROUP BY doc_id, u
+            ), nn AS (
+              SELECT doc_id, char_id, count(*)::BIGINT AS n_names
+              FROM comp GROUP BY doc_id, char_id
+            )
+            SELECT m.doc_id, c.char_id, nn.n_names,
+                   count(*)::BIGINT AS mention_count
+            FROM ment m
+            JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
+            JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
+            GROUP BY m.doc_id, c.char_id, nn.n_names
+        """,
         "relation_edges": _BASE_CTES + f"""
             , rk AS (
               SELECT doc_id, tok_idx, token,

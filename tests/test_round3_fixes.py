@@ -414,3 +414,33 @@ def test_realign_strict_false_clamps_bad_model_output():
     good = (["B-PER", "I-PER"], [0, 1], [1, 1])
     assert ner_mod.realign_wordpiece_labels(*good, 2, strict=True) == \
         ner_mod.realign_wordpiece_labels(*good, 2, strict=False)
+
+
+# ------------------------------------------------- hypocorism gate corpus
+
+
+def test_hypo_edges_exactly_match_gazetteer():
+    """The driver oracle's edge list must equal gazetteer relatedness
+    over the mapped name set — including the NEGATIVES (nickname pairs
+    like bob~bobby are unrelated and must unify only through the hub)."""
+    import itertools
+
+    import __spark_entry__ as entry
+    from renard_spark.resources.gazetteers import hypocorism_related
+
+    names = sorted(set(entry.HYPO_MAP.values()))
+    want = {
+        tuple(sorted(p)) for p in itertools.combinations(names, 2)
+        if hypocorism_related(*p)
+    }
+    assert want == {tuple(sorted(e)) for e in entry.HYPO_EDGES}
+
+
+def test_hypocorism_components_through_hub(spark):
+    from renard_spark.operators.unify_core import unify_doc
+
+    # nicknames alone: singletons; with the hub: one family component
+    chars = unify_doc([("bob", 0, 1), ("bobby", 2, 3)])
+    assert sorted(c["char_id"] for c in chars) == ["bob", "bobby"]
+    chars = unify_doc([("bob", 0, 1), ("bobby", 2, 3), ("robert", 4, 5)])
+    assert [c["names"] for c in chars] == [["bob", "bobby", "robert"]]
