@@ -1152,6 +1152,49 @@ def q_hypocorism_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token→titled-name mapping that exercises title gender, the GENDER
+# CONTRADICTION cut, and the title-removal link rule: per family,
+# 'mr X' (MALE) and 'mrs X' (FEMALE) link to bare 'X' via
+# title-removal equality, while their own direct shared-last edge is
+# cut by the gender contradiction — so the component structure is a
+# pure function of which of the three forms co-occur in the doc
+# (7 presence patterns, enumerated against unify_doc in
+# tests/test_round3_fixes.py).
+GENDER_MAP = {
+    "spark": "mr smith", "vector": "mrs smith", "customer": "smith",
+    "window": "mr jones", "table": "mrs jones", "batch": "jones",
+}
+
+
+def q_gendered_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-gender inference + gender-contradiction edge removal +
+    title-removal linking behind the hash gate (reference
+    character_unification.py:261-327 + infer_gender)."""
+    gmap = F.create_map(*[F.lit(x) for kv in GENDER_MAP.items() for x in kv])
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    ments = (
+        toks.withColumn("_name", gmap[F.col("token")])
+        .filter(F.col("_name").isNotNull())
+        .select(
+            "doc_id",
+            F.col("tok_idx").cast("int").alias("start_idx"),
+            (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
+            F.col("_name").alias("mention_str"),
+            F.lit("PER").alias("tag"),
+        )
+    )
+    unified = unify.graph_rules_unify(ments)
+    chars = unify.characters_table(unified)
+    return _long_doc_id(
+        chars.select(
+            "doc_id", "char_id", "gender",
+            F.size("names").cast("long").alias("n_names"),
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
 # relation verbs chosen from the corpus vocabulary, disjoint from the
 # cast (a verb that is also a mention could never sit strictly between
 # two adjacent mentions anyway, but disjointness keeps the oracle plain)
@@ -1531,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tokens": q_stream_tokens,
         "relation_edges": q_relation_edges,
         "hypocorism_characters": q_hypocorism_characters,
+        "gendered_characters": q_gendered_characters,
     }
 
 
@@ -1712,6 +1756,47 @@ pairs AS (
             JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
             JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
             GROUP BY m.doc_id, c.char_id, nn.n_names
+        """,
+        "gendered_characters": f"""
+            WITH toks AS (
+              SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+                    FROM documents),
+                   LATERAL (SELECT unnest(tl) AS tok,
+                                   generate_subscripts(tl, 1) AS i) u
+            ), gmap(token, name, fam, is_bare) AS (
+              VALUES {", ".join(
+                  f"('{t}', '{n}', '{n.split()[-1]}', {str(' ' not in n).lower()})"
+                  for t, n in GENDER_MAP.items())}
+            ), ment AS (
+              SELECT t.doc_id, t.tok_idx, g.name, g.fam, g.is_bare
+              FROM toks t JOIN gmap g ON g.token = t.token
+            ), nm AS (
+              SELECT DISTINCT doc_id, fam, name, is_bare FROM ment
+            ), pres AS (
+              SELECT doc_id, fam, bool_or(is_bare) AS has_bare
+              FROM nm GROUP BY doc_id, fam
+            ), comp AS (
+              SELECT n.doc_id, n.fam, n.name,
+                     CASE WHEN p.has_bare
+                          THEN min(n.name) OVER (PARTITION BY n.doc_id, n.fam)
+                          ELSE n.name END AS char_id
+              FROM nm n JOIN pres p
+                ON p.doc_id = n.doc_id AND p.fam = n.fam
+            ), nn AS (
+              SELECT doc_id, char_id, count(*)::BIGINT AS n_names
+              FROM comp GROUP BY doc_id, char_id
+            )
+            SELECT m.doc_id, c.char_id,
+                   CASE WHEN c.char_id LIKE 'mr %' THEN 'MALE'
+                        WHEN c.char_id LIKE 'mrs %' THEN 'FEMALE'
+                        ELSE 'UNKNOWN' END AS gender,
+                   nn.n_names, count(*)::BIGINT AS mention_count
+            FROM ment m
+            JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
+            JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
+            GROUP BY m.doc_id, c.char_id, nn.n_names, 3
         """,
         "relation_edges": _BASE_CTES + f"""
             , rk AS (

@@ -444,3 +444,34 @@ def test_hypocorism_components_through_hub(spark):
     assert sorted(c["char_id"] for c in chars) == ["bob", "bobby"]
     chars = unify_doc([("bob", 0, 1), ("bobby", 2, 3), ("robert", 4, 5)])
     assert [c["names"] for c in chars] == [["bob", "bobby", "robert"]]
+
+
+def test_gendered_presence_patterns_match_unify_doc():
+    """The gendered_characters oracle rests on: per titled family, the
+    component structure is a pure function of which of {mr X, mrs X, X}
+    co-occur (bare X bridges; the mr~mrs edge is gender-cut). Enumerate
+    all 7 presence patterns against unify_doc."""
+    from renard_spark.operators.unify_core import unify_doc
+
+    trio = ["mr smith", "mrs smith", "smith"]
+    for pat in range(1, 8):
+        present = [n for i, n in enumerate(trio) if pat >> i & 1]
+        chars = unify_doc([(n, i * 2, i * 2 + 1)
+                           for i, n in enumerate(present)])
+        has_bare = "smith" in present
+        if has_bare:
+            assert len(chars) == 1
+            c = chars[0]
+            assert c["names"] == sorted(present)
+            assert c["char_id"] == min(present)
+            want_gender = ("MALE" if c["char_id"].startswith("mr ")
+                           else "FEMALE" if c["char_id"].startswith("mrs ")
+                           else "UNKNOWN")
+            assert c["gender"] == want_gender
+        else:
+            # no bridge: every titled form is its own component
+            assert sorted(c["char_id"] for c in chars) == sorted(present)
+            for c in chars:
+                assert c["gender"] == (
+                    "MALE" if c["char_id"].startswith("mr ") else "FEMALE"
+                )
