@@ -1195,6 +1195,50 @@ def q_gendered_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic coref chains over the corpus: chain 0 = every 'spark'
+# occurrence + every 'data' occurrence; chain 1 = same for 'customer';
+# chain 2 = spark AND customer occurrences + data — so the chain→
+# character argmax (occurrence count, ties to the smaller char_id) has
+# real competition, and assigned chain mentions (the 'data' rows, plus
+# cross-assigned cast rows from chain 2) flow into mention counts
+# through the union+dedup exactly like reference
+# character_unification.py:48-96.
+COREF_CHAIN_TOKENS = [("spark",), ("customer",), ("spark", "customer")]
+
+
+def q_coref_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaiveCharacterUnifier WITH coreference chains behind the gate:
+    chain×character occurrence counts → window argmax winner →
+    chain-mention assignment → union + dedup → per-character counts."""
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    parts = []
+    for cid, members in enumerate(COREF_CHAIN_TOKENS):
+        parts.append(
+            toks.filter(F.col("token").isin(list(members) + ["data"]))
+            .select(
+                "doc_id",
+                F.lit(cid).alias("chain_id"),
+                F.col("tok_idx").cast("int").alias("start_idx"),
+                (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
+                F.col("token").alias("mention_str"),
+            )
+        )
+    corefs = parts[0]
+    for p in parts[1:]:
+        corefs = corefs.unionByName(p)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS), corefs_df=corefs
+    )
+    chars = unify.characters_table(unified)
+    return _long_doc_id(
+        chars.select(
+            "doc_id", "char_id",
+            F.col("mention_count").cast("long").alias("mention_count"),
+        )
+    )
+
+
 # relation verbs chosen from the corpus vocabulary, disjoint from the
 # cast (a verb that is also a mention could never sit strictly between
 # two adjacent mentions anyway, but disjointness keeps the oracle plain)
@@ -1575,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_edges": q_relation_edges,
         "hypocorism_characters": q_hypocorism_characters,
         "gendered_characters": q_gendered_characters,
+        "coref_characters": q_coref_characters,
     }
 
 
@@ -1756,6 +1801,51 @@ pairs AS (
             JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
             JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
             GROUP BY m.doc_id, c.char_id, nn.n_names
+        """,
+        "coref_characters": _BASE_CTES + """
+            , dat AS (SELECT doc_id, tok_idx FROM toks WHERE token = 'data'),
+            members AS (
+              SELECT doc_id, 0 AS chain_id, tok_idx, token AS mention
+              FROM m WHERE token = 'spark'
+              UNION ALL
+              SELECT doc_id, 0, tok_idx, 'data' FROM dat
+              UNION ALL
+              SELECT doc_id, 1, tok_idx, token
+              FROM m WHERE token = 'customer'
+              UNION ALL
+              SELECT doc_id, 1, tok_idx, 'data' FROM dat
+              UNION ALL
+              SELECT doc_id, 2, tok_idx, token
+              FROM m WHERE token IN ('spark', 'customer')
+              UNION ALL
+              SELECT doc_id, 2, tok_idx, 'data' FROM dat
+            ), charids AS (
+              SELECT DISTINCT doc_id, token AS char_id FROM m
+            ), occ AS (
+              SELECT mem.doc_id, mem.chain_id, c.char_id, count(*) AS occ
+              FROM members mem
+              JOIN charids c
+                ON c.doc_id = mem.doc_id AND c.char_id = mem.mention
+              GROUP BY 1, 2, 3
+            ), win AS (
+              SELECT doc_id, chain_id, char_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, chain_id
+                  ORDER BY occ DESC, char_id ASC) AS rn
+                FROM occ) WHERE rn = 1
+            ), assigned AS (
+              SELECT mem.doc_id, w.char_id, mem.mention, mem.tok_idx
+              FROM members mem
+              JOIN win w ON w.doc_id = mem.doc_id
+                        AND w.chain_id = mem.chain_id
+            ), allrows AS (
+              SELECT doc_id, token AS char_id, token AS mention, tok_idx
+              FROM m
+              UNION
+              SELECT doc_id, char_id, mention, tok_idx FROM assigned
+            )
+            SELECT doc_id, char_id, count(*)::BIGINT AS mention_count
+            FROM allrows GROUP BY doc_id, char_id
         """,
         "gendered_characters": f"""
             WITH toks AS (
