@@ -1195,6 +1195,44 @@ def q_gendered_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATTERN = ["table", "table"]  # adjacent repeat — common in the corpus
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_vocab (reference utils.py:137-152): token→id in FIRST
+    corpus appearance order (corpus order = (doc_id, tok_idx))."""
+    from renard_spark.operators.utils import make_vocab
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs).withColumn(
+        "_ord",
+        F.col("doc_id").cast("long") * 1000000 + F.col("tok_idx"),
+    )
+    return make_vocab(toks, "token", "_ord").select(
+        "value", F.col("vocab_id").cast("long").alias("vocab_id")
+    )
+
+
+def q_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_pattern (reference utils.py:68-79): all start indices of
+    an exact token subsequence, as an array higher-order scan."""
+    from renard_spark.operators.utils import search_pattern
+
+    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    toks = tokenize.tokens(docs)
+    arrs = toks.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tok_idx", "token"))),
+            lambda s: s["token"],
+        ).alias("tokens")
+    )
+    out = arrs.select(
+        "doc_id",
+        F.explode(search_pattern(F.col("tokens"), PATTERN)).alias("pos"),
+    )
+    return _long_doc_id(out.select("doc_id", F.col("pos").cast("long").alias("pos")))
+
+
 # Deterministic coref chains over the corpus: chain 0 = every 'spark'
 # occurrence + every 'data' occurrence; chain 1 = same for 'customer';
 # chain 2 = spark AND customer occurrences + data — so the chain→
@@ -1620,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypocorism_characters": q_hypocorism_characters,
         "gendered_characters": q_gendered_characters,
         "coref_characters": q_coref_characters,
+        "token_vocab": q_token_vocab,
+        "pattern_matches": q_pattern_matches,
     }
 
 
@@ -1801,6 +1841,28 @@ pairs AS (
             JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
             JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
             GROUP BY m.doc_id, c.char_id, nn.n_names
+        """,
+        "token_vocab": _BASE_CTES + """
+            , firsts AS (
+              SELECT token AS value,
+                     min(doc_id * 1000000 + tok_idx) AS _first
+              FROM toks GROUP BY token
+            )
+            SELECT value,
+                   (row_number() OVER (ORDER BY _first, value)
+                    - 1)::BIGINT AS vocab_id
+            FROM firsts
+        """,
+        "pattern_matches": _BASE_CTES + f"""
+            , nxt AS (
+              SELECT doc_id, tok_idx, token,
+                     lead(token) OVER (PARTITION BY doc_id
+                                       ORDER BY tok_idx) AS t2
+              FROM toks
+            )
+            SELECT doc_id, tok_idx::BIGINT AS pos
+            FROM nxt
+            WHERE token = '{PATTERN[0]}' AND t2 = '{PATTERN[1]}'
         """,
         "coref_characters": _BASE_CTES + """
             , dat AS (SELECT doc_id, tok_idx FROM toks WHERE token = 'data'),
