@@ -1380,7 +1380,13 @@ def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("PER").alias("tag"),
         )
     )
-    unified = unify_distributed(ments, scope_col="corpus")
+    # token/family blocking, not the per-scope self-join: at corpus
+    # scope ONE scope holds every distinct surface in the table, so the
+    # full self-join is quadratic in global name count — blocking is
+    # recall-lossless for the rule set (property-tested equal)
+    unified = unify_distributed(
+        ments, scope_col="corpus", pair_blocking="token"
+    )
     out = unified.groupBy("doc_id", "char_id").agg(
         F.size(F.first("names")).cast("long").alias("n_names"),
         F.count(F.lit(1)).cast("long").alias("mention_count"),

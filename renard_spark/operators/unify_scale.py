@@ -133,12 +133,34 @@ def _chain_gender_votes(
     )
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _block_keys_udf(names: pd.Series) -> pd.Series:
+    """Entity-resolution blocking keys for a name. SOUND for the alias
+    rules: every rule — hypocorism (single-gazetteer-name strings),
+    equal-after-title-removal, shared last token, shared first token —
+    requires the two names to share a lowercase token OR a hypocorism
+    family hub of one of their tokens, so candidate generation on
+    these keys loses NO true pair (over-generation is fine: the rule
+    UDF re-checks each candidate)."""
+    from renard_spark.resources.gazetteers import names_of_nickname
+
+    out = []
+    for n in names:
+        keys: set[str] = set()
+        for tok in str(n).lower().split():
+            keys.add(tok)
+            keys.update(names_of_nickname(tok))
+        out.append(sorted(keys))
+    return pd.Series(out)
+
+
 def unify_distributed(
     entities_df: DataFrame,
     character_tag: str = "PER",
     scope_col: str = "doc_id",
     min_appearances: int = 0,
     corefs_df: DataFrame | None = None,
+    pair_blocking: str = "scope",
 ) -> DataFrame:
     """→ unified mentions (scope, char_id, names, gender, mention_str,
     start_idx, end_idx), same shape as unify.graph_rules_unify.
@@ -148,7 +170,15 @@ def unify_distributed(
     gap vs the parity path's ``infer_gender(chains=...)``; the informed
     gender then feeds the contradiction refinement exactly as there.
     (Chain-mention assignment and the link_corefs_mentions rule remain
-    parity-path features.)"""
+    parity-path features.)
+
+    ``pair_blocking``: 'scope' (default) self-joins all names within a
+    scope — exact and cheap when scopes are documents (names are few
+    per doc). 'token' generates candidates via token/hypocorism-family
+    blocking keys instead — the CORPUS-scope path, where one scope
+    holds every distinct surface in the table and a full self-join
+    would be quadratic; provably recall-lossless for the rule set
+    (see ``_block_keys_udf``) and property-tested equal to 'scope'."""
     per = entities_df.filter(F.col("tag") == character_tag)
     # names and linked pairs feed several consumers each (pair sides,
     # node/edge sides, labeling) and carry Arrow-UDF stages —
@@ -172,9 +202,41 @@ def unify_distributed(
         F.col("mention_str").alias("n2"),
         F.col("gender").alias("g2"),
     )
-    pairs = a.join(
-        b, (a["_s"] == b["_s2"]) & (a["n1"] < b["n2"])
-    ).drop("_s2")
+    if pair_blocking == "token":
+        keyed = names.select(
+            F.col(scope_col).alias("_ks"),
+            F.col("mention_str").alias("_kn"),
+            F.explode(_block_keys_udf("mention_str")).alias("_key"),
+        )
+        cand = (
+            keyed.alias("x")
+            .join(
+                keyed.alias("y"),
+                (F.col("x._ks") == F.col("y._ks"))
+                & (F.col("x._key") == F.col("y._key"))
+                & (F.col("x._kn") < F.col("y._kn")),
+            )
+            .select(
+                F.col("x._ks").alias("_cs"),
+                F.col("x._kn").alias("_c1"),
+                F.col("y._kn").alias("_c2"),
+            )
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                a, (F.col("_cs") == F.col("_s")) & (F.col("_c1") == F.col("n1"))
+            )
+            .join(
+                b,
+                (F.col("_cs") == F.col("_s2")) & (F.col("_c2") == F.col("n2")),
+            )
+            .select("_s", "n1", "g1", "n2", "g2")
+        )
+    else:
+        pairs = a.join(
+            b, (a["_s"] == b["_s2"]) & (a["n1"] < b["n2"])
+        ).drop("_s2")
     linked = (
         pairs.withColumn("linked", _alias_rule_udf("n1", "n2"))
         .filter("linked")

@@ -475,3 +475,50 @@ def test_gendered_presence_patterns_match_unify_doc():
                 assert c["gender"] == (
                     "MALE" if c["char_id"].startswith("mr ") else "FEMALE"
                 )
+
+
+# ------------------------------------------------ token-blocked pair gen
+
+
+def test_token_blocking_equals_full_self_join(spark):
+    """pair_blocking='token' (the corpus-scope path: candidates via
+    token/hypocorism-family keys instead of a quadratic per-scope self
+    join) must produce EXACTLY the components of the full self-join on
+    a mixed corpus exercising every rule family."""
+    import random
+
+    from renard_spark.operators.unify_scale import unify_distributed
+
+    rng = random.Random(3)
+    pool = [
+        "bob", "robert", "bobby", "liz", "elizabeth",
+        "mr smith", "mrs smith", "smith", "anna smith",
+        "Anna Karenina", "anna karenina", "karenina",
+        "spark table", "spark batch", "customer table", "mr jones",
+    ]
+    rows = []
+    for d in range(12):
+        names = rng.sample(pool, rng.randint(2, 8))
+        for i, n in enumerate(names):
+            rows.append(("corpus", f"d{d}", n, i * 3, i * 3 + len(n.split()), "PER"))
+    ents = spark.createDataFrame(
+        rows,
+        "corpus string, doc_id string, mention_str string,"
+        " start_idx int, end_idx int, tag string",
+    )
+
+    def labels(df):
+        return {(r["doc_id"], r["mention_str"], r["char_id"])
+                for r in df.collect()}
+
+    full = labels(unify_distributed(ents, scope_col="corpus"))
+    blocked = labels(
+        unify_distributed(ents, scope_col="corpus", pair_blocking="token")
+    )
+    assert full == blocked
+    # and per-doc scope too
+    full_d = labels(unify_distributed(ents.drop("corpus")))
+    blocked_d = labels(
+        unify_distributed(ents.drop("corpus"), pair_blocking="token")
+    )
+    assert full_d == blocked_d
