@@ -1598,6 +1598,87 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_KINDS = ["audio", "video", "image"]
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved text+media corpus in the exact
+    BASELINE.json input_hint shape — (doc_id, spans:array<struct<
+    kind,text,media_ref,offset>>) — synthesized from the driver's flat
+    documents table: the text split at its midpoint into two text
+    spans, an image span between the halves, and a doc_id-keyed
+    trailing media span whose kind cycles audio/video/image."""
+    docs = _documents(spark, sf_dir)
+    mid = "CAST(length(text) / 2 AS INT)"
+    kv = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
+    )
+    null_s = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.expr(f"substring(text, 1, {mid})").alias("text"),
+            null_s.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            null_s.alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id"), F.lit("/0")).alias(
+                "media_ref"
+            ),
+            F.expr(mid).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.expr(f"substring(text, {mid} + 1)").alias("text"),
+            null_s.alias("media_ref"),
+            F.expr(mid).alias("offset"),
+        ),
+        F.struct(
+            kv.alias("kind"),
+            null_s.alias("text"),
+            F.concat(kv, F.lit("://"), F.col("doc_id"), F.lit("/1")).alias(
+                "media_ref"
+            ),
+            F.length("text").cast("int").alias("offset"),
+        ),
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def q_span_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row lineage over the interleaved input shape: the md5
+    fingerprint reproduces the exact (kind, text, media_ref, order)
+    span sequence — BASELINE.json's per-row invariant — and DuckDB
+    recomputes the same digest from the flat table. Narrow plan: one
+    scan, no shuffle (sources/ingest.py span_lineage)."""
+    inter = ingest.normalize_documents(_interleaved(spark, sf_dir))
+    lin = ingest.span_lineage(inter, stage="ingest")
+    return lin.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "span_fingerprint",
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media spans carried through ingest untouched: explode the
+    non-text spans (sources/ingest.py media_spans) and aggregate per
+    kind — counts, distinct docs/refs, and the offset sum prove kind,
+    media_ref, and offset all survive normalization exactly."""
+    med = ingest.media_spans(
+        ingest.normalize_documents(_interleaved(spark, sf_dir))
+    )
+    return med.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("media_ref").alias("n_refs"),
+        F.sum("offset").alias("sum_offset"),
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -1666,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coref_characters": q_coref_characters,
         "token_vocab": q_token_vocab,
         "pattern_matches": q_pattern_matches,
+        "span_lineage": q_span_lineage,
+        "media_stats": q_media_stats,
     }
 
 
@@ -2271,5 +2354,54 @@ WITH b AS (
   JOIN n nb ON nb.vec_id = c.id_b
 )
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+        """,
+        # interleaved-spans shape (BASELINE.json input_hint): DuckDB
+        # rebuilds the same 4-span sequence from the flat table and
+        # recomputes the lineage md5 over (kind, text, media_ref, order)
+        # with span_lineage's collision-proof delimiters: chr(1) between
+        # fields, chr(2) for NULL, chr(3) between spans.
+        "span_lineage": """
+            WITH q AS (
+              SELECT doc_id,
+                     substr(text, 1, length(text) // 2) AS s1,
+                     substr(text, length(text) // 2 + 1) AS s2,
+                     (['audio','video','image'])[(doc_id % 3 + 1)::INT] AS kv
+              FROM documents
+            )
+            SELECT doc_id,
+                   4::BIGINT AS n_spans,
+                   md5(
+                     'text' || chr(1) || s1 || chr(1) || chr(2)
+                       || chr(1) || '0'
+                     || chr(3) || 'image' || chr(1) || chr(2) || chr(1)
+                       || 'img://' || doc_id::VARCHAR || '/0' || chr(1) || '1'
+                     || chr(3) || 'text' || chr(1) || s2 || chr(1) || chr(2)
+                       || chr(1) || '2'
+                     || chr(3) || kv || chr(1) || chr(2) || chr(1)
+                       || kv || '://' || doc_id::VARCHAR || '/1'
+                       || chr(1) || '3'
+                   ) AS span_fingerprint
+            FROM q
+        """,
+        "media_stats": """
+            WITH med AS (
+              SELECT doc_id, 'image' AS kind,
+                     'img://' || doc_id::VARCHAR || '/0' AS media_ref,
+                     length(text) // 2 AS off
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     (['audio','video','image'])[(doc_id % 3 + 1)::INT],
+                     (['audio','video','image'])[(doc_id % 3 + 1)::INT]
+                       || '://' || doc_id::VARCHAR || '/1',
+                     length(text)
+              FROM documents
+            )
+            SELECT kind,
+                   count(*)::BIGINT AS n_media,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(DISTINCT media_ref)::BIGINT AS n_refs,
+                   sum(off)::BIGINT AS sum_offset
+            FROM med GROUP BY kind
         """,
     }

@@ -12,6 +12,7 @@ triples) as the `narrative_pipeline` entry.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -35,11 +36,28 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("renard_spark_bench", cpus=cpus)
 
+    # untimed warm-up: spin up the Arrow/pandas Python workers and
+    # JIT-compile the whole-stage-codegen hot paths against the tiny
+    # sf so the per-query timings below measure steady-state
+    # throughput, not first-use session warm-up (worth ~10 s on the
+    # first pipeline execution in a fresh JVM)
+    run_to_completion(entrymod.entry(spark))
+    warm = pipeline.character_graph_pipeline(
+        corpus.generate_documents(spark, 50, seed=13), dist=(1, "sentences")
+    )
+    run_to_completion(warm["triples"])
+    gc.collect()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         run_to_completion(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop DataFrame refs so ContextCleaner can release the query's
+        # localCheckpoint blocks before the next timing starts — with
+        # ~50 queries in one session the accumulated blocks otherwise
+        # squeeze executor storage for the later, heavier entries
+        gc.collect()
 
     # full narrative KG pipeline on the deterministic interleaved corpus
     t0 = time.perf_counter()

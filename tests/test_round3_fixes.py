@@ -522,3 +522,26 @@ def test_token_blocking_equals_full_self_join(spark):
         unify_distributed(ents.drop("corpus"), pair_blocking="token")
     )
     assert full_d == blocked_d
+
+
+def test_interleaved_corpus_reassembles_exactly(spark):
+    """The driver-gate interleaved corpus (input_hint shape) must
+    reassemble to the original flat text through normalize_documents,
+    and its lineage must count 4 spans with 2 media spans per doc —
+    the span-sequence invariant the span_lineage/media_stats queries
+    hash-gate at sf0.01."""
+    import __spark_entry__ as entrymod
+    from renard_spark.sources import ingest
+
+    sf = "/root/testdata/sf0.001"
+    flat = {r["doc_id"]: r["text"]
+            for r in entrymod._documents(spark, sf).collect()}
+    inter = ingest.normalize_documents(entrymod._interleaved(spark, sf))
+    got = {r["doc_id"]: r["text"] for r in inter.collect()}
+    assert got == flat
+    lin = ingest.span_lineage(inter)
+    assert lin.filter("n_spans != 4").count() == 0
+    med = ingest.media_spans(inter)
+    assert med.count() == 2 * len(flat)
+    # media refs are doc-unique and kind-prefixed
+    assert med.select("media_ref").distinct().count() == 2 * len(flat)
