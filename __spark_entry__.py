@@ -506,7 +506,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     return ner.dictionary_ner(toks, CAST_TOKENS)
 
@@ -518,8 +518,9 @@ def _long_doc_id(df: DataFrame) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (text-analysis op) — JVM regexp, no shuffle."""
-    return _documents(spark, sf_dir).select(
+    """Token counting (text-analysis op) — JVM regexp; _spread only
+    because the test corpus is one parquet split (see _spread)."""
+    return _spread(_documents(spark, sf_dir)).select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
         .cast("long")
@@ -596,7 +597,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprints: md5(text) + duplicate-group size."""
     from pyspark.sql import Window
 
-    docs = _documents(spark, sf_dir)
+    docs = _spread(_documents(spark, sf_dir))
     w = Window.partitionBy("fp")
     return (
         docs.select("doc_id", F.md5("text").alias("fp"))
@@ -644,7 +645,7 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    q = ftext.quality_scores(_documents(spark, sf_dir))
+    q = ftext.quality_scores(_spread(_documents(spark, sf_dir)))
     return q.select(
         "doc_id", "n_chars", "n_tokens",
         *[
@@ -658,7 +659,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.language_id(_documents(spark, sf_dir)).select(
+    return ftext.language_id(_spread(_documents(spark, sf_dir))).select(
         "doc_id", F.round("en_score", 6).alias("en_score"), "lang_pred"
     )
 
@@ -666,13 +667,13 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.language_id_multi(_documents(spark, sf_dir))
+    return ftext.language_id_multi(_spread(_documents(spark, sf_dir)))
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.fingerprints(_documents(spark, sf_dir))
+    return ftext.fingerprints(_spread(_documents(spark, sf_dir)))
 
 
 WINNOW_K, WINNOW_W = 8, 4
@@ -726,7 +727,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     words — the model-token budget proxy of a training pipeline."""
     from renard_spark.functions import text as ftext
 
-    return ftext.bpe_token_counts(_documents(spark, sf_dir))
+    return ftext.bpe_token_counts(_spread(_documents(spark, sf_dir)))
 
 
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,7 +855,7 @@ def q_bio_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode every tagger (incl. model_ner) feeds."""
     from pyspark.sql import Window
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     prev = F.lag("token").over(w)
@@ -1048,7 +1049,7 @@ def _linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams, initcap'd at even token positions (see comment above)."""
     from pyspark.sql import Window
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     nxt = F.lead("token").over(w)
@@ -1128,7 +1129,7 @@ def q_hypocorism_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components form exactly through gazetteer relatedness (reference
     hypocorisms.py:73-84 + character_unification.py:255-259)."""
     hmap = F.create_map(*[F.lit(x) for kv in HYPO_MAP.items() for x in kv])
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     ments = (
         toks.withColumn("_name", hmap[F.col("token")])
@@ -1171,7 +1172,7 @@ def q_gendered_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     title-removal linking behind the hash gate (reference
     character_unification.py:261-327 + infer_gender)."""
     gmap = F.create_map(*[F.lit(x) for kv in GENDER_MAP.items() for x in kv])
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     ments = (
         toks.withColumn("_name", gmap[F.col("token")])
@@ -1203,7 +1204,7 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus appearance order (corpus order = (doc_id, tok_idx))."""
     from renard_spark.operators.utils import make_vocab
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs).withColumn(
         "_ord",
         F.col("doc_id").cast("long") * 1000000 + F.col("tok_idx"),
@@ -1218,7 +1219,7 @@ def q_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact token subsequence, as an array higher-order scan."""
     from renard_spark.operators.utils import search_pattern
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     arrs = toks.groupBy("doc_id").agg(
         F.transform(
@@ -1248,7 +1249,7 @@ def q_coref_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NaiveCharacterUnifier WITH coreference chains behind the gate:
     chain×character occurrence counts → window argmax winner →
     chain-mention assignment → union + dedup → per-character counts."""
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     parts = []
     for cid, members in enumerate(COREF_CHAIN_TOKENS):
@@ -1296,7 +1297,7 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference relation_extraction.py + graph_extraction.py:738-751)."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
@@ -1364,7 +1365,7 @@ def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from renard_spark.operators.unify_scale import unify_distributed
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     nxt = F.lead("token").over(w)
@@ -1435,7 +1436,7 @@ def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation); the lexicon is the documented injection seam."""
     from renard_spark.operators import sentiment
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs).withColumn(
         "sent_idx",
         F.floor(F.col("tok_idx") / POLARITY_SENT_LEN).cast("int"),
@@ -1518,7 +1519,7 @@ def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     # the Arrow quote-scan feeds the attribution join twice and the
     # attributed quotes self-join in conversation_edges — checkpoint so
@@ -1552,7 +1553,7 @@ def q_dynamic_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     qdf = qops.detect_quotes(
         toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
@@ -1580,7 +1581,7 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_documents(spark, sf_dir))
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
     qdf = qops.detect_quotes(
         toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
@@ -1608,7 +1609,7 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table: the text split at its midpoint into two text
     spans, an image span between the halves, and a doc_id-keyed
     trailing media span whose kind cycles audio/video/image."""
-    docs = _documents(spark, sf_dir)
+    docs = _spread(_documents(spark, sf_dir))
     mid = "CAST(length(text) / 2 AS INT)"
     kv = F.element_at(
         F.array(*[F.lit(k) for k in MEDIA_KINDS]),
@@ -1685,7 +1686,7 @@ BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import retrieval
 
-    idx = retrieval.bm25_index(_documents(spark, sf_dir))
+    idx = retrieval.bm25_index(_spread(_documents(spark, sf_dir)))
     q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
     t = retrieval.bm25_topk(idx, q, k=5)
     return t.select(
