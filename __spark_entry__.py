@@ -1599,6 +1599,40 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document degree + strength (weighted degree) of the
+    character network — the canonical metrics users compute on the
+    reference's nx.Graph outputs, here one union + one aggregation
+    over the edge table (functions/graph.py degrees)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    deg = gmetrics.degrees(edges, scope_cols=("doc_id",))
+    return _long_doc_id(deg)
+
+
+PAGERANK_DAMPING, PAGERANK_ITERS = 0.85, 10
+
+
+def q_char_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the corpus-global character network
+    (per-doc co-occurrence edges summed), 10 fixed iterations — the
+    iterative DataFrame fixpoint in functions/graph.py; the oracle
+    unrolls the same 10 rounds as chained CTEs."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    pr = gmetrics.pagerank(
+        ge, damping=PAGERANK_DAMPING, iters=PAGERANK_ITERS
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 MEDIA_KINDS = ["audio", "video", "image"]
 
 
@@ -1750,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_matches": q_pattern_matches,
         "span_lineage": q_span_lineage,
         "media_stats": q_media_stats,
+        "char_degrees": q_char_degrees,
+        "char_pagerank": q_char_pagerank,
     }
 
 
@@ -1769,7 +1805,51 @@ pairs AS (
 )
 """
     )
+    # corpus-global character graph + the PageRank rounds unrolled as
+    # chained CTEs (DuckDB recursive CTEs cannot aggregate over the
+    # recursive reference, so fixed iterations are generated here —
+    # same math as functions/graph.py pagerank)
+    pr_sql = edges_ctes + """,
+e0 AS (
+  SELECT least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::DOUBLE AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+sym AS (SELECT src AS u, dst AS v, w FROM e0
+        UNION ALL SELECT dst, src, w FROM e0),
+ow AS (SELECT u, sum(w) AS sw FROM sym GROUP BY u),
+ep AS (SELECT s.u, s.v, s.w / o.sw AS p FROM sym s JOIN ow o ON o.u = s.u),
+nd AS (SELECT DISTINCT u AS node FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS c FROM nd),
+pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS r FROM nd)"""
+    for i in range(PAGERANK_ITERS):
+        pr_sql += f""",
+pr{i + 1} AS (
+  SELECT ep.v AS node,
+         (1.0 - {PAGERANK_DAMPING}) / (SELECT c FROM nn)
+           + {PAGERANK_DAMPING} * sum(pr{i}.r * ep.p) AS r
+  FROM ep JOIN pr{i} ON pr{i}.node = ep.u
+  GROUP BY ep.v
+)"""
+    pr_sql += f"""
+SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
+"""
     return {
+        "char_degrees": edges_ctes + """,
+e0 AS (
+  SELECT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::DOUBLE AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
+),
+sym AS (SELECT doc_id, src AS node, w FROM e0
+        UNION ALL SELECT doc_id, dst, w FROM e0)
+SELECT doc_id, node, count(*)::BIGINT AS degree,
+       sum(w)::DOUBLE AS strength
+FROM sym GROUP BY doc_id, node
+        """,
+        "char_pagerank": pr_sql,
         "token_counts": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))::BIGINT AS n_tokens

@@ -1,0 +1,116 @@
+"""Graph analytics over character-network edge tables.
+
+The reference materializes per-document ``networkx.Graph`` objects and
+leaves metric computation to the caller (its extractors return graphs:
+/root/reference/renard/pipeline/graph_extraction.py; its docs compute
+degree/centrality on them with networkx). At 10^12-document scale the
+graphs live in edge TABLES, so the canonical network metrics become
+relational operators here:
+
+- degree / strength: one symmetrize-union + one map-side-combined
+  aggregation — no joins, no iteration.
+- PageRank: an iterative DataFrame fixpoint — per round ONE equi-join
+  (ranks → out-edges) and ONE aggregation (contributions → new ranks),
+  with lineage truncated by ``localCheckpoint`` every few rounds
+  exactly like the connected-components loop (operators/cc.py). At
+  cluster scale each round is a single shuffle keyed by node id;
+  skewed hub nodes are AQE's skew-join case, not a driver loop's.
+
+Everything is built-in-function only (JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    weight: str | None = "weight",
+) -> DataFrame:
+    """Undirected view of an edge table: each (src, dst, w) emitted in
+    both directions as (u, v, w). Character networks are undirected
+    (the reference's nx.Graph); directed metrics can skip this."""
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    both = F.array(
+        F.struct(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w")),
+        F.struct(F.col(dst).alias("u"), F.col(src).alias("v"), w.alias("w")),
+    )
+    # explode, not union: a union would evaluate the (possibly deep)
+    # upstream edge plan twice; this is one narrow pass
+    return edges.select(F.explode(both).alias("e")).select(
+        "e.u", "e.v", "e.w"
+    )
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    weight: str | None = "weight", scope_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Degree and strength (weighted degree) per node, optionally per
+    scope (e.g. per doc_id for per-document networks):
+    → (*scope_cols, node, degree, strength).
+
+    One union + one aggregation; degree counts distinct neighbors
+    (simple-graph semantics — the edge tables emit each unordered pair
+    once, so after symmetrizing, rows per node == neighbor count)."""
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    both = F.array(
+        F.struct(F.col(src).alias("node"), w.alias("w")),
+        F.struct(F.col(dst).alias("node"), w.alias("w")),
+    )
+    # single narrow explode (see symmetrize) + one map-side-combined agg
+    sym = edges.select(
+        *[F.col(c) for c in scope_cols], F.explode(both).alias("e")
+    )
+    return sym.groupBy(*scope_cols, F.col("e.node").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("e.w").alias("strength"),
+    )
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iters: int = 10,
+    src: str = "src", dst: str = "dst", weight: str | None = "weight",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank on the undirected character network:
+    → (node, rank).
+
+    Weighted propagation: a node pushes ``rank * w_uv / strength(u)``
+    along each incident edge; new rank = (1-d)/N + d·Σ incoming. On
+    the symmetric graph every node has in- and out-edges, so there is
+    no dangling-mass term. Per iteration: one broadcast-or-shuffle
+    equi-join of the rank vector onto the edge list + one
+    map-side-combined sum — the classic bulk-synchronous shape that
+    scales linearly in |E| per round.
+    """
+    sym = symmetrize(edges, src, dst, weight)
+    # out-strength per node, folded onto the edge list ONCE before the
+    # loop (the edge list is iteration-invariant — checkpoint it so
+    # each round re-reads a materialized table, not the whole lineage)
+    ow = sym.groupBy("u").agg(F.sum("w").alias("sw"))
+    e = (
+        sym.join(ow, "u")
+        .select("u", "v", (F.col("w") / F.col("sw")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contrib = e.join(ranks, e["u"] == ranks["node"]).select(
+            F.col("v").alias("node"), (F.col("rank") * F.col("p")).alias("c")
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

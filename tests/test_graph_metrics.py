@@ -1,0 +1,105 @@
+"""Graph-analytics operators vs independent oracles (networkx for
+degrees, a hand-rolled power iteration for fixed-iter PageRank)."""
+
+import random
+
+import networkx as nx
+import pytest
+
+from renard_spark.functions import graph as gmetrics
+
+
+def _random_edges(seed, n_nodes=40, n_edges=120):
+    rng = random.Random(seed)
+    seen = set()
+    rows = []
+    while len(rows) < n_edges:
+        a, b = rng.sample(range(n_nodes), 2)
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append((f"n{key[0]}", f"n{key[1]}", rng.randint(1, 9)))
+    return rows
+
+
+def test_degrees_match_networkx(spark):
+    rows = _random_edges(7)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: (r["degree"], r["strength"])
+        for r in gmetrics.degrees(df).collect()
+    }
+    g = nx.Graph()
+    for a, b, w in rows:
+        g.add_edge(a, b, weight=w)
+    want = {
+        n: (g.degree(n), float(g.degree(n, weight="weight")))
+        for n in g.nodes
+    }
+    assert got == want
+
+
+def test_degrees_scoped_per_doc(spark):
+    rows = [("d1", "a", "b", 2), ("d1", "a", "c", 3), ("d2", "a", "b", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, dst string, weight int"
+    )
+    got = {
+        (r["doc_id"], r["node"]): (r["degree"], r["strength"])
+        for r in gmetrics.degrees(df, scope_cols=("doc_id",)).collect()
+    }
+    assert got[("d1", "a")] == (2, 5.0)
+    assert got[("d1", "b")] == (1, 2.0)
+    assert got[("d2", "a")] == (1, 5.0)
+    assert ("d2", "c") not in got
+
+
+def _power_iteration(rows, damping, iters):
+    """Reference fixed-iteration weighted PageRank on the undirected
+    graph — plain dicts, no library."""
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    nodes = sorted(adj)
+    n = len(nodes)
+    strength = {u: float(sum(adj[u].values())) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        nxt = {u: (1.0 - damping) / n for u in nodes}
+        for u in nodes:
+            for v, w in adj[u].items():
+                nxt[v] += damping * r[u] * w / strength[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_power_iteration(spark):
+    rows = _random_edges(13, n_nodes=25, n_edges=60)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["rank"]
+        for r in gmetrics.pagerank(df, damping=0.85, iters=10).collect()
+    }
+    want = _power_iteration(rows, 0.85, 10)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    # ranks form a probability distribution (symmetric graph: no
+    # dangling mass leaks)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_uniform_on_cycle(spark):
+    # on a cycle every node is symmetric → uniform ranks
+    rows = [(f"n{i}", f"n{(i + 1) % 6}", 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = gmetrics.pagerank(df, iters=5, weight=None).collect()
+    for r in got:
+        assert r["rank"] == pytest.approx(1.0 / 6, abs=1e-12)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, weight int")
+    assert gmetrics.pagerank(df).count() == 0
