@@ -1599,6 +1599,34 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii) gated on docs
+    deterministically augmented with a URL, an email, an IPv4 and a
+    phone number — the synthetic corpus carries no natural PII, so
+    both engines append the same spans and the oracle replays the
+    same ordered regexp_replace chain."""
+    from renard_spark.functions import text as ftext
+
+    docs = _spread(_documents(spark, sf_dir)).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example via https://site-"), F.col("doc_id"),
+            F.lit(".example/path?q=1 or 10.0."),
+            (F.col("doc_id") % 256), F.lit("."),
+            ((F.col("doc_id") / 256).cast("long") % 256),
+            F.lit(" call +1 555 010 "),
+            (F.lit(1000) + F.col("doc_id") % 9000),
+        ),
+    )
+    s = ftext.scrub_pii(docs)
+    return s.select(
+        "doc_id", F.md5("scrubbed").alias("scrubbed_fp"),
+        "n_url", "n_email", "n_ip", "n_phone",
+    )
+
+
 def q_char_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document degree + strength (weighted degree) of the
     character network — the canonical metrics users compute on the
@@ -1786,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "char_degrees": q_char_degrees,
         "char_pagerank": q_char_pagerank,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1850,6 +1879,56 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        "pii_scrub": """
+            WITH p0 AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                       || '@mail.example via https://site-'
+                       || doc_id::VARCHAR
+                       || '.example/path?q=1 or 10.0.'
+                       || (doc_id % 256)::VARCHAR || '.'
+                       || ((doc_id // 256) % 256)::VARCHAR
+                       || ' call +1 555 010 '
+                       || (1000 + doc_id % 9000)::VARCHAR AS t
+              FROM documents
+            ), p1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, 'https?://[^\\s]+'))
+                       AS n_url,
+                     regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g')
+                       AS t
+              FROM p0
+            ), p2 AS (
+              SELECT doc_id, n_url,
+                     len(regexp_extract_all(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                     )) AS n_email,
+                     regexp_replace(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM p1
+            ), p3 AS (
+              SELECT doc_id, n_url, n_email,
+                     len(regexp_extract_all(
+                       t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                     )) AS n_ip,
+                     regexp_replace(
+                       t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t
+              FROM p2
+            ), p4 AS (
+              SELECT doc_id, n_url, n_email, n_ip,
+                     len(regexp_extract_all(t, '\\+\\d[\\d() .-]{7,}\\d'))
+                       AS n_phone,
+                     regexp_replace(t, '\\+\\d[\\d() .-]{7,}\\d',
+                                    '<PHONE>', 'g') AS t
+              FROM p3
+            )
+            SELECT doc_id, md5(t) AS scrubbed_fp,
+                   n_url::BIGINT AS n_url, n_email::BIGINT AS n_email,
+                   n_ip::BIGINT AS n_ip, n_phone::BIGINT AS n_phone
+            FROM p4
+        """,
         "token_counts": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))::BIGINT AS n_tokens

@@ -280,3 +280,35 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# PII patterns chosen for cross-engine parity: valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround.
+# Replacement order matters (emails inside URLs): URL first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d() .-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: URLs, emails, IPv4s and
+    international-format phone numbers replaced by typed tags, with
+    per-kind match counts → (doc_id, scrubbed, n_url, n_email, n_ip,
+    n_phone).
+
+    One narrow JVM projection (chained regexp_replace + regexp_count);
+    counts are measured on the same intermediate the replacement sees,
+    so a URL-embedded email is counted as URL only — the replacement
+    and the count can never disagree."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, tag in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return docs.select("doc_id", cur.alias("scrubbed"), *counts)

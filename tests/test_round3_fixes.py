@@ -545,3 +545,28 @@ def test_interleaved_corpus_reassembles_exactly(spark):
     assert med.count() == 2 * len(flat)
     # media refs are doc-unique and kind-prefixed
     assert med.select("media_ref").distinct().count() == 2 * len(flat)
+
+
+def test_scrub_pii_semantics(spark):
+    """URL-embedded emails count as URL only (replacement order), each
+    kind counted on the text the replacement saw, tags in output."""
+    from renard_spark.functions import text as ftext
+
+    rows = [
+        ("a", "mail me at bob@corp.io or +1 (415) 555-0123 now"),
+        ("b", "see https://x.io/u?e=a@b.co and http://y.org twice"),
+        ("c", "host 192.168.0.1 and 10.0.0.255 no phone 123"),
+        ("d", "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in ftext.scrub_pii(df).collect()}
+    assert got["a"]["n_email"] == 1 and got["a"]["n_phone"] == 1
+    assert "<EMAIL>" in got["a"]["scrubbed"]
+    assert "<PHONE>" in got["a"]["scrubbed"]
+    # the email inside the URL was consumed by the URL replacement
+    assert got["b"]["n_url"] == 2 and got["b"]["n_email"] == 0
+    assert got["b"]["scrubbed"] == "see <URL> and <URL> twice"
+    assert got["c"]["n_ip"] == 2 and got["c"]["n_phone"] == 0
+    assert got["d"]["scrubbed"] == rows[3][1]
+    assert (got["d"]["n_url"], got["d"]["n_email"], got["d"]["n_ip"],
+            got["d"]["n_phone"]) == (0, 0, 0, 0)
