@@ -1627,6 +1627,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top / duplicate 2-gram
+    occurrence shares) — the within-doc repetition filters of a
+    training-data pipeline (functions/text.repetition_stats)."""
+    from renard_spark.functions import text as ftext
+
+    r = ftext.repetition_stats(_spread(_documents(spark, sf_dir)), n=2)
+    return r.select(
+        "doc_id", "n_grams",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+    )
+
+
 def q_char_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document degree + strength (weighted degree) of the
     character network — the canonical metrics users compute on the
@@ -1815,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_degrees": q_char_degrees,
         "char_pagerank": q_char_pagerank,
         "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1879,6 +1894,19 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        "repetition_stats": _BASE_CTES + """,
+g AS (
+  SELECT t1.doc_id, t1.token || ' ' || t2.token AS gram
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.tok_idx = t1.tok_idx + 1
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_gram_frac,
+       round(coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE / sum(c), 6)
+         AS dup_gram_frac
+FROM c GROUP BY doc_id
+        """,
         "pii_scrub": """
             WITH p0 AS (
               SELECT doc_id,

@@ -312,3 +312,42 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         cur = F.regexp_replace(cur, pat, tag)
     return docs.select("doc_id", cur.alias("scrubbed"), *counts)
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics over token
+    n-grams → (doc_id, n_grams, top_gram_frac, dup_gram_frac).
+
+    ``top_gram_frac`` is the occurrence share of the single most
+    frequent n-gram; ``dup_gram_frac`` the share of occurrences whose
+    n-gram appears more than once — the two repetition signals the
+    Gopher filtering rules threshold on (Rae et al. 2021, table A1).
+    Narrow n-gram construction (array slice fold), then one two-level
+    aggregation keyed by doc. Documents with fewer than ``n`` tokens
+    yield no row (they have no n-grams to measure)."""
+    toks = docs.select("doc_id", _toks(text_col).alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tk") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {n}), i -> "
+                    f"concat_ws(' ', slice(tk, i + 1, {n})))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        (F.max("c") / F.sum("c")).alias("top_gram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_gram_frac"),
+    )

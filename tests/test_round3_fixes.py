@@ -570,3 +570,24 @@ def test_scrub_pii_semantics(spark):
     assert got["d"]["scrubbed"] == rows[3][1]
     assert (got["d"]["n_url"], got["d"]["n_email"], got["d"]["n_ip"],
             got["d"]["n_phone"]) == (0, 0, 0, 0)
+
+
+def test_repetition_stats_hand_case(spark):
+    """Hand-computed Gopher repetition metrics, including the
+    fewer-than-n-tokens doc (no row) and an all-repeated doc."""
+    from renard_spark.functions import text as ftext
+
+    rows = [
+        ("a", "x y x y x z"),   # grams: xy yx xy yx xz → 5, top 2/5, dup 4/5
+        ("b", "solo"),           # 1 token → no row
+        ("c", "p q p q p q p"),  # pq qp pq qp pq qp → top 3/6, dup 6/6
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in ftext.repetition_stats(df).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"]["n_grams"] == 5
+    assert got["a"]["top_gram_frac"] == pytest.approx(2 / 5)
+    assert got["a"]["dup_gram_frac"] == pytest.approx(4 / 5)
+    assert got["c"]["n_grams"] == 6
+    assert got["c"]["top_gram_frac"] == pytest.approx(3 / 6)
+    assert got["c"]["dup_gram_frac"] == pytest.approx(1.0)
