@@ -1627,6 +1627,26 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SPAN_LEN = 2
+
+
+def q_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-mention span enumeration (reference utils.py spans /
+    spans_indexs, incl. the never-the-full-sequence length quirk) as a
+    narrow higher-order fold — operators/utils.span_candidates."""
+    from renard_spark.operators import utils as oputils
+
+    s = oputils.span_candidates(
+        _spread(_documents(spark, sf_dir)), max_len=MAX_SPAN_LEN
+    )
+    return s.select(
+        "doc_id",
+        F.col("start_idx").cast("long").alias("start_idx"),
+        F.col("end_idx").cast("long").alias("end_idx"),
+        "span_text",
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top / duplicate 2-gram
     occurrence shares) — the within-doc repetition filters of a
@@ -1830,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_pagerank": q_char_pagerank,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "span_candidates": q_span_candidates,
     }
 
 
@@ -1894,6 +1915,25 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        # span lengths 1..MAX_SPAN_LEN, valid only while L < doc token
+        # count (the reference's range(1, min(len, max+1)) quirk)
+        "span_candidates": _BASE_CTES + """,
+cnt AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id),
+w AS (
+  SELECT t.doc_id, t.tok_idx, t.token,
+         lead(t.token, 1) OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tok_idx) AS nxt,
+         cnt.c
+  FROM toks t JOIN cnt ON cnt.doc_id = t.doc_id
+)
+SELECT doc_id, tok_idx::BIGINT AS start_idx, tok_idx::BIGINT AS end_idx,
+       token AS span_text
+FROM w WHERE 1 < c
+UNION ALL
+SELECT doc_id, tok_idx::BIGINT, (tok_idx + 1)::BIGINT,
+       token || ' ' || nxt
+FROM w WHERE nxt IS NOT NULL AND 2 < c
+        """,
         "repetition_stats": _BASE_CTES + """,
 g AS (
   SELECT t1.doc_id, t1.token || ' ' || t2.token AS gram

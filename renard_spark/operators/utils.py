@@ -165,3 +165,55 @@ def char_blocks_to_token_blocks(
     return joined.mapInPandas(
         run, schema="doc_id string, block_id int, start int, end int"
     )
+
+
+def spans(seq, max_len: int) -> list[tuple]:
+    """All contiguous sub-spans up to ``max_len``, smallest first —
+    exact parity with the reference helper (utils.py:9-26) INCLUDING
+    its quirk that span lengths stop at ``min(len(seq), max_len+1)-1``,
+    so the full-sequence span is never emitted when
+    ``len(seq) <= max_len``."""
+    out = []
+    for i in range(1, min(len(seq), max_len + 1)):
+        for j in range(len(seq) - i + 1):
+            out.append(tuple(seq[j:j + i]))
+    return out
+
+
+def spans_indexs(seq, max_len: int) -> list[tuple[int, int]]:
+    """(start, end) inclusive index pairs for :func:`spans`
+    (reference utils.py:29-36), same length quirk."""
+    idx = []
+    for i in range(1, min(len(seq), max_len + 1)):
+        for j in range(len(seq) - i + 1):
+            idx.append((j, j + i - 1))
+    return idx
+
+
+def span_candidates(
+    docs: DataFrame, max_len: int = 3, text_col: str = "text",
+) -> DataFrame:
+    """DataFrame form of :func:`spans`: every token sub-span up to
+    ``max_len`` per document — the candidate-mention enumeration a
+    span-scoring coref model consumes →
+    (doc_id, start_idx, end_idx, span_text).
+
+    Narrow higher-order fold (no shuffle): valid lengths are filtered
+    from a constant ascending sequence, reproducing the reference's
+    ``range(1, min(len, max_len+1))`` bound exactly (a document of one
+    token yields no spans, like the reference)."""
+    from renard_spark.operators.tokenize import TOKEN_RE
+
+    tk = F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+    body = (
+        f"flatten(transform(filter(sequence(1, {max_len}),"
+        " L -> L < size(_tk)), L ->"
+        " transform(sequence(0, size(_tk) - L), j ->"
+        " struct(j AS start_idx, j + L - 1 AS end_idx,"
+        " concat_ws(' ', slice(_tk, j + 1, L)) AS span_text))))"
+    )
+    return (
+        docs.select("doc_id", tk.alias("_tk"))
+        .select("doc_id", F.explode(F.expr(body)).alias("s"))
+        .select("doc_id", "s.start_idx", "s.end_idx", "s.span_text")
+    )

@@ -591,3 +591,30 @@ def test_repetition_stats_hand_case(spark):
     assert got["c"]["n_grams"] == 6
     assert got["c"]["top_gram_frac"] == pytest.approx(3 / 6)
     assert got["c"]["dup_gram_frac"] == pytest.approx(1.0)
+
+
+def test_span_candidates_match_pure_helpers(spark):
+    """DataFrame span enumeration == the pure-parity spans/spans_indexs
+    helpers (reference utils.py:9-36), incl. the one-token no-span and
+    len<=max_len quirks."""
+    from renard_spark.operators.tokenize import TOKEN_RE
+    from renard_spark.operators.utils import (
+        span_candidates, spans, spans_indexs,
+    )
+    import re
+
+    rows = [("a", "the quick brown fox jumps"), ("b", "one"),
+            ("c", "x y"), ("d", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {}
+    for r in span_candidates(df, max_len=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["start_idx"], r["end_idx"], r["span_text"])
+        )
+    for doc_id, text in rows:
+        toks = re.findall(TOKEN_RE, text)
+        want = [
+            (i0, i1, " ".join(s))
+            for (i0, i1), s in zip(spans_indexs(toks, 3), spans(toks, 3))
+        ]
+        assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
