@@ -1627,6 +1627,31 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient on the
+    corpus-global character network (functions/graph.py triangles:
+    canonical-edge wedge join closed against the edge list)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    # keep above-mean edges: the cast co-occurs everywhere, so the raw
+    # graph is complete (clustering ≡ 1, a degenerate gate); the mean
+    # threshold is scale-free and SQL-mirrorable as a scalar subquery
+    from pyspark.sql import Window
+
+    ge = ge.withColumn(
+        "_avg", F.avg("weight").over(Window.partitionBy())
+    ).filter(F.col("weight") >= F.col("_avg"))
+    t = gmetrics.triangles(ge)
+    return t.select(
+        "node", "degree", "n_triangles",
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
 MAX_SPAN_LEN = 2
 
 
@@ -1851,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "span_candidates": q_span_candidates,
+        "char_triangles": q_char_triangles,
     }
 
 
@@ -1915,6 +1941,43 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        # e0 (global canonical edges) reused from the pagerank CTE head:
+        # wedge join + closure, then per-node counts — same shape as
+        # functions/graph.py triangles
+        "char_triangles": edges_ctes + """,
+eg AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         count(*) AS wt
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+e0 AS (
+  SELECT a, b FROM eg WHERE wt >= (SELECT avg(wt) FROM eg)
+),
+w AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+t AS (SELECT w.a, w.b, w.c FROM w JOIN e0 ON e0.a = w.b AND e0.b = w.c),
+pn AS (
+  SELECT node, count(*) AS nt FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  ) GROUP BY node
+),
+dg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY node
+)
+SELECT dg.node, d::BIGINT AS degree,
+       coalesce(pn.nt, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN d >= 2
+             THEN 2.0 * coalesce(pn.nt, 0) / (d * (d - 1))
+             ELSE 0.0 END, 6) AS clustering
+FROM dg LEFT JOIN pn ON pn.node = dg.node
+        """,
         # span lengths 1..MAX_SPAN_LEN, valid only while L < doc token
         # count (the reference's range(1, min(len, max+1)) quirk)
         "span_candidates": _BASE_CTES + """,

@@ -114,3 +114,65 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient on
+    the undirected simple graph → (node, degree, n_triangles,
+    clustering).
+
+    The standard distributed shape: canonicalize edges to a < b,
+    build wedges with one self-equi-join (a<b<c ordering means every
+    triangle is enumerated exactly once), close them against the edge
+    list with a second equi-join. Both joins are equi-keyed — hub-node
+    skew is AQE's skew-join case. clustering(v) =
+    2·T(v) / (deg(v)·(deg(v)−1)), 0 where degree < 2."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # wedges a<b<c centred at b's lower endpoint a: (a,b) + (a,c), b<c
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = w.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node", "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long")
+        .alias("n_triangles"),
+    )
+    return out.withColumn(
+        "clustering",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        ).otherwise(F.lit(0.0)),
+    )

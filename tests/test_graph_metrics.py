@@ -103,3 +103,39 @@ def test_pagerank_unweighted_uniform_on_cycle(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string, weight int")
     assert gmetrics.pagerank(df).count() == 0
+
+
+def test_triangles_match_networkx(spark):
+    rows = _random_edges(29, n_nodes=30, n_edges=90)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in gmetrics.triangles(df).collect()
+    }
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    tri = nx.triangles(g)
+    clu = nx.clustering(g)
+    assert set(got) == set(g.nodes)
+    for n in g.nodes:
+        d, t, c = got[n]
+        assert (d, t) == (g.degree(n), tri[n]), n
+        assert c == pytest.approx(clu[n], abs=1e-12), n
+
+
+def test_triangles_counts_each_once(spark):
+    # K4: 4 triangles total, each node in 3; plus a pendant node
+    rows = []
+    nodes = ["a", "b", "c", "d"]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            rows.append((nodes[i], nodes[j], 1))
+    rows.append(("d", "e", 1))
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {r["node"]: r for r in gmetrics.triangles(df).collect()}
+    for n in "abc":
+        assert got[n]["n_triangles"] == 3
+        assert got[n]["clustering"] == 1.0
+    assert got["d"]["n_triangles"] == 3 and got["d"]["degree"] == 4
+    assert got["e"]["n_triangles"] == 0 and got["e"]["clustering"] == 0.0
