@@ -1652,6 +1652,29 @@ def q_char_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 5
+
+
+def q_char_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities on the
+    above-mean-sparsified global character network (functions/graph.py
+    label_propagation; the oracle unrolls the same rounds)."""
+    from pyspark.sql import Window
+
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    # 1.03×mean: sparser than the triangles cut, which on this corpus
+    # yields several communities instead of one dense blob
+    ge = ge.withColumn(
+        "_avg", F.avg("weight").over(Window.partitionBy())
+    ).filter(F.col("weight") >= F.col("_avg") * 1.03)
+    return gmetrics.label_propagation(ge, iters=LPA_ITERS)
+
+
 MAX_SPAN_LEN = 2
 
 
@@ -1877,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "span_candidates": q_span_candidates,
         "char_triangles": q_char_triangles,
+        "char_communities": q_char_communities,
     }
 
 
@@ -1926,7 +1950,33 @@ pr{i + 1} AS (
     pr_sql += f"""
 SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
 """
+    # synchronous weighted LPA, rounds unrolled; same sparsified graph
+    # as char_triangles, same deterministic (max weight-sum, min label)
+    # argmax as functions/graph.py label_propagation
+    lpa_sql = edges_ctes + """,
+eg AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         count(*)::DOUBLE AS wt
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+ef AS (SELECT a, b, wt FROM eg
+       WHERE wt >= (SELECT avg(wt) * 1.03 FROM eg)),
+sym AS (SELECT a AS u, b AS v, wt AS w FROM ef
+        UNION ALL SELECT b, a, wt FROM ef),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    for i in range(LPA_ITERS):
+        lpa_sql += f""",
+l{i + 1} AS (
+  SELECT s.u AS node, l.label AS label
+  FROM sym s JOIN l{i} l ON l.node = s.v
+  GROUP BY s.u, l.label
+  QUALIFY row_number() OVER (
+    PARTITION BY s.u ORDER BY sum(s.w) DESC, l.label ASC) = 1
+)"""
+    lpa_sql += f"\nSELECT node, label FROM l{LPA_ITERS}\n"
     return {
+        "char_communities": lpa_sql,
         "char_degrees": edges_ctes + """,
 e0 AS (
   SELECT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst,

@@ -176,3 +176,50 @@ def triangles(
             / (F.col("degree") * (F.col("degree") - 1)),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 5, src: str = "src",
+    dst: str = "dst", weight: str | None = "weight",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    → (node, label).
+
+    Labels start as the node's own id; each round every node adopts
+    the label with the highest incident edge-weight sum among its
+    neighbors, ties broken toward the smallest label — fully
+    deterministic, unlike classic random-order LPA, so results are
+    reproducible across cluster sizes and the DuckDB oracle can unroll
+    the same rounds. Per round: one equi-join (labels onto the
+    symmetric edge list) + one aggregation + one per-node window
+    argmax; lineage truncated like the PageRank loop. Synchronous
+    updates can oscillate on bipartite structure — the fixed iteration
+    count bounds that by construction (production tuning would use a
+    higher ``iters`` or a semi-synchronous coloring; the operator
+    semantics stay the same).
+    """
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges, src, dst, weight).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    argmax = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(iters):
+        nb = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), "label", "w"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.sum("w").alias("c"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(argmax))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

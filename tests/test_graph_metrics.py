@@ -139,3 +139,50 @@ def test_triangles_counts_each_once(spark):
         assert got[n]["clustering"] == 1.0
     assert got["d"]["n_triangles"] == 3 and got["d"]["degree"] == 4
     assert got["e"]["n_triangles"] == 0 and got["e"]["clustering"] == 0.0
+
+
+def _sync_lpa(rows, iters):
+    """Pure-Python synchronous weighted LPA with (max weight-sum,
+    min label) tie-break — the independent oracle."""
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    labels = {u: u for u in adj}
+    for _ in range(iters):
+        nxt = {}
+        for u in adj:
+            votes = {}
+            for v, w in adj[u].items():
+                votes[labels[v]] = votes.get(labels[v], 0.0) + w
+            nxt[u] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_pure_sync(spark):
+    rows = _random_edges(41, n_nodes=30, n_edges=70)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["label"]
+        for r in gmetrics.label_propagation(df, iters=5).collect()
+    }
+    assert got == _sync_lpa(rows, 5)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two K4 cliques joined by one weak bridge → two communities,
+    # each labelled by its clique's smallest node id
+    rows = []
+    for names in (["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"]):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                rows.append((names[i], names[j], 5))
+    rows.append(("a4", "b1", 1))
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["label"]
+        for r in gmetrics.label_propagation(df, iters=5).collect()
+    }
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3", "b4")} == {"b1"}
