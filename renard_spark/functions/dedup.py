@@ -99,6 +99,10 @@ def lsh_candidates(
     """
     from pyspark.sql import Window
 
+    # the pair join reads band_keys on BOTH sides (three times with the
+    # cap's window): materialize it once — O(docs x bands) rows, tiny
+    # next to the shingle/signature lineage it would otherwise replay
+    band_keys = band_keys.localCheckpoint(eager=True)
     left = band_keys
     if max_bucket is not None:
         wb = Window.partitionBy("band", "band_key").orderBy("doc_id")
