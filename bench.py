@@ -49,6 +49,20 @@ def main() -> None:
     gc.collect()
 
     timings: dict[str, float] = {}
+
+    # full narrative KG pipeline on the deterministic interleaved
+    # corpus — timed FIRST (right after warm-up): measured at the tail
+    # of the ~57-query session it reads 3-5x its steady-state wall
+    # from accumulated session state, which misrepresents the
+    # pipeline; isolated steady-state and this position agree
+    t0 = time.perf_counter()
+    docs = corpus.generate_documents(spark, NARRATIVE_DOCS, seed=13)
+    out = pipeline.character_graph_pipeline(docs, dist=(1, "sentences"))
+    run_to_completion(out["triples"])
+    timings["narrative_pipeline"] = round(time.perf_counter() - t0, 3)
+    del docs, out
+    gc.collect()
+
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         run_to_completion(fn(spark, sf_dir))
@@ -58,13 +72,6 @@ def main() -> None:
         # ~50 queries in one session the accumulated blocks otherwise
         # squeeze executor storage for the later, heavier entries
         gc.collect()
-
-    # full narrative KG pipeline on the deterministic interleaved corpus
-    t0 = time.perf_counter()
-    docs = corpus.generate_documents(spark, NARRATIVE_DOCS, seed=13)
-    out = pipeline.character_graph_pipeline(docs, dist=(1, "sentences"))
-    run_to_completion(out["triples"])
-    timings["narrative_pipeline"] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
