@@ -5,7 +5,7 @@ The reference scores each sentence with NLTK VADER's compound metric
 deterministic valence-lexicon scorer with the same output shape and the
 VADER-style normalization compound = s/√(s²+α): a broadcast join from
 tokens to the lexicon, one groupBy per sentence — no Python UDF at all.
-The lexicon = a core narrative word list below + the ~2.7k-entry
+The lexicon = a core narrative word list below + the ~3.1k-entry
 original compilation in resources/valence.py (same [-4,4] VADER scale).
 The real VADER list is drop-in loadable via ``load_vader_lexicon``
 (official TSV format) or any (word, valence) DataFrame passed to
@@ -99,7 +99,7 @@ def sentence_polarities_narrow(sent_tokens_df: DataFrame) -> DataFrame:
     valence sum an ordered array fold — no join, no groupBy.
 
     The map is built with ``str_to_map`` over ONE string literal, not
-    ``create_map`` over 2·|lexicon| literal expressions: at 2.7k
+    ``create_map`` over 2·|lexicon| literal expressions: at ~3k
     entries the latter is a ~5.5k-node expression tree that costs
     seconds of analysis on EVERY execution, while this is a 3-node
     tree constant-folded once."""
