@@ -1652,6 +1652,28 @@ def q_char_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K, KCORE_ROUNDS = 4, 6
+
+
+def q_char_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 4-core of the sparsified character network
+    (functions/graph.py k_core, iterative peel). Peeling is monotone,
+    so the oracle's fixed unrolled rounds reach the same fixpoint the
+    Spark loop converges to."""
+    from pyspark.sql import Window
+
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = ge.withColumn(
+        "_avg", F.avg("weight").over(Window.partitionBy())
+    ).filter(F.col("weight") >= F.col("_avg"))
+    return gmetrics.k_core(ge, k=KCORE_K)
+
+
 LPA_ITERS = 5
 
 
@@ -1901,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_candidates": q_span_candidates,
         "char_triangles": q_char_triangles,
         "char_communities": q_char_communities,
+        "char_kcore": q_char_kcore,
     }
 
 
@@ -1975,7 +1998,43 @@ l{i + 1} AS (
     PARTITION BY s.u ORDER BY sum(s.w) DESC, l.label ASC) = 1
 )"""
     lpa_sql += f"\nSELECT node, label FROM l{LPA_ITERS}\n"
+    # k-core peel, fixed unrolled rounds (monotone: extra rounds are
+    # no-ops once the fixpoint is reached); same avg-sparsified graph
+    # as char_triangles
+    kc_sql = edges_ctes + """,
+eg AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b, count(*) AS wt
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+c0 AS MATERIALIZED (
+  SELECT a, b FROM eg WHERE wt >= (SELECT avg(wt) FROM eg))"""
+    # each round references the previous round's CTEs several times —
+    # MATERIALIZED stops DuckDB inlining them exponentially
+    for i in range(KCORE_ROUNDS):
+        kc_sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM c{i} UNION ALL SELECT b FROM c{i}
+  ) GROUP BY node
+),
+b{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d < {KCORE_K}),
+c{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM c{i}
+  WHERE a NOT IN (SELECT node FROM b{i})
+    AND b NOT IN (SELECT node FROM b{i})
+)"""
+    kc_sql += f""",
+dfin AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM c{KCORE_ROUNDS}
+    UNION ALL SELECT b FROM c{KCORE_ROUNDS}
+  ) GROUP BY node
+)
+SELECT node, d::BIGINT AS degree FROM dfin
+"""
     return {
+        "char_kcore": kc_sql,
         "char_communities": lpa_sql,
         "char_degrees": edges_ctes + """,
 e0 AS (

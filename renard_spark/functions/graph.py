@@ -223,3 +223,47 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Maximal k-core of the undirected simple graph: iteratively peel
+    nodes of degree < k until none remain → surviving (node, degree)
+    with degree measured INSIDE the core.
+
+    Peeling is monotone (each round only removes; the fixpoint is the
+    unique maximal k-core), so extra rounds are no-ops — which lets
+    the DuckDB oracle unroll a fixed round count and still match
+    exactly. Per round: one narrow degree aggregation + two left-anti
+    equi-joins against the (usually tiny, broadcast) peel set, with
+    the edge list checkpointed so each round starts from materialized
+    state like the CC / PageRank / LPA loops."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        bad = deg.filter(F.col("d") < k).select("node").localCheckpoint(
+            eager=True
+        )
+        if bad.isEmpty():
+            return deg.select(
+                "node", F.col("d").cast("long").alias("degree")
+            )
+        e = (
+            e.join(bad, e["a"] == bad["node"], "left_anti")
+            .join(bad, e["b"] == bad["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not stabilize in {max_iter} rounds")

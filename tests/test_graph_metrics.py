@@ -186,3 +186,30 @@ def test_lpa_two_cliques_with_bridge(spark):
     }
     assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
     assert {got[n] for n in ("b1", "b2", "b3", "b4")} == {"b1"}
+
+
+def test_k_core_matches_networkx(spark):
+    rows = _random_edges(57, n_nodes=30, n_edges=70)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    for k in (2, 3, 4):
+        got = {
+            r["node"]: r["degree"]
+            for r in gmetrics.k_core(df, k=k).collect()
+        }
+        core = nx.k_core(g, k=k)
+        assert got == {n: core.degree(n) for n in core.nodes}, k
+
+
+def test_k_core_peels_chain_entirely(spark):
+    # a path graph has no 2-core: peeling cascades end-to-end
+    rows = [(f"n{i}", f"n{i+1}", 1) for i in range(8)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    assert gmetrics.k_core(df, k=2).count() == 0
+    # but a triangle hanging off the chain survives as the 2-core
+    rows += [("n0", "x", 1), ("x", "y", 1), ("y", "n0", 1)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {r["node"]: r["degree"] for r in gmetrics.k_core(df, k=2).collect()}
+    assert got == {"n0": 2, "x": 2, "y": 2}
