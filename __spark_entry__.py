@@ -498,10 +498,14 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread a small-file scan across the default parallelism before
     per-row-heavy work (shingling, 64-bit-vote hashing): the test
     corpora are single parquet files, so without this the heaviest map
-    stage runs as ONE task. At production scale the scan is already
-    many splits and this repartition is a cheap no-op-sized shuffle of
-    raw text."""
+    stage runs as ONE task. Gated on the actual split count: at
+    production scale the scan already has >= parallelism splits and the
+    repartition — which WOULD be a full shuffle of the corpus text —
+    is skipped entirely. Driver-query-local; the pipeline facades never
+    call this."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
     return df.repartition(par)
 
 
@@ -1248,26 +1252,43 @@ COREF_CHAIN_TOKENS = [("spark",), ("customer",), ("spark", "customer")]
 def q_coref_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NaiveCharacterUnifier WITH coreference chains behind the gate:
     chain×character occurrence counts → window argmax winner →
-    chain-mention assignment → union + dedup → per-character counts."""
+    chain-mention assignment → union + dedup → per-character counts.
+
+    Tokenization (the regexp+explode over every document) runs ONCE:
+    the token table is filtered to the union of cast + chain surfaces
+    and lineage-truncated, then the chain table is built in a single
+    pass by exploding a literal token→chain-ids map — no per-chain
+    re-scan, no union of branches that each re-tokenize the corpus."""
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
-    parts = []
+    token_chains: dict[str, list[int]] = {}
     for cid, members in enumerate(COREF_CHAIN_TOKENS):
-        parts.append(
-            toks.filter(F.col("token").isin(list(members) + ["data"]))
-            .select(
-                "doc_id",
-                F.lit(cid).alias("chain_id"),
-                F.col("tok_idx").cast("int").alias("start_idx"),
-                (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
-                F.col("token").alias("mention_str"),
-            )
-        )
-    corefs = parts[0]
-    for p in parts[1:]:
-        corefs = corefs.unionByName(p)
+        for t in list(members) + ["data"]:
+            token_chains.setdefault(t, []).append(cid)
+    needed = sorted(set(CAST_TOKENS) | set(token_chains))
+    toks_small = toks.filter(F.col("token").isin(needed)).localCheckpoint(
+        eager=False
+    )
+    chain_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in token_chains]),
+        F.array(
+            *[
+                F.array(*[F.lit(c) for c in cs])
+                for cs in token_chains.values()
+            ]
+        ),
+    )
+    corefs = toks_small.filter(
+        F.col("token").isin(sorted(token_chains))
+    ).select(
+        "doc_id",
+        F.explode(chain_map[F.col("token")]).alias("chain_id"),
+        F.col("tok_idx").cast("int").alias("start_idx"),
+        (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
+        F.col("token").alias("mention_str"),
+    )
     unified = unify.naive_unify(
-        ner.dictionary_ner(toks, CAST_TOKENS), corefs_df=corefs
+        ner.dictionary_ner(toks_small, CAST_TOKENS), corefs_df=corefs
     )
     chars = unify.characters_table(unified)
     return _long_doc_id(
@@ -1674,6 +1695,32 @@ def q_char_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gmetrics.k_core(ge, k=KCORE_K)
 
 
+CORENUM_ROUNDS = 8
+
+
+def q_char_corenums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL k-core decomposition — core number for every node in one
+    operator (functions/graph.py core_number, iterated h-index) on the
+    same sparsified character network as char_kcore. Fixed unrolled
+    rounds on both engines: the h-index iteration is monotone
+    non-increasing from degrees, so once converged the extra rounds
+    are no-ops and the fixed-round oracle reaches the same fixpoint
+    (convergence within CORENUM_ROUNDS is pytest-asserted against
+    networkx.core_number)."""
+    from pyspark.sql import Window
+
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = ge.withColumn(
+        "_avg", F.avg("weight").over(Window.partitionBy())
+    ).filter(F.col("weight") >= F.col("_avg"))
+    return gmetrics.core_number(ge, iters=CORENUM_ROUNDS)
+
+
 LPA_ITERS = 5
 
 
@@ -1924,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_triangles": q_char_triangles,
         "char_communities": q_char_communities,
         "char_kcore": q_char_kcore,
+        "char_corenums": q_char_corenums,
     }
 
 
@@ -2001,7 +2049,7 @@ l{i + 1} AS (
     # k-core peel, fixed unrolled rounds (monotone: extra rounds are
     # no-ops once the fixpoint is reached); same avg-sparsified graph
     # as char_triangles
-    kc_sql = edges_ctes + """,
+    kc_base = edges_ctes + """,
 eg AS (
   SELECT least(t1, t2) AS a, greatest(t1, t2) AS b, count(*) AS wt
   FROM pairs WHERE t1 <> t2
@@ -2009,6 +2057,7 @@ eg AS (
 ),
 c0 AS MATERIALIZED (
   SELECT a, b FROM eg WHERE wt >= (SELECT avg(wt) FROM eg))"""
+    kc_sql = kc_base
     # each round references the previous round's CTEs several times —
     # MATERIALIZED stops DuckDB inlining them exponentially
     for i in range(KCORE_ROUNDS):
@@ -2033,8 +2082,31 @@ dfin AS (
 )
 SELECT node, d::BIGINT AS degree FROM dfin
 """
+    # full core-number decomposition: iterated h-index unrolled — each
+    # round joins current values onto the symmetric edge list and takes
+    # the per-node h-index as a windowed prefix count (ties in the DESC
+    # sort don't matter: the sorted multiset is unique, so the count of
+    # positions with val >= rank is order-independent). Same fixed-
+    # round no-op-past-fixpoint argument as kc_sql.
+    cn_sql = kc_base + """,
+symn AS (SELECT a AS u, b AS v FROM c0 UNION ALL SELECT b, a FROM c0),
+v0 AS MATERIALIZED (SELECT u AS node, count(*) AS val FROM symn GROUP BY u)"""
+    for i in range(CORENUM_ROUNDS):
+        cn_sql += f""",
+h{i} AS (
+  SELECT s.u AS node, v.val,
+         row_number() OVER (PARTITION BY s.u ORDER BY v.val DESC) AS rn
+  FROM symn s JOIN v{i} v ON v.node = s.v
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT node, count(*) AS val FROM h{i} WHERE val >= rn GROUP BY node
+)"""
+    cn_sql += f"""
+SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
+"""
     return {
         "char_kcore": kc_sql,
+        "char_corenums": cn_sql,
         "char_communities": lpa_sql,
         "char_degrees": edges_ctes + """,
 e0 AS (

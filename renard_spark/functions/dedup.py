@@ -273,25 +273,27 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts = toks.groupBy("doc_id", F.lower("tok").alias("tok")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    h = counts.withColumn("h", F.md5("tok")).withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
-    )
-    # bit j of the 64-bit prefix: hex digit j/4, bit (3 - j%4)
-    digit = F.conv(
-        F.substring("h", (F.col("j") / 4).cast("int") + 1, 1), 16, 10
-    ).cast("int")
-    bit = F.floor(digit / F.pow(F.lit(2), 3 - F.col("j") % 4)).cast("int") % 2
-    votes = h.withColumn(
-        "vote", (bit * 2 - 1) * F.col("cnt")
-    ).groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(1L, cast(63 - j as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    h = counts.withColumn("h", F.md5("tok"))
+    # 16 hex digits of the 64-bit prefix, decoded once per token row
+    for d in range(SIMHASH_BITS // 4):
+        h = h.withColumn(
+            f"_d{d}", F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int")
+        )
+    # ONE groupBy with 64 vote-sum aggregates (map-side partial combine
+    # ships 64 longs per doc per mapper) instead of exploding 64 rows
+    # per (doc, token) — ~64× less shuffle volume for identical output.
+    # bit j of the prefix: hex digit j//4, bit (3 - j%4).
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        bit = F.shiftright(F.col(f"_d{j // 4}"), 3 - j % 4) % 2
+        aggs.append(F.sum((bit * 2 - 1) * F.col("cnt")).alias(f"_v{j}"))
+    votes = h.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"_v{j}") > 0, F.expr(f"shiftleft(1L, {63 - j})")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def embedding_near_dups(

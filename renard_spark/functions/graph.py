@@ -225,6 +225,75 @@ def label_propagation(
     return labels
 
 
+def core_number(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    iters: int | None = None, max_rounds: int = 256,
+) -> DataFrame:
+    """Core number (coreness) of EVERY node in one pass over all k →
+    (node, core_number) — the full k-core decomposition, not one shell.
+
+    Iterated h-index (Lü et al. 2016, "The H-index of a network node
+    and its relation to degree and coreness"): values start at degree;
+    each round a node's value becomes the h-index of its neighbors'
+    current values; the fixpoint is exactly the coreness. Values are
+    monotone non-increasing, convergence needs far fewer rounds than
+    degree-peeling needs peels (empirically ~log-diameter), and each
+    round is ONE equi-join (values onto the symmetric edge list) + ONE
+    windowed prefix-count — the same bulk-synchronous shape as the
+    PageRank/LPA loops, with lineage truncated every round.
+
+    ``iters`` given ⇒ exactly that many rounds, no convergence probe —
+    the deterministic unroll a fixed-round SQL oracle can mirror
+    (extra rounds past the fixpoint are no-ops, so both engines agree
+    whenever either has converged). ``iters=None`` ⇒ run to the
+    fixpoint, detected by the strictly-decreasing total value sum.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("p"))
+        .select("p.u", "p.v")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    vals = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("val")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    w = Window.partitionBy("node").orderBy(F.col("val").desc())
+    rounds = iters if iters is not None else max_rounds
+    for i in range(rounds):
+        nb = sym.join(vals, sym["v"] == vals["node"]).select(
+            sym["u"].alias("node"), "val"
+        )
+        # h-index of the neighbor multiset: sort desc, count positions
+        # with val >= rank (a prefix, so count == h); ties are rank-
+        # order-independent because the sorted multiset is unique
+        vals = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("val") >= F.col("_rn"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        if iters is None:
+            s = vals.agg(F.sum("val")).first()[0]
+            if s == prev_sum:
+                break
+            prev_sum = s
+    return vals.select("node", F.col("val").cast("long").alias("core_number"))
+
+
 def k_core(
     edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     max_iter: int = 50,
@@ -248,7 +317,13 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # peeling terminates in ≤ |V| rounds (every non-final round removes
+    # ≥1 node), so never abort — on a path-like graph O(diameter) rounds
+    # is normal. Past ``max_iter`` keep going, doubling the budget with
+    # a logged warning each time (callers wanting few rounds should use
+    # ``core_number`` — the h-index iteration converges in far fewer).
+    budget, rounds = max_iter, 0
+    while True:
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
@@ -261,9 +336,17 @@ def k_core(
             return deg.select(
                 "node", F.col("d").cast("long").alias("degree")
             )
+        rounds += 1
+        if rounds >= budget:
+            import warnings
+
+            warnings.warn(
+                f"k_core: {rounds} peel rounds and still shrinking; "
+                f"doubling budget to {budget * 2} (long-diameter graph)"
+            )
+            budget *= 2
         e = (
             e.join(bad, e["a"] == bad["node"], "left_anti")
             .join(bad, e["b"] == bad["node"], "left_anti")
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(f"k_core did not stabilize in {max_iter} rounds")

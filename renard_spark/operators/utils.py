@@ -59,11 +59,47 @@ def map_in_pandas_by_key(
 
 
 def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
-    """(value, vocab_id) in first-appearance order of ``order_col``."""
+    """(value, vocab_id) in first-appearance order of ``order_col``.
+
+    Two-phase global rank — NOT a single-partition window (a corpus-
+    scope vocab is 100M+ distinct tokens at production scale): range-
+    repartition the (value, first-occurrence) table by the order key,
+    assign per-partition ``row_number``, then add per-partition offsets
+    computed from the tiny (one row per partition) count table that is
+    collected to the driver and broadcast-joined back. Every stage is
+    parallel; the only driver-side data is #partitions rows."""
     firsts = df.groupBy(col).agg(F.min(order_col).alias("_first"))
-    w = Window.orderBy("_first", col)
-    return firsts.select(
-        F.col(col).alias("value"), (F.row_number().over(w) - 1).alias("vocab_id")
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    # range partitioner ⇒ partition i holds strictly smaller order keys
+    # than partition i+1; pid is then materialized (localCheckpoint) so
+    # the count job and the rank job see identical placement
+    parted = (
+        firsts.repartitionByRange(n_parts, F.col("_first"), F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    if not offsets:
+        return firsts.select(
+            F.col(col).alias("value"), F.lit(0).alias("vocab_id")
+        ).limit(0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_first", col)
+    return (
+        parted.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            F.col(col).alias("value"),
+            (F.col("_rn") - 1 + F.col("_off")).cast("int").alias("vocab_id"),
+        )
     )
 
 

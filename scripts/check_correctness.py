@@ -2,7 +2,8 @@
 queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01,
 compare row count, column names, and order-insensitive values.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+(with query names given, only those queries are checked)
 """
 
 from __future__ import annotations
@@ -41,6 +42,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print("unknown queries:", sorted(unknown))
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         got_df = fn(spark, sf_dir).toPandas()

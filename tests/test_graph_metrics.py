@@ -213,3 +213,47 @@ def test_k_core_peels_chain_entirely(spark):
     df = spark.createDataFrame(rows, "src string, dst string, weight int")
     got = {r["node"]: r["degree"] for r in gmetrics.k_core(df, k=2).collect()}
     assert got == {"n0": 2, "x": 2, "y": 2}
+
+
+def test_core_number_matches_networkx(spark):
+    rows = _random_edges(91, n_nodes=40, n_edges=140)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    got = {
+        r["node"]: r["core_number"]
+        for r in gmetrics.core_number(df).collect()
+    }
+    assert got == nx.core_number(g)
+
+
+def test_core_number_fixed_rounds_converge(spark):
+    # the driver query unrolls a fixed round count on both engines; the
+    # h-index iteration must have converged by then (monotone, so extra
+    # rounds are no-ops) — assert fixed-round == fixpoint == networkx
+    rows = _random_edges(17, n_nodes=35, n_edges=110)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    fixed = {
+        r["node"]: r["core_number"]
+        for r in gmetrics.core_number(df, iters=8).collect()
+    }
+    assert fixed == nx.core_number(g)
+
+
+def test_core_number_path_and_clique(spark):
+    # path: all coreness 1; clique K5: all coreness 4
+    rows = [(f"p{i}", f"p{i+1}", 1) for i in range(6)]
+    rows += [
+        (f"c{i}", f"c{j}", 1) for i in range(5) for j in range(i + 1, 5)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["core_number"]
+        for r in gmetrics.core_number(df).collect()
+    }
+    want = {f"p{i}": 1 for i in range(7)} | {f"c{i}": 4 for i in range(5)}
+    assert got == want
