@@ -101,6 +101,37 @@ class IcebergCatalog:
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
 
+    # -- streaming sink: idempotent per-micro-batch append ------------
+    # Iceberg's snapshot model makes replay-safety a two-commit recipe:
+    # DELETE any rows a previous (failed / replayed) attempt of this
+    # batch wrote, then append the batch with its batch_id column —
+    # both single atomic snapshot commits, so a crash between them
+    # re-runs cleanly and rows are never duplicated. The three _raw
+    # seams exist so the contract is unit-testable without Iceberg jars
+    # (tests substitute a recording store; a real cluster hits Spark).
+
+    def write_batch(self, name: str, df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("batch_id", F.lit(int(batch_id)))
+        if self.exists(name):
+            self._raw_sql(
+                f"DELETE FROM {self.path(name)}"
+                f" WHERE batch_id = {int(batch_id)}"
+            )
+            self._raw_append(name, df)
+        else:
+            self._raw_create(name, df)
+
+    def _raw_sql(self, q: str) -> None:
+        self.spark.sql(q)
+
+    def _raw_append(self, name: str, df: DataFrame) -> None:
+        df.writeTo(self.path(name)).append()
+
+    def _raw_create(self, name: str, df: DataFrame) -> None:
+        df.writeTo(self.path(name)).using("iceberg").createOrReplace()
+
 
 def get_catalog(
     spark: SparkSession, root: str

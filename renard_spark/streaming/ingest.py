@@ -42,20 +42,24 @@ def write_batch_tables(
     skipped; partially-written ones are overwritten — replaying a batch
     can never duplicate rows.
 
-    Filesystem-path sink only: ``IcebergCatalog.path()`` returns a
-    table identifier (``catalog.db.name``), not a directory, so the
-    os.path logic below would write to a bogus relative dir — dispatch
-    refuses it. (Iceberg gets per-batch idempotence from its own
-    snapshot/commit model; wire ``writeTo(...).append`` + a batch_id
-    column there instead.) Note the ``_SUCCESS`` probe is driver-local
-    ``os.path`` — correct for local/NFS paths, not for HDFS/S3 URIs.
-    """
-    from renard_spark.io.catalog import ParquetCatalog
+    Two sinks behind one dispatch:
 
+    - ``ParquetCatalog``: ``<table>/batch_id=N`` directory per batch;
+      the ``_SUCCESS`` probe is driver-local ``os.path`` — correct for
+      local/NFS paths, not for HDFS/S3 URIs.
+    - ``IcebergCatalog``: snapshot-based idempotence — DELETE the
+      batch's rows then append with a ``batch_id`` column, both atomic
+      snapshot commits (``IcebergCatalog.write_batch``).
+    """
+    from renard_spark.io.catalog import IcebergCatalog, ParquetCatalog
+
+    if isinstance(catalog, IcebergCatalog):
+        for name in tables:
+            catalog.write_batch(name, out[name], batch_id)
+        return
     if not isinstance(catalog, ParquetCatalog):
         raise NotImplementedError(
-            "write_batch_tables is a filesystem sink; the Iceberg "
-            "catalog needs a snapshot-based idempotent append instead"
+            f"no idempotent batch sink for {type(catalog).__name__}"
         )
     for name in tables:
         part = os.path.join(catalog.path(name), f"batch_id={batch_id}")

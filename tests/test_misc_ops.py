@@ -133,3 +133,41 @@ def test_samenoun_context(spark):
     for r in rows:
         assert (r.ctx_doc_id, r.ctx_sent_idx) != (r.doc_id, r.sent_idx)
         assert 1 <= r.rank <= 3
+
+
+def test_dynamic_gexf_two_window_golden(spark, tmp_path):
+    # hand-built two-window dynamic graph (reference
+    # dynamic_graph_to_gephi_graph semantics, graph_utils.py:108-167):
+    # w0: (a,b,2); w1: (a,b,3) + (b,c,1) — the (a,b) edge must carry
+    # cumulative dweight spells [2,0,1] then [5,1,2]; (b,c) one spell
+    # [1,1,2]; node c starts at window 1.
+    from renard_spark.io.gexf import dynamic_edges_to_gexf
+
+    df = spark.createDataFrame(
+        [(0, "a", "b", 2), (1, "a", "b", 3), (1, "b", "c", 1)],
+        "window_id int, src string, dst string, weight long",
+    )
+    path = str(tmp_path / "dyn.gexf")
+    dynamic_edges_to_gexf(df, path)
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://gexf.net/1.3"}
+    root = ET.parse(path).getroot()
+    graph = root.find("g:graph", ns)
+    assert graph.get("mode") == "dynamic"
+    nodes = {
+        n.get("id"): (n.get("start"), n.get("end"))
+        for n in graph.find("g:nodes", ns)
+    }
+    assert nodes == {"a": ("0", "2"), "b": ("0", "2"), "c": ("1", "2")}
+    edges = {}
+    for e in graph.find("g:edges", ns):
+        spells = [
+            (av.get("value"), av.get("start"), av.get("end"))
+            for av in e.find("g:attvalues", ns)
+        ]
+        edges[(e.get("source"), e.get("target"))] = (e.get("start"), spells)
+    assert edges[("a", "b")] == (
+        "0", [("2.0", "0", "1"), ("5.0", "1", "2")]
+    )
+    assert edges[("b", "c")] == ("1", [("1.0", "1", "2")])
