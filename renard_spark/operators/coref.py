@@ -270,3 +270,118 @@ def rule_corefs(
         "end_idx",
         "mention_str",
     ).filter(F.col("chain_id").isNotNull())
+
+
+# -- SpacyCoreferee variant (corefs/corefs.py:154-322) ----------------
+# The coreferee resolver differs from the tibert block path in three
+# observable ways, all replicated here as pure logic around an
+# injectable chunk scorer (the spacy+coreferee model itself is the
+# seam — not installable in this sandbox):
+#   1. chunking: per-dynamic-block when >1 block, else the whole token
+#      list, cut into max_chunk_size (default 10k) pieces; the global
+#      offset accumulates across ALL chunks in order (corefs.py:250-313)
+#   2. mentions are TOKEN-INDEX SETS (coreferee returns heads expanded
+#      to subtrees), not spans — a chain containing ANY non-contiguous
+#      mention is discarded WHOLE (corefs.py:290-303)
+#   3. chains never merge across chunks (appended in chunk order)
+
+
+def cut_into_chunks(
+    tokens: list[str], max_chunk_size: int | None
+) -> list[list[str]]:
+    """corefs.py:229-236 — None means one chunk with everything."""
+    if max_chunk_size is None:
+        return [tokens]
+    return [
+        tokens[s : s + max_chunk_size]
+        for s in range(0, len(tokens), max_chunk_size)
+    ]
+
+
+def coreferee_doc_corefs(
+    tokens: list[str],
+    scorer,
+    max_chunk_size: int | None = 10_000,
+    blocks: list[list[str]] | None = None,
+) -> list[Chain]:
+    """One document through the coreferee loop. ``scorer(chunks)``
+    returns, per chunk, a list of chains; each chain a list of
+    mentions; each mention an ORDERED list of token indices relative
+    to the chunk (possibly non-contiguous, like subtree expansion)."""
+    if blocks and len(blocks) > 1:
+        chunks: list[list[str]] = []
+        for b in blocks:
+            chunks += cut_into_chunks(b, max_chunk_size)
+    else:
+        chunks = cut_into_chunks(tokens, max_chunk_size)
+    per_chunk = scorer(chunks)
+    out: list[Chain] = []
+    chunk_start = 0
+    for chunk_toks, chunk_chains in zip(chunks, per_chunk):
+        for chain in chunk_chains:
+            cur: Chain = []
+            for mention_idxs in chain:
+                idxs = list(mention_idxs)
+                contiguous = len(idxs) == 1 or all(
+                    a == b - 1 for a, b in zip(idxs, idxs[1:])
+                )
+                if not contiguous:
+                    cur = []
+                    break
+                cur.append(
+                    (idxs[0] + chunk_start, idxs[-1] + chunk_start + 1)
+                )
+            if cur:
+                out.append(cur)
+        chunk_start += len(chunk_toks)
+    return out
+
+
+def coreferee_corefs(
+    doc_tokens_df: DataFrame,
+    scorer_factory,
+    max_chunk_size: int | None = 10_000,
+    blocks_col: str | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SpacyCoreferee-style resolver over (doc_id, tokens) [+ optional
+    ``blocks_col``: array<array<string>> of dynamic-block tokens] —
+    same output schema as ``model_corefs``/``rule_corefs``."""
+    import pandas as pd
+
+    from renard_spark.operators.ner import cached_model
+
+    def run(batches):
+        scorer = cached_model("coreferee", cache_key, scorer_factory)
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                doc_id = pdf["doc_id"].iloc[idx]
+                toks = list(pdf["tokens"].iloc[idx])
+                blocks = None
+                if blocks_col is not None:
+                    raw = pdf[blocks_col].iloc[idx]
+                    if raw is not None:
+                        blocks = [list(b) for b in raw]
+                chains = coreferee_doc_corefs(
+                    toks, scorer, max_chunk_size, blocks
+                )
+                for cid, chain in enumerate(chains):
+                    for s, e in chain:
+                        rows.append(
+                            (doc_id, cid, s, e, " ".join(toks[s:e]))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chain_id", "start_idx", "end_idx",
+                    "mention_str",
+                ],
+            )
+
+    cols = ["doc_id", "tokens"] + ([blocks_col] if blocks_col else [])
+    return doc_tokens_df.select(*cols).mapInPandas(
+        run,
+        schema="doc_id string, chain_id int, start_idx int,"
+        " end_idx int, mention_str string",
+    )

@@ -158,3 +158,65 @@ def test_model_corefs_block_boundary_behavior(spark):
     assert sorted((r.start_idx, r.end_idx) for r in rows) == [
         (0, 1), (3, 4), (5, 6)
     ]
+
+
+# -- SpacyCoreferee variant (reference corefs/corefs.py:154-322) ------
+
+
+def test_coreferee_chunk_offsets():
+    from renard_spark.operators.coref import coreferee_doc_corefs
+
+    # 12 tokens, chunk size 5 → chunks of 5/5/2; a scorer that chains
+    # the first two tokens of every chunk must come back with offsets
+    # accumulated across chunks, one chain per chunk (never merged)
+    toks = [f"t{i}" for i in range(12)]
+
+    def scorer(chunks):
+        return [[[[0], [1]]] if len(c) >= 2 else [] for c in chunks]
+
+    got = coreferee_doc_corefs(toks, scorer, max_chunk_size=5)
+    assert got == [[(0, 1), (1, 2)], [(5, 6), (6, 7)], [(10, 11), (11, 12)]]
+
+
+def test_coreferee_discards_noncontiguous_chain_whole():
+    from renard_spark.operators.coref import coreferee_doc_corefs
+
+    toks = [f"t{i}" for i in range(6)]
+
+    def scorer(chunks):
+        # chain 0 has a non-contiguous mention {0, 2} → the WHOLE
+        # chain is dropped (corefs.py:290-303), even its good mention;
+        # chain 1 is clean and must survive; the multi-token subtree
+        # mention [3,4] is contiguous → kept as span (3, 5)
+        return [[[[0, 2], [5]], [[3, 4]]] for _ in chunks]
+
+    got = coreferee_doc_corefs(toks, scorer, max_chunk_size=None)
+    assert got == [[(3, 5)]]
+
+
+def test_coreferee_blocks_accumulate_offsets(spark):
+    from renard_spark.operators.coref import coreferee_corefs
+
+    # two dynamic blocks of 3 and 2 tokens: the second block's chunk
+    # starts at global offset 3 (reference chunk_start accumulation)
+    df = spark.createDataFrame(
+        [("d", ["a", "b", "c", "d", "e"], [["a", "b", "c"], ["d", "e"]])],
+        "doc_id string, tokens array<string>, blocks array<array<string>>",
+    )
+
+    def factory():
+        def scorer(chunks):
+            return [[[[0], [1]]] for _ in chunks]
+
+        return scorer
+
+    rows = sorted(
+        (r.chain_id, r.start_idx, r.end_idx, r.mention_str)
+        for r in coreferee_corefs(
+            df, factory, max_chunk_size=10, blocks_col="blocks"
+        ).collect()
+    )
+    assert rows == [
+        (0, 0, 1, "a"), (0, 1, 2, "b"),
+        (1, 3, 4, "d"), (1, 4, 5, "e"),
+    ]
