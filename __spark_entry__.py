@@ -1648,6 +1648,24 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparsify_above_mean(ge, factor: float = 1.0):
+    """Keep edges with weight >= factor * global mean weight.
+
+    The aggregated character-network edge table (distinct char pairs —
+    orders of magnitude smaller than the corpus) is materialized ONCE
+    with localCheckpoint, then the mean is ONE scalar pulled to the
+    driver and applied as a literal filter. Neither an empty-
+    partitionBy window (single-partition funnel of the edge table) nor
+    a broadcast stats join (which would re-execute the whole
+    tokenize→NER→unify→co-occurrence lineage a second time for the
+    stats subplan — measured 15× on the LPA query)."""
+    ge = ge.localCheckpoint(eager=True)
+    avg = ge.agg(F.avg("weight")).first()[0]
+    if avg is None:
+        return ge
+    return ge.filter(F.col("weight") >= F.lit(float(avg) * factor))
+
+
 def q_char_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficient on the
     corpus-global character network (functions/graph.py triangles:
@@ -1661,11 +1679,7 @@ def q_char_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep above-mean edges: the cast co-occurs everywhere, so the raw
     # graph is complete (clustering ≡ 1, a degenerate gate); the mean
     # threshold is scale-free and SQL-mirrorable as a scalar subquery
-    from pyspark.sql import Window
-
-    ge = ge.withColumn(
-        "_avg", F.avg("weight").over(Window.partitionBy())
-    ).filter(F.col("weight") >= F.col("_avg"))
+    ge = _sparsify_above_mean(ge)
     t = gmetrics.triangles(ge)
     return t.select(
         "node", "degree", "n_triangles",
@@ -1681,17 +1695,13 @@ def q_char_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/graph.py k_core, iterative peel). Peeling is monotone,
     so the oracle's fixed unrolled rounds reach the same fixpoint the
     Spark loop converges to."""
-    from pyspark.sql import Window
-
     from renard_spark.functions import graph as gmetrics
 
     unified = unify.naive_unify(_mentions(spark, sf_dir))
     mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
     edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
     ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
-    ge = ge.withColumn(
-        "_avg", F.avg("weight").over(Window.partitionBy())
-    ).filter(F.col("weight") >= F.col("_avg"))
+    ge = _sparsify_above_mean(ge)
     return gmetrics.k_core(ge, k=KCORE_K)
 
 
@@ -1707,17 +1717,13 @@ def q_char_corenums(spark: SparkSession, sf_dir: str) -> DataFrame:
     are no-ops and the fixed-round oracle reaches the same fixpoint
     (convergence within CORENUM_ROUNDS is pytest-asserted against
     networkx.core_number)."""
-    from pyspark.sql import Window
-
     from renard_spark.functions import graph as gmetrics
 
     unified = unify.naive_unify(_mentions(spark, sf_dir))
     mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
     edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
     ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
-    ge = ge.withColumn(
-        "_avg", F.avg("weight").over(Window.partitionBy())
-    ).filter(F.col("weight") >= F.col("_avg"))
+    ge = _sparsify_above_mean(ge)
     return gmetrics.core_number(ge, iters=CORENUM_ROUNDS)
 
 
@@ -1728,8 +1734,6 @@ def q_char_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label-propagation communities on the
     above-mean-sparsified global character network (functions/graph.py
     label_propagation; the oracle unrolls the same rounds)."""
-    from pyspark.sql import Window
-
     from renard_spark.functions import graph as gmetrics
 
     unified = unify.naive_unify(_mentions(spark, sf_dir))
@@ -1738,9 +1742,7 @@ def q_char_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
     # 1.03×mean: sparser than the triangles cut, which on this corpus
     # yields several communities instead of one dense blob
-    ge = ge.withColumn(
-        "_avg", F.avg("weight").over(Window.partitionBy())
-    ).filter(F.col("weight") >= F.col("_avg") * 1.03)
+    ge = _sparsify_above_mean(ge, factor=1.03)
     return gmetrics.label_propagation(ge, iters=LPA_ITERS)
 
 

@@ -101,7 +101,11 @@ def ivf_centroids(
         .orderBy("_h", "_cid")
         .limit(n_centroids)
     )
-    w = Window.orderBy("_h", "_cid")  # tiny: n_centroids rows
+    # constant partition key: the input is the ≤n_centroids-row limit
+    # above — a bounded codebook, not data-proportional — so one
+    # partition is correct; lit(0) states that and avoids the
+    # "No Partition Defined" plan warning
+    w = Window.partitionBy(F.lit(0)).orderBy("_h", "_cid")
     return (
         cents.withColumn("centroid_id", F.row_number().over(w) - 1)
         .select("centroid_id", "cvec")

@@ -68,7 +68,12 @@ def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
     computed from the tiny (one row per partition) count table that is
     collected to the driver and broadcast-joined back. Every stage is
     parallel; the only driver-side data is #partitions rows."""
-    firsts = df.groupBy(col).agg(F.min(order_col).alias("_first"))
+    # checkpoint BEFORE repartitionByRange: the range partitioner runs
+    # a sampling pass over its input, which would otherwise re-execute
+    # the whole upstream lineage (tokenize + groupBy) a second time
+    firsts = df.groupBy(col).agg(
+        F.min(order_col).alias("_first")
+    ).localCheckpoint(eager=True)
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     # range partitioner ⇒ partition i holds strictly smaller order keys

@@ -126,7 +126,12 @@ def labeled_sentences(bio_df: DataFrame) -> DataFrame:
         .alias("tag"),
     )
     vocab = retagged.select("tag").distinct()
-    wv = Window.orderBy("tag")
+    # constant partition key: the BIO label set is a bounded enum
+    # (2·n_entity_types + 1 rows), not data-proportional — one
+    # partition is correct; lit(0) states that and avoids the
+    # "No Partition Defined" plan warning. A data-proportional vocab
+    # must use operators.utils.make_vocab (two-phase global rank).
+    wv = Window.partitionBy(F.lit(0)).orderBy("tag")
     vocab = vocab.withColumn("label", F.row_number().over(wv) - 1)
     names = vocab.orderBy("label").groupBy().agg(
         F.collect_list("tag").alias("label_names")
