@@ -100,15 +100,24 @@ def ivf_centroids(
         )
         .orderBy("_h", "_cid")
         .limit(n_centroids)
+        .collect()
     )
-    # constant partition key: the input is the ≤n_centroids-row limit
-    # above — a bounded codebook, not data-proportional — so one
-    # partition is correct; lit(0) states that and avoids the
-    # "No Partition Defined" plan warning
-    w = Window.partitionBy(F.lit(0)).orderBy("_h", "_cid")
-    return (
-        cents.withColumn("centroid_id", F.row_number().over(w) - 1)
-        .select("centroid_id", "cvec")
+    # ids are assigned DRIVER-side: the codebook is ≤n_centroids rows
+    # (bounded, not data-proportional — TakeOrdered already pulled it
+    # to the driver) and is broadcast to every probe join downstream
+    # anyway; a global-order window here would be the single-partition
+    # anti-pattern for no benefit. Row order from orderBy+limit is the
+    # (md5, id) rank, so enumerate() IS the rank.
+    spark = emb.sparkSession
+    vec_type = emb.schema[vec_col].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([
+        StructField("centroid_id", IntegerType(), False),
+        StructField("cvec", vec_type, True),
+    ])
+    return spark.createDataFrame(
+        [(i, list(r["cvec"])) for i, r in enumerate(cents)], schema
     )
 
 

@@ -125,16 +125,20 @@ def labeled_sentences(bio_df: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("I-"), "_tag"))
         .alias("tag"),
     )
-    vocab = retagged.select("tag").distinct()
-    # constant partition key: the BIO label set is a bounded enum
-    # (2·n_entity_types + 1 rows), not data-proportional — one
-    # partition is correct; lit(0) states that and avoids the
-    # "No Partition Defined" plan warning. A data-proportional vocab
-    # must use operators.utils.make_vocab (two-phase global rank).
-    wv = Window.partitionBy(F.lit(0)).orderBy("tag")
-    vocab = vocab.withColumn("label", F.row_number().over(wv) - 1)
-    names = vocab.orderBy("label").groupBy().agg(
-        F.collect_list("tag").alias("label_names")
+    # the BIO label set is a bounded enum (2·n_entity_types + 1 rows),
+    # not data-proportional — ids are assigned driver-side over the
+    # collected distinct tags (HF ClassLabel = sorted order), which is
+    # both exact and window-free. A data-proportional vocab must use
+    # operators.utils.make_vocab (two-phase global rank) instead.
+    tags = sorted(
+        r["tag"] for r in retagged.select("tag").distinct().collect()
+    )
+    spark = bio_df.sparkSession
+    vocab = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(tags)], "tag string, label int"
+    )
+    names = spark.createDataFrame(
+        [(tags,)], "label_names array<string>"
     )
     return (
         retagged.join(F.broadcast(vocab), "tag")
