@@ -509,6 +509,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:
+    """Filter the token table to the surfaces a query actually consumes
+    and truncate lineage: downstream operators reference the token
+    table several times, and every reference would otherwise re-execute
+    the regexp+explode tokenization of the WHOLE corpus. The filtered
+    table is mention-scale, not corpus-scale — materializing it once is
+    the stage-table pattern the StageRunner uses in the pipeline."""
+    return toks.filter(
+        F.col("token").isin(sorted(surfaces))
+    ).localCheckpoint(eager=False)
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs)
@@ -1319,8 +1331,15 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import relations
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
-    toks = tokenize.tokens(docs)
-    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    # cast surfaces for mentions + verb surfaces for the between-check;
+    # pattern_relations consumes only mention-position and verb rows
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
@@ -1458,10 +1477,13 @@ def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import sentiment
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    # FULL token table (every sentence needs a polarity row, so no
+    # surface filter applies) — checkpointed because four downstream
+    # operators reference it and each would re-tokenize the corpus
     toks = tokenize.tokens(docs).withColumn(
         "sent_idx",
         F.floor(F.col("tok_idx") / POLARITY_SENT_LEN).cast("int"),
-    )
+    ).localCheckpoint(eager=False)
     lex = spark.createDataFrame(BENCH_LEXICON, "word string, valence double")
     # round BEFORE the per-pair |p|-argmax: two sentences with nominally
     # opposite polarities (±x) must tie EXACTLY on |p| in both engines
@@ -1541,7 +1563,9 @@ def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import quotes as qops
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
-    toks = tokenize.tokens(docs)
+    toks = _toks_ckpt(
+        tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
+    )
     # the Arrow quote-scan feeds the attribution join twice and the
     # attributed quotes self-join in conversation_edges — checkpoint so
     # each Arrow stage runs ONCE, not per plan reference
@@ -1575,7 +1599,9 @@ def q_dynamic_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import quotes as qops
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
-    toks = tokenize.tokens(docs)
+    toks = _toks_ckpt(
+        tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
+    )
     qdf = qops.detect_quotes(
         toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
     ).localCheckpoint(eager=True)
@@ -1603,7 +1629,9 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import quotes as qops
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
-    toks = tokenize.tokens(docs)
+    toks = _toks_ckpt(
+        tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
+    )
     qdf = qops.detect_quotes(
         toks, quote_pairs=[(QUOTE_MARK, QUOTE_MARK)]
     ).localCheckpoint(eager=True)
