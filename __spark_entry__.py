@@ -1942,6 +1942,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_triples(spark, "/root/testdata/sf0.001")
 
 
+SAMPLE_FRAC, QUOTA_N = 0.25, 20
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli corpus sample
+    (functions/sampling.sample_by_hash): keyed to doc identity, so the
+    result set is identical on any cluster size / partition layout —
+    unlike df.sample, whose RNG draw is partition-dependent. Narrow
+    (filter fused into the scan)."""
+    from renard_spark.functions.sampling import sample_by_hash
+
+    docs = _documents(spark, sf_dir)
+    return sample_by_hash(docs, SAMPLE_FRAC).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing quota (functions/sampling.stratified_quota):
+    at most QUOTA_N docs per language, picked by hash rank — the
+    deterministic replayable version of per-source mixing ratios. One
+    shuffle keyed by the group column."""
+    from renard_spark.functions.sampling import stratified_quota
+
+    docs = _documents(spark, sf_dir)
+    return stratified_quota(docs, "lang", QUOTA_N).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2002,7 +2030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_communities": q_char_communities,
         "char_kcore": q_char_kcore,
         "char_corenums": q_char_corenums,
+        "doc_sample": q_doc_sample,
+        "lang_quota": q_lang_quota,
     }
+
+
+def _sample_bound() -> str:
+    from renard_spark.functions.sampling import hash_frac_bound
+
+    return hash_frac_bound(SAMPLE_FRAC)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2137,6 +2173,19 @@ SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
     return {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
+        "doc_sample": f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{_sample_bound()}'
+""",
+        "lang_quota": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id
+         ) AS r
+  FROM documents
+) WHERE r <= """ + str(QUOTA_N) + "\n",
         "char_communities": lpa_sql,
         "char_degrees": edges_ctes + """,
 e0 AS (

@@ -1,0 +1,73 @@
+"""Deterministic sampling over document tables — training-data ops.
+
+A 10^12-doc pipeline subsamples constantly (ablation corpora, eval
+holdouts, per-language/per-source mixing quotas). ``df.sample`` is the
+wrong tool at that scale: its RNG draw depends on partition layout, so
+the SAME table sampled on two cluster sizes (or re-read after
+compaction) yields DIFFERENT rows. Hash-based sampling keys the
+decision to row identity alone:
+
+- ``sample_by_hash``: Bernoulli(frac) by the md5 of (salt, key) —
+  narrow (zero shuffle, pipelineable into the scan), reproducible on
+  any cluster, and exactly mirrorable in any engine with md5. The
+  fixed-width lowercase-hex prefix compares lexicographically exactly
+  as its numeric value, so the filter is a plain string comparison —
+  no 64-bit hex-to-int conversion quirks between engines.
+- ``stratified_quota``: at most n rows per group, chosen by hash rank
+  (one shuffle keyed by the group column — AQE handles group skew);
+  the per-(salt,group) quota is a deterministic function of the table,
+  so mixing recipes are replayable bit-for-bit.
+
+Salts partition the hash space: disjoint uses (sample vs holdout)
+must use different salts, the same use must reuse one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_W = 8  # 32 bits of hash — plenty for a sampling decision
+
+
+def hash_frac_bound(frac: float) -> str:
+    """The HEX_W-digit lowercase-hex bound b such that
+    P[md5-prefix < b] == frac (up to 2^-32)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    return format(min(int(frac * 16**HEX_W), 16**HEX_W - 1), f"0{HEX_W}x")
+
+
+def _key_hash(key_col: str, salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, HEX_W,
+    )
+
+
+def sample_by_hash(
+    df: DataFrame, frac: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli(frac) sample: keep rows whose hash
+    prefix falls below the frac bound. Narrow — survives any
+    repartition/cluster-size change with an identical result set."""
+    return df.filter(_key_hash(key_col, salt) < F.lit(hash_frac_bound(frac)))
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n`` rows per ``group_col`` value, selected by hash
+    rank (ties broken by the key itself, so the pick is total-ordered
+    and engine-independent). One shuffle keyed by the group column."""
+    w = Window.partitionBy(group_col).orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", _key_hash(key_col, salt))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_h", "_r")
+    )
