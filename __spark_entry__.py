@@ -1942,6 +1942,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_triples(spark, "/root/testdata/sf0.001")
 
 
+BFS_ROUNDS = 8
+
+
+def q_char_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the lexicographically-smallest character on
+    the sparsified network (functions/graph.py bfs_distances — per
+    round one equi-join + one min-agg). Fixed unrolled rounds both
+    engines; distances are monotone non-increasing once reached, so
+    rounds past the (small) diameter are no-ops."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    source = ge.agg(F.min(F.least("src", "dst"))).first()[0]
+    return gmetrics.bfs_distances(ge, source, iters=BFS_ROUNDS)
+
+
+def q_char_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI re-weighting of the corpus-global co-occurrence network
+    (functions/graph.py pmi_edges): separates genuinely-associated
+    pairs from both-are-frequent hub pairs. Non-iterative — one
+    strength aggregation joined back + a 1-row total."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    out = gmetrics.pmi_edges(ge)
+    return out.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight"),
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
 SAMPLE_FRAC, QUOTA_N = 0.25, 20
 
 
@@ -2032,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_corenums": q_char_corenums,
         "doc_sample": q_doc_sample,
         "lang_quota": q_lang_quota,
+        "char_bfs": q_char_bfs,
+        "char_pmi": q_char_pmi,
     }
 
 
@@ -2170,9 +2210,49 @@ v{i + 1} AS MATERIALIZED (
     cn_sql += f"""
 SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
 """
+    # BFS from the smallest node, rounds unrolled — per round the
+    # distance vector unions with neighbor distances + 1 and takes the
+    # per-node min (monotone ⇒ fixed rounds past the diameter no-op)
+    bfs_sql = kc_base + """,
+symn AS (SELECT a AS u, b AS v FROM c0 UNION ALL SELECT b, a FROM c0),
+bd0 AS MATERIALIZED (SELECT (SELECT min(u) FROM symn) AS node, 0 AS d)"""
+    for i in range(BFS_ROUNDS):
+        bfs_sql += f""",
+bd{i + 1} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM bd{i}
+    UNION ALL
+    SELECT s.u, bd{i}.d + 1 FROM symn s JOIN bd{i} ON bd{i}.node = s.v
+  ) GROUP BY node
+)"""
+    bfs_sql += f"""
+SELECT node, d::BIGINT AS distance FROM bd{BFS_ROUNDS}
+"""
     return {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
+        "char_bfs": bfs_sql,
+        "char_pmi": edges_ctes + """,
+eg AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         count(*)::DOUBLE AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+tot AS (SELECT sum(w) AS t FROM eg),
+st AS (
+  SELECT node, sum(w) AS s FROM (
+    SELECT a AS node, w FROM eg UNION ALL SELECT b, w FROM eg
+  ) GROUP BY node
+)
+SELECT e.a AS src, e.b AS dst, e.w::BIGINT AS weight,
+       round(greatest(ln((e.w / tot.t) /
+             ((sa.s / (2 * tot.t)) * (sb.s / (2 * tot.t)))), 0), 6) AS pmi
+FROM eg e
+CROSS JOIN tot
+JOIN st sa ON sa.node = e.a
+JOIN st sb ON sb.node = e.b
+""",
         "doc_sample": f"""
 SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
 WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{_sample_bound()}'

@@ -350,3 +350,114 @@ def k_core(
             .join(bad, e["b"] == bad["node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+
+
+def bfs_distances(
+    edges: DataFrame, source: str, src: str = "src", dst: str = "dst",
+    iters: int | None = None, max_rounds: int = 64,
+) -> DataFrame:
+    """Unweighted hop distance from ``source`` to every reachable node
+    → (node, distance). Bulk-synchronous BFS: per round ONE equi-join
+    of the current distance vector onto the symmetric edge list + ONE
+    min-aggregation — each round is a single shuffle keyed by node id,
+    the shape that scales linearly in |E| per round on a cluster.
+
+    Distances are monotone non-increasing once a node is reached and
+    rounds past convergence are no-ops, so ``iters`` gives the fixed
+    unroll an SQL oracle can mirror exactly (must exceed the graph's
+    diameter — pytest-asserted vs networkx); ``iters=None`` runs to
+    the fixpoint (row count + sum stable)."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("p"))
+        .select("p.u", "p.v")
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node string, distance int")
+    prev = None
+    rounds = iters if iters is not None else max_rounds
+    for i in range(rounds):
+        grown = dist.unionByName(
+            sym.join(dist, sym["v"] == dist["node"]).select(
+                sym["u"].alias("node"),
+                (F.col("distance") + 1).alias("distance"),
+            )
+        )
+        dist = (
+            grown.groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        if iters is None:
+            sig = (dist.count(), dist.agg(F.sum("distance")).first()[0])
+            if sig == prev:
+                break
+            prev = sig
+    return dist.select("node", F.col("distance").cast("long").alias("distance"))
+
+
+def pmi_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    weight: str = "weight", positive: bool = True,
+) -> DataFrame:
+    """Pointwise-mutual-information re-weighting of a co-occurrence
+    edge table → (src, dst, weight, pmi) — the standard association
+    score that separates "co-occur because both are frequent" from
+    "co-occur more than chance" (raw counts over-weight hub pairs).
+
+    p(a,b) = w_ab / T with T = Σ canonical edge weights;
+    p(a) = strength(a) / 2T (each edge contributes to two endpoints);
+    pmi = ln(p(a,b) / (p(a)·p(b))), clamped at 0 when ``positive``
+    (PPMI). Narrow: one canonicalize, one strength aggregation joined
+    back twice, one 1-row total broadcast — no iteration.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    total = e.agg(F.sum("w")).first()[0]
+    if not total:
+        return e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            "w", F.lit(0.0).alias("pmi"),
+        ).limit(0)
+    strength = (
+        e.select(F.explode(F.array(
+            F.struct(F.col("a").alias("node"), F.col("w").alias("w")),
+            F.struct(F.col("b").alias("node"), F.col("w").alias("w")),
+        )).alias("p"))
+        .groupBy(F.col("p.node").alias("node"))
+        .agg(F.sum("p.w").alias("s"))
+    )
+    sa = strength.select(F.col("node").alias("a"), F.col("s").alias("sa"))
+    sb = strength.select(F.col("node").alias("b"), F.col("s").alias("sb"))
+    pmi = F.log(
+        (F.col("w") / F.lit(float(total)))
+        / ((F.col("sa") / F.lit(2.0 * total)) * (F.col("sb") / F.lit(2.0 * total)))
+    )
+    if positive:
+        pmi = F.greatest(pmi, F.lit(0.0))
+    return (
+        e.join(sa, "a").join(sb, "b")
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            F.col("w").alias("weight"), pmi.alias("pmi"),
+        )
+    )

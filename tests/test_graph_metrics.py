@@ -257,3 +257,63 @@ def test_core_number_path_and_clique(spark):
     }
     want = {f"p{i}": 1 for i in range(7)} | {f"c{i}": 4 for i in range(5)}
     assert got == want
+
+
+def test_bfs_distances_match_networkx(spark):
+    rows = _random_edges(23, n_nodes=30, n_edges=60)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    source = sorted(g.nodes)[0]
+    got = {
+        r["node"]: r["distance"]
+        for r in gmetrics.bfs_distances(df, source).collect()
+    }
+    want = nx.single_source_shortest_path_length(g, source)
+    # unreachable nodes are absent on both sides
+    assert got == dict(want)
+
+
+def test_bfs_fixed_rounds_converge(spark):
+    # the driver unrolls BFS_ROUNDS on both engines: fixed-round must
+    # equal the fixpoint whenever rounds >= diameter
+    rows = [(f"n{i}", f"n{i+1}", 1) for i in range(6)]  # diameter 6
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["distance"]
+        for r in gmetrics.bfs_distances(df, "n0", iters=8).collect()
+    }
+    assert got == {f"n{i}": i for i in range(7)}
+
+
+def test_pmi_edges_match_numpy(spark):
+    import math
+
+    rows = _random_edges(41, n_nodes=20, n_edges=50)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        (r["src"], r["dst"]): (r["weight"], r["pmi"])
+        for r in gmetrics.pmi_edges(df).collect()
+    }
+    w = {(min(a, b), max(a, b)): float(wt) for a, b, wt in rows}
+    total = sum(w.values())
+    s: dict[str, float] = {}
+    for (a, b), wt in w.items():
+        s[a] = s.get(a, 0.0) + wt
+        s[b] = s.get(b, 0.0) + wt
+    for (a, b), wt in w.items():
+        want = max(
+            math.log((wt / total) / ((s[a] / (2 * total)) * (s[b] / (2 * total)))),
+            0.0,
+        )
+        gw, gp = got[(a, b)]
+        assert gw == wt and abs(gp - want) < 1e-9, (a, b)
+    # frequent-hub suppression property: PPMI of a pair of hubs with an
+    # average edge is below that of an exclusive low-degree pair
+    excl = spark.createDataFrame(
+        [("h1", "h2", 10), ("h1", "x", 10), ("h2", "y", 10), ("p", "q", 10)],
+        "src string, dst string, weight int",
+    )
+    pm = {(r.src, r.dst): r.pmi for r in gmetrics.pmi_edges(excl).collect()}
+    assert pm[("p", "q")] > pm[("h1", "h2")]
