@@ -181,3 +181,27 @@ def test_event_windows_and_sessions(spark):
     }
     # user 1: events 0,1 in one session; event 2 after 60-min gap
     assert sess == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_cosine_topk_arrow_matches_jvm_twin(spark):
+    import random
+
+    from renard_spark.functions.similarity import cosine_topk, cosine_topk_arrow
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    jvm = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, k=4).collect()
+    }
+    arrow = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(emb, k=4).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for key, (nid, cos) in jvm.items():
+        aid, acos = arrow[key]
+        assert aid == nid and abs(acos - cos) < 1e-9, key
