@@ -207,3 +207,89 @@ def tokens_with_offsets(df: DataFrame, text_col: str = "text") -> DataFrame:
             " char_start int, char_end int"
         ),
     )
+
+
+def span_tokens(df: DataFrame) -> DataFrame:
+    """Token table from the interleaved ``spans`` column, SPAN-parallel
+    — the long-document skew fix (north_rule's "salted repartitioning
+    to tame long-document skew", solved structurally): ``tokens()`` is
+    narrow but row-at-a-time, so ONE giant document pins one task for
+    its whole regexp pass no matter how the table is partitioned. Here
+    every text span tokenizes independently (explode → per-span narrow
+    pass over sentence-scale strings — a 1 GB document becomes
+    thousands of distributable rows), and the document-global sentence
+    and token indices are restored with ONE small shuffle: a per-doc
+    window cumsum of (sentence count, token count) over span ordinals,
+    where rows = spans, not tokens.
+
+    Precondition (property-tested vs ``tokens()``): text-span
+    boundaries fall BETWEEN sentences — the natural shape of
+    interleaved documents, where media interrupts text at sentence
+    breaks (corpus.gen_doc_spans guarantees it; a span-start leading
+    space stays attached to its first sentence and is regexp-inert).
+    Output == tokens(normalize_documents(df)) exactly, same schema.
+    """
+    spans = df.select(
+        "doc_id",
+        F.posexplode(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+        ).alias("span_ord", "_s"),
+    ).select("doc_id", "span_ord", F.col("_s.text").alias("_t"))
+    pieces = F.filter(
+        F.split(F.col("_t"), SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+    sent_toks = F.transform(
+        pieces, lambda s: F.regexp_extract_all(s, F.lit(TOKEN_RE), 0)
+    )
+    # within-span sentence start offsets: the same ordered fold as
+    # tokens(), materialized into _fold once per span so it doesn't
+    # re-run per referencing expression
+    per_span = spans.withColumn("_st", sent_toks).withColumn("_fold", F.aggregate(
+        F.col("_st"),
+        F.struct(
+            F.lit(0).alias("total"),
+            F.expr("array()").cast("array<int>").alias("offs"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["total"] + F.size(x)).alias("total"),
+            F.concat(acc["offs"], F.array(acc["total"])).alias("offs"),
+        ),
+    )).select(
+        "doc_id", "span_ord", "_st",
+        F.col("_fold.offs").alias("_offs"),
+        F.size("_st").alias("_nsent"),
+        F.col("_fold.total").alias("_ntok"),
+    )
+    # per-doc global offsets: cumsum over PRECEDING spans — the only
+    # shuffle, over span-count rows
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_span = per_span.withColumn(
+        "_soff", F.coalesce(F.sum("_nsent").over(wp), F.lit(0))
+    ).withColumn("_toff", F.coalesce(F.sum("_ntok").over(wp), F.lit(0)))
+    per_sent = per_span.select(
+        "doc_id",
+        "_toff",
+        "_soff",
+        F.posexplode(F.arrays_zip("_st", "_offs")).alias("_i", "_z"),
+    ).select(
+        "doc_id",
+        (F.col("_soff") + F.col("_i")).cast("int").alias("sent_idx"),
+        (F.col("_toff") + F.col("_z._offs")).alias("_off"),
+        F.col("_z._st").alias("_toks"),
+    )
+    return per_sent.select(
+        "doc_id",
+        "sent_idx",
+        "_off",
+        F.posexplode("_toks").alias("tok_in_sent", "token"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        (F.col("_off") + F.col("tok_in_sent")).cast("int").alias("tok_idx"),
+        "tok_in_sent",
+        "token",
+    )

@@ -62,3 +62,45 @@ def test_media_spans_carried_and_lineage_exact(spark):
     med = ingest.media_spans(docs)
     n_media = sum(1 for spans in orig.values() for s in spans if s.kind != "text")
     assert med.count() == n_media
+
+
+def test_span_tokens_equals_whole_doc_tokens(spark):
+    # span-parallel tokenization must be row-for-row identical to the
+    # whole-text path on interleaved docs whose span boundaries fall at
+    # sentence breaks (corpus.gen_doc_spans guarantees that shape)
+    from renard_spark import corpus
+    from renard_spark.sources import ingest
+
+    docs = corpus.generate_documents(spark, 40, seed=29)
+    whole = tokenize.tokens(ingest.normalize_documents(docs))
+    by_span = tokenize.span_tokens(docs)
+    cols = ["doc_id", "sent_idx", "tok_idx", "tok_in_sent", "token"]
+    a = sorted(tuple(r) for r in whole.select(*cols).collect())
+    b = sorted(tuple(r) for r in by_span.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
+def test_span_tokens_distributes_giant_doc(spark):
+    # one synthetic giant document: the span path must emit one row per
+    # text span BEFORE the regexp pass (the skew fix), and still index
+    # tokens globally
+    spans = []
+    off = 0
+    for i in range(50):
+        t = ("word%d " % i) * 20
+        t = t.strip() + "."
+        if i > 0:
+            t = " " + t
+        spans.append(("text", t, None, off))
+        off += len(t)
+    df = spark.createDataFrame(
+        [("g1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = tokenize.span_tokens(df).collect()
+    assert len(out) == 50 * 21  # 20 words + final '.' per span-sentence
+    by_idx = {r.tok_idx: r for r in out}
+    assert by_idx[0].token == "word0" and by_idx[0].sent_idx == 0
+    last = max(by_idx)
+    assert by_idx[last].token == "." and by_idx[last].sent_idx == 49
