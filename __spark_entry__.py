@@ -1980,6 +1980,44 @@ def q_char_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-PARALLEL tokenization behind the hash gate (the
+    long-document-skew path, tokenize.span_tokens): the flat bench text
+    is cut into 50-word spans (whitespace boundaries are token-inert),
+    each span tokenizes independently, and the document-global tok_idx
+    is restored by the per-doc span cumsum — the oracle is the plain
+    whole-text tokenization, so the gate proves the span path's global
+    indexing is EXACTLY equivalent."""
+    docs = _spread(_documents(spark, sf_dir))
+    words = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(50)).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(
+                F.slice(words, i * 50 + 1, 50), " "
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+    )
+    sdf = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        spans.alias("spans"),
+    )
+    out = tokenize.span_tokens(sdf)
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            F.col("tok_idx").cast("long").alias("tok_idx"),
+            "token",
+        )
+    )
+
+
 SAMPLE_FRAC, QUOTA_N = 0.25, 20
 
 
@@ -2072,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quota": q_lang_quota,
         "char_bfs": q_char_bfs,
         "char_pmi": q_char_pmi,
+        "span_tokens": q_span_tokens,
     }
 
 
@@ -2232,6 +2271,8 @@ SELECT node, d::BIGINT AS distance FROM bd{BFS_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "span_tokens": _BASE_CTES
+        + "SELECT doc_id, tok_idx::BIGINT AS tok_idx, token FROM toks\n",
         "char_pmi": edges_ctes + """,
 eg AS (
   SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
