@@ -104,3 +104,50 @@ def test_span_tokens_distributes_giant_doc(spark):
     assert by_idx[0].token == "word0" and by_idx[0].sent_idx == 0
     last = max(by_idx)
     assert by_idx[last].token == "." and by_idx[last].sent_idx == 49
+
+
+def test_span_tokens_random_sentence_boundary_splits(spark):
+    # property: ANY partition of a document's sentence sequence into
+    # spans (the interleaved-document shape) tokenizes identically to
+    # the whole-text path — randomized over texts AND split points
+    import random
+
+    from renard_spark.sources import ingest
+
+    rng = random.Random(404)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "don't", "big"]
+    rows = []
+    for d in range(30):
+        n_sent = rng.randint(1, 12)
+        sents = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 9)))
+            + rng.choice([".", "!", "?"])
+            for _ in range(n_sent)
+        ]
+        spans, i = [], 0
+        off = 0
+        while i < len(sents):
+            k = rng.randint(1, 4)
+            chunk = " ".join(sents[i : i + k])
+            if i > 0:
+                chunk = " " + chunk
+            spans.append(("text", chunk, None, off))
+            off += len(chunk)
+            i += k
+        rows.append((f"d{d}", spans))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cols = ["doc_id", "sent_idx", "tok_idx", "tok_in_sent", "token"]
+    a = sorted(
+        tuple(r)
+        for r in tokenize.tokens(ingest.normalize_documents(df))
+        .select(*cols)
+        .collect()
+    )
+    b = sorted(
+        tuple(r) for r in tokenize.span_tokens(df).select(*cols).collect()
+    )
+    assert a == b and len(a) > 0
