@@ -2018,6 +2018,46 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_W = 5  # 5-gram decontamination at test scale (prod: 13)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-slice contamination (functions/contamination.
+    cross_source_overlap): every doc_id % 10 == 0 document is injected
+    into a synthetic 'benchmark' slice verbatim, so each real source
+    must report exactly its multiple-of-10 docs as shared with the
+    benchmark (plus any natural cross-source text collisions — both
+    engines see the same)."""
+    from renard_spark.functions import contamination
+
+    docs = _documents(spark, sf_dir)
+    injected = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "source", F.lit("benchmark")
+    )
+    both = docs.unionByName(injected)
+    return contamination.cross_source_overlap(both, group_col="source")
+
+
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination signal (functions/
+    contamination.ngram_contamination): doc_id % 10 == 0 plays the
+    benchmark set, the rest is training; per training doc the distinct
+    5-gram shingle count, the benchmark-shared count, and the
+    contaminated fraction."""
+    from renard_spark.functions import contamination
+
+    docs = _documents(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = contamination.ngram_contamination(train, bench, w=NGRAM_W)
+    return _long_doc_id(
+        out.select(
+            "doc_id", "n_shingles", "n_shared",
+            F.round("frac", 6).alias("frac"),
+        )
+    )
+
+
 SAMPLE_FRAC, QUOTA_N = 0.25, 20
 
 
@@ -2111,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bfs": q_char_bfs,
         "char_pmi": q_char_pmi,
         "span_tokens": q_span_tokens,
+        "contamination": q_contamination,
+        "ngram_overlap": q_ngram_overlap,
     }
 
 
@@ -2271,6 +2313,46 @@ SELECT node, d::BIGINT AS distance FROM bd{BFS_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "contamination": """
+WITH all_docs AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'benchmark', text FROM documents WHERE doc_id % 10 = 0
+), fp AS (SELECT DISTINCT source AS grp, md5(text) AS fp FROM all_docs)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       count(DISTINCT a.fp)::BIGINT AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.grp < b.grp
+GROUP BY a.grp, b.grp
+""",
+        "ngram_overlap": f"""
+WITH tr AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents WHERE doc_id % 10 <> 0
+), be AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents WHERE doc_id % 10 = 0
+), trs0 AS (
+  SELECT doc_id, CASE WHEN len(tk) >= {NGRAM_W}
+    THEN list_transform(range(1, len(tk) - {NGRAM_W - 2}),
+         i -> array_to_string(list_slice(tk, i, i + {NGRAM_W - 1}), ' '))
+    ELSE [array_to_string(tk, ' ')] END AS shs FROM tr
+), bes0 AS (
+  SELECT doc_id, CASE WHEN len(tk) >= {NGRAM_W}
+    THEN list_transform(range(1, len(tk) - {NGRAM_W - 2}),
+         i -> array_to_string(list_slice(tk, i, i + {NGRAM_W - 1}), ' '))
+    ELSE [array_to_string(tk, ' ')] END AS shs FROM be
+), trs AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM trs0),
+bset AS (SELECT DISTINCT unnest(shs) AS shingle FROM bes0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM trs GROUP BY doc_id),
+hit AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_shared
+  FROM trs t JOIN bset b ON b.shingle = t.shingle GROUP BY t.doc_id
+)
+SELECT tot.doc_id, tot.n_shingles, coalesce(hit.n_shared, 0) AS n_shared,
+       round(coalesce(hit.n_shared, 0)::DOUBLE
+             / greatest(tot.n_shingles, 1), 6) AS frac
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+""",
         "span_tokens": _BASE_CTES
         + "SELECT doc_id, tok_idx::BIGINT AS tok_idx, token FROM toks\n",
         "char_pmi": edges_ctes + """,

@@ -60,3 +60,62 @@ def test_stratified_quota_counts_and_determinism(spark):
         [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
     )
     assert sampling.stratified_quota(small, "grp", 5).count() == 3
+
+
+# -- decontamination (functions/contamination.py) ---------------------
+
+
+def test_cross_source_overlap_counts_shared_texts(spark):
+    from renard_spark.functions.contamination import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("train", "aaa bbb"), ("train", "ccc ddd"), ("train", "eee"),
+            ("eval", "aaa bbb"), ("eval", "zzz"),
+            ("web", "aaa bbb"), ("web", "ccc ddd"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.grp_a, r.grp_b): r.n_shared
+        for r in cross_source_overlap(docs).collect()
+    }
+    assert got == {
+        ("eval", "train"): 1, ("train", "web"): 2, ("eval", "web"): 1,
+    }
+    # duplicate rows within one slice never inflate the count
+    docs2 = docs.unionByName(
+        spark.createDataFrame(
+            [("train", "aaa bbb")], "source string, text string"
+        )
+    )
+    got2 = {
+        (r.grp_a, r.grp_b): r.n_shared
+        for r in cross_source_overlap(docs2).collect()
+    }
+    assert got2 == got
+
+
+def test_ngram_contamination_fraction(spark):
+    from renard_spark.functions.contamination import ngram_contamination
+
+    # bench doc: "w1 w2 w3 w4"; train doc 1 contains it verbatim inside
+    # longer text (high frac), train doc 2 shares nothing
+    bench = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "x0 w1 w2 w3 w4 x1"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, round(r.frac, 6))
+        for r in ngram_contamination(train, bench, w=3).collect()
+    }
+    # doc 1: 4 distinct 3-grams, shares 'w1 w2 w3' and 'w2 w3 w4'
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (4, 0, 0.0)
+    # short docs fall back to the whole-text shingle
+    short = spark.createDataFrame([(3, "w1 w2")], "doc_id long, text string")
+    got3 = ngram_contamination(short, bench, w=3).first()
+    assert (got3.n_shingles, got3.n_shared) == (1, 0)
