@@ -2018,6 +2018,30 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WDIST_ROUNDS = 8
+
+
+def q_char_wdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path costs (cost = 1/weight — strong ties are short)
+    from the smallest character on the sparsified network
+    (functions/graph.py weighted_distances, min-plus rounds unrolled
+    in the oracle like char_bfs)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge).withColumn(
+        "cost", F.lit(1.0) / F.col("weight")
+    )
+    source = ge.agg(F.min(F.least("src", "dst"))).first()[0]
+    out = gmetrics.weighted_distances(
+        ge, source, iters=WDIST_ROUNDS
+    )
+    return out.select("node", F.round("distance", 6).alias("distance"))
+
+
 NGRAM_W = 5  # 5-gram decontamination at test scale (prod: 13)
 
 
@@ -2153,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_tokens": q_span_tokens,
         "contamination": q_contamination,
         "ngram_overlap": q_ngram_overlap,
+        "char_wdist": q_char_wdist,
     }
 
 
@@ -2309,10 +2334,36 @@ bd{i + 1} AS MATERIALIZED (
     bfs_sql += f"""
 SELECT node, d::BIGINT AS distance FROM bd{BFS_ROUNDS}
 """
+    # weighted min-plus rounds on the same sparsified graph; edge cost
+    # 1/weight, per-round candidate set identical to the Spark loop
+    wd_sql = kc_base + """,
+egw AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         1.0 / count(*) AS c
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+cw AS (SELECT e.a, e.b, e.c FROM egw e JOIN c0 ON c0.a = e.a AND c0.b = e.b),
+symw AS (SELECT a AS u, b AS v, c FROM cw UNION ALL SELECT b, a, c FROM cw),
+wd0 AS MATERIALIZED (
+  SELECT (SELECT min(u) FROM symw) AS node, 0.0 AS d)"""
+    for i in range(WDIST_ROUNDS):
+        wd_sql += f""",
+wd{i + 1} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM wd{i}
+    UNION ALL
+    SELECT s.u, wd{i}.d + s.c FROM symw s JOIN wd{i} ON wd{i}.node = s.v
+  ) GROUP BY node
+)"""
+    wd_sql += f"""
+SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
+"""
     return {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "char_wdist": wd_sql,
         "contamination": """
 WITH all_docs AS (
   SELECT source, text FROM documents

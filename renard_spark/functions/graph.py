@@ -461,3 +461,58 @@ def pmi_edges(
             F.col("w").alias("weight"), pmi.alias("pmi"),
         )
     )
+
+
+def weighted_distances(
+    edges: DataFrame, source: str, src: str = "src", dst: str = "dst",
+    cost: str = "cost", iters: int | None = None, max_rounds: int = 64,
+) -> DataFrame:
+    """Cheapest-path cost from ``source`` over a non-negative ``cost``
+    column → (node, distance) — the weighted twin of ``bfs_distances``
+    (bulk-synchronous Bellman–Ford / min-plus): per round one equi-join
+    of the distance vector onto the symmetric edge list, add the edge
+    cost, take the per-node min. Monotone non-increasing ⇒ fixed
+    ``iters`` rounds (≥ the hop diameter) are oracle-unrollable;
+    ``iters=None`` runs to the fixpoint."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"),
+            F.col(cost).cast("double").alias("c"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("c").alias("c"))
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v"), F.col("c")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v"), F.col("c")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("p"))
+        .select("p.u", "p.v", "p.c")
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0.0)], "node string, distance double"
+    )
+    prev = None
+    rounds = iters if iters is not None else max_rounds
+    for i in range(rounds):
+        grown = dist.unionByName(
+            sym.join(dist, sym["v"] == dist["node"]).select(
+                sym["u"].alias("node"),
+                (F.col("distance") + F.col("c")).alias("distance"),
+            )
+        )
+        dist = (
+            grown.groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        if iters is None:
+            sig = (dist.count(), dist.agg(F.sum("distance")).first()[0])
+            if sig == prev:
+                break
+            prev = sig
+    return dist

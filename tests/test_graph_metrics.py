@@ -5,6 +5,7 @@ import random
 
 import networkx as nx
 import pytest
+from pyspark.sql import functions as F
 
 from renard_spark.functions import graph as gmetrics
 
@@ -317,3 +318,24 @@ def test_pmi_edges_match_numpy(spark):
     )
     pm = {(r.src, r.dst): r.pmi for r in gmetrics.pmi_edges(excl).collect()}
     assert pm[("p", "q")] > pm[("h1", "h2")]
+
+
+def test_weighted_distances_match_networkx(spark):
+    rows = _random_edges(67, n_nodes=25, n_edges=55)
+    df = spark.createDataFrame(
+        rows, "src string, dst string, weight int"
+    ).withColumn("cost", 1.0 / F.col("weight"))
+    g = nx.Graph()
+    for a, b, w in rows:
+        # mirror the operator's parallel-edge min (none here, but keep
+        # the convention explicit)
+        g.add_edge(a, b, cost=1.0 / w)
+    source = sorted(g.nodes)[0]
+    got = {
+        r["node"]: r["distance"]
+        for r in gmetrics.weighted_distances(df, source).collect()
+    }
+    want = nx.single_source_dijkstra_path_length(g, source, weight="cost")
+    assert set(got) == set(want)
+    for n, d in want.items():
+        assert abs(got[n] - d) < 1e-9, n
