@@ -2018,6 +2018,30 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture table (functions/text.mixture_stats): doc and
+    token counts with corpus shares — what a training run samples its
+    mixture weights from."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.mixture_stats(_spread(_documents(spark, sf_dir)))
+    return out.select(
+        "grp", "n_docs", "n_tokens",
+        F.round("doc_share", 6).alias("doc_share"),
+        F.round("token_share", 6).alias("token_share"),
+    )
+
+
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-band quality filter (functions/text.
+    length_band): keep docs inside the corpus's [p05, p95] n_chars
+    band; both engines compute the same interpolated percentiles."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.length_band(_documents(spark, sf_dir))
+    return out.select("doc_id", "n_chars")
+
+
 WDIST_ROUNDS = 8
 
 
@@ -2178,6 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "ngram_overlap": q_ngram_overlap,
         "char_wdist": q_char_wdist,
+        "mixture_stats": q_mixture_stats,
+        "length_band": q_length_band,
     }
 
 
@@ -2363,6 +2389,27 @@ SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "mixture_stats": f"""
+WITH per AS (
+  SELECT source AS grp, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+SELECT grp, n_docs, n_tokens,
+       round(n_docs::DOUBLE / tot.td, 6) AS doc_share,
+       round(n_tokens::DOUBLE / tot.tt, 6) AS token_share
+FROM per, tot
+""",
+        "length_band": """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= lo AND n_chars <= hi
+""",
         "char_wdist": wd_sql,
         "contamination": """
 WITH all_docs AS (

@@ -351,3 +351,52 @@ def repetition_stats(
             / F.sum("c")
         ).alias("dup_gram_frac"),
     )
+
+
+def mixture_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-slice mixture table → (grp, n_docs, n_tokens, doc_share,
+    token_share) — the table a training run samples mixture weights
+    from. One map-side-combined aggregation; the two corpus totals are
+    a 2-scalar driver pull (same bounded-stats pattern as the
+    sparsifier), never a global window."""
+    per = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0))
+            .cast("long")
+            .alias("_nt"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(F.sum("n_docs"), F.sum("n_tokens")).first()
+    td, tt = int(tot[0] or 0), int(tot[1] or 0)
+    return per.select(
+        "grp", "n_docs", "n_tokens",
+        (F.col("n_docs") / F.lit(max(td, 1))).alias("doc_share"),
+        (F.col("n_tokens") / F.lit(max(tt, 1))).alias("token_share"),
+    )
+
+
+def length_band(
+    docs: DataFrame, lo_p: float = 0.05, hi_p: float = 0.95,
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Quality filter keeping documents inside the corpus's
+    [lo_p, hi_p] length-percentile band (drops truncation stubs and
+    concatenation monsters). The two interpolated percentiles are a
+    2-scalar driver pull; the filter itself is narrow and pushes to
+    the scan."""
+    b = docs.agg(
+        F.expr(f"percentile({len_col}, array({lo_p}, {hi_p}))").alias("b")
+    ).first()["b"]
+    lo, hi = float(b[0]), float(b[1])
+    return docs.filter(
+        (F.col(len_col) >= lo) & (F.col(len_col) <= hi)
+    )
