@@ -2094,7 +2094,7 @@ def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated fraction."""
     from renard_spark.functions import contamination
 
-    docs = _documents(spark, sf_dir)
+    docs = _spread(_documents(spark, sf_dir))
     train = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     out = contamination.ngram_contamination(train, bench, w=NGRAM_W)

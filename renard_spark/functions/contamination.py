@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from renard_spark.functions.dedup import shingles
+from renard_spark.functions.dedup import shingle_array, shingles
 
 
 def cross_source_overlap(
@@ -56,16 +56,25 @@ def ngram_contamination(
     and should be dropped. The benchmark shingle SET is typically tiny
     next to the corpus — Spark broadcasts the join side on its own
     when it fits; the shape stays an equi-join either way."""
-    d = shingles(docs.select(F.col(id_col).alias("doc_id"), text_col),
-                 w, text_col)
+    # the per-doc shingle ARRAY is built once (narrow) and checkpointed;
+    # the total count is size() of it — NO corpus-wide groupBy shuffle —
+    # and only the exploded rows that survive the benchmark join are
+    # ever shuffled by key
+    d_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_array(text_col, w).alias("_shs"),
+    ).localCheckpoint(eager=False)
     bset = shingles(
         bench.select(F.col(id_col).alias("doc_id"), text_col), w, text_col
     ).select("shingle").distinct()
-    tot = d.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    tot = d_arr.select(
+        "doc_id", F.size("_shs").cast("long").alias("n_shingles")
     )
-    hit = d.join(bset, "shingle").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shared")
+    hit = (
+        d_arr.select("doc_id", F.explode("_shs").alias("shingle"))
+        .join(bset, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return (
         tot.join(hit, "doc_id", "left")

@@ -25,8 +25,11 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes / bands
 
 
-def shingles(docs: DataFrame, w: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct w-token shingles per doc: (doc_id, shingle)."""
+def shingle_array(text_col: str, w: int):
+    """Column expr: the DISTINCT w-token shingles of one document as an
+    array (whole-text fallback under w tokens) — fully narrow; callers
+    that need per-doc counts take ``size()`` of this without any
+    shuffle."""
     toks = F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
     sh = F.when(
         F.size(toks) >= w,
@@ -35,8 +38,13 @@ def shingles(docs: DataFrame, w: int = 3, text_col: str = "text") -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, w), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(sh)
+
+
+def shingles(docs: DataFrame, w: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct w-token shingles per doc: (doc_id, shingle)."""
+    return docs.select(
+        "doc_id", F.explode(shingle_array(text_col, w)).alias("shingle")
     )
 
 
