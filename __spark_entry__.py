@@ -2018,6 +2018,33 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal behind the gate
+    (functions/text.remove_boilerplate): every doc gets a shared
+    footer line appended (and even docs a second one), the frequency
+    filter strips exactly those, and clean_text must hash back to the
+    ORIGINAL text — an end-to-end reassembly check, not just counts."""
+    from renard_spark.functions import text as ftext
+
+    docs = _spread(_documents(spark, sf_dir)).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\nshared footer alpha beta"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\neven docs footer")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = ftext.remove_boilerplate(docs, min_docs=2)
+    return _long_doc_id(
+        out.select(
+            "doc_id", F.md5("clean_text").alias("clean_fp"),
+            "n_kept", "n_removed",
+        )
+    )
+
+
 def q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture table (functions/text.mixture_stats): doc and
     token counts with corpus shares — what a training run samples its
@@ -2204,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_wdist": q_char_wdist,
         "mixture_stats": q_mixture_stats,
         "length_band": q_length_band,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -2389,6 +2417,30 @@ SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "boilerplate": """
+WITH aug AS (
+  SELECT doc_id, text || chr(10) || 'shared footer alpha beta' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'even docs footer' ELSE '' END AS t
+  FROM documents
+), p0 AS (
+  SELECT doc_id, u.piece, u.i
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM aug),
+       LATERAL (SELECT unnest(ps) AS piece,
+                       generate_subscripts(ps, 1) AS i) u
+  WHERE trim(piece) <> ''
+), boiler AS (
+  SELECT piece FROM p0 GROUP BY piece HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       md5(string_agg(piece, ' ' ORDER BY i)
+           FILTER (piece NOT IN (SELECT piece FROM boiler))) AS clean_fp,
+       count(*) FILTER (piece NOT IN (SELECT piece FROM boiler))::BIGINT
+         AS n_kept,
+       count(*) FILTER (piece IN (SELECT piece FROM boiler))::BIGINT
+         AS n_removed
+FROM p0 GROUP BY doc_id
+""",
         "mixture_stats": f"""
 WITH per AS (
   SELECT source AS grp, count(*)::BIGINT AS n_docs,

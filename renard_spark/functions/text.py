@@ -400,3 +400,74 @@ def length_band(
     return docs.filter(
         (F.col(len_col) >= lo) & (F.col(len_col) <= hi)
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame, min_docs: int = 2, text_col: str = "text",
+    split_re: str = r"\n+",
+) -> DataFrame:
+    """The corpus's boilerplate unit set → (piece, n_docs): every
+    non-empty split unit (line by default; pass a sentence regex for
+    sentence units) that occurs in at least ``min_docs`` DISTINCT
+    documents — cookie banners, license footers, nav chrome. One
+    explode + one distinct-count aggregation keyed by the piece."""
+    pieces = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), split_re)).alias("piece"),
+    ).filter(F.trim("piece") != "")
+    return (
+        pieces.groupBy("piece")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame, min_docs: int = 2, text_col: str = "text",
+    split_re: str = r"\n+", join_sep: str = " ",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal → (doc_id,
+    clean_text, n_kept, n_removed): drop every split unit that occurs
+    in ≥ ``min_docs`` distinct documents, reassemble the rest in
+    original order. The piece table joins the (small) boilerplate set
+    with a left-anti equi-join; reassembly is one per-doc aggregation
+    over the kept pieces. Documents whose every piece is boilerplate
+    survive with an empty ``clean_text`` (the caller decides whether
+    empty docs are then dropped)."""
+    pieces = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), split_re)).alias(
+            "_idx", "piece"
+        ),
+    ).filter(F.trim("piece") != "").localCheckpoint(eager=False)
+    boiler = (
+        pieces.groupBy("piece")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("piece")
+    )
+    flagged = pieces.join(
+        boiler.withColumn("_is_boiler", F.lit(1)), "piece", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_is_boiler").isNull(),
+                            F.struct("_idx", "piece"),
+                        )
+                    )
+                ),
+                lambda s: s["piece"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.col("_is_boiler").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        F.sum(F.coalesce("_is_boiler", F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+    )

@@ -119,3 +119,36 @@ def test_ngram_contamination_fraction(spark):
     short = spark.createDataFrame([(3, "w1 w2")], "doc_id long, text string")
     got3 = ngram_contamination(short, bench, w=3).first()
     assert (got3.n_shingles, got3.n_shared) == (1, 0)
+
+
+def test_remove_boilerplate_strips_shared_lines(spark):
+    from renard_spark.functions.text import boilerplate_lines, remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\ncookie banner\nfooter"),
+            (2, "unique two\ncookie banner\nfooter"),
+            (3, "unique three\nfooter"),
+            (4, "cookie banner\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = {r.piece: r.n_docs for r in boilerplate_lines(docs).collect()}
+    assert bl == {"cookie banner": 3, "footer": 4}
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in remove_boilerplate(docs).collect()
+    }
+    assert out[1] == ("unique one", 1, 2)
+    assert out[3] == ("unique three", 1, 1)
+    # a doc that is ALL boilerplate survives with empty text
+    assert out[4] == ("", 0, 2)
+    # order preservation across multiple kept lines
+    docs2 = spark.createDataFrame(
+        [(1, "b line\nshared\na line"), (2, "shared")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.clean_text for r in remove_boilerplate(docs2).collect()
+    }
+    assert got[1] == "b line a line"  # original order, not sorted
