@@ -2018,6 +2018,23 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_LEN = 512
+
+
+def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignments (functions/text.pack_assignments):
+    the deterministic concatenate-and-chunk stream over hash order,
+    global positions from the two-phase running total (the same
+    scalable-cumsum machinery as make_vocab, gated here on real
+    arithmetic rather than ranks)."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.pack_assignments(
+        _spread(_documents(spark, sf_dir)), context_len=PACK_LEN
+    )
+    return out
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal behind the gate
     (functions/text.remove_boilerplate): every doc gets a shared
@@ -2232,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": q_mixture_stats,
         "length_band": q_length_band,
         "boilerplate": q_boilerplate,
+        "pack_ids": q_pack_ids,
     }
 
 
@@ -2417,6 +2435,26 @@ SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "pack_ids": f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))::BIGINT
+           AS n_tokens,
+         substr(md5(doc_id::VARCHAR), 1, 8) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS stream_pos
+  FROM d
+)
+SELECT doc_id, n_tokens, stream_pos,
+       (stream_pos // {PACK_LEN})::BIGINT AS pack_id,
+       (stream_pos % {PACK_LEN})::BIGINT AS pack_pos
+FROM c
+""",
         "boilerplate": """
 WITH aug AS (
   SELECT doc_id, text || chr(10) || 'shared footer alpha beta' ||

@@ -471,3 +471,39 @@ def remove_boilerplate(
             "n_removed"
         ),
     )
+
+
+def pack_assignments(
+    docs: DataFrame, context_len: int, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing for training → (doc_id, n_tokens,
+    stream_pos, pack_id, pack_pos): documents concatenated in a
+    deterministic (md5-of-id, id) order into one token stream, cut
+    every ``context_len`` tokens — the standard concatenate-and-chunk
+    packing. stream_pos is the doc's first token's global position,
+    pack_id/pack_pos its containing chunk and offset (a doc whose span
+    crosses a cut simply continues into the next pack, as in training).
+    The global stream position comes from the two-phase
+    ``global_running_total`` — no single-partition window, shuffle cost
+    one range partition of (doc_id, n_tokens, hash) rows."""
+    from renard_spark.operators.tokenize import TOKEN_RE as _TOK
+    from renard_spark.operators.utils import global_running_total
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text_col, F.lit(_TOK), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8).alias("_h"),
+    ).localCheckpoint(eager=False)
+    out = global_running_total(
+        d, "n_tokens", ["_h", "doc_id"], out_col="stream_pos"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "stream_pos",
+        F.floor(F.col("stream_pos") / context_len).cast("long").alias(
+            "pack_id"
+        ),
+        (F.col("stream_pos") % context_len).cast("long").alias("pack_pos"),
+    )

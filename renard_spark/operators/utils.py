@@ -58,53 +58,81 @@ def map_in_pandas_by_key(
     return part.mapInPandas(run, schema=schema)
 
 
-def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
-    """(value, vocab_id) in first-appearance order of ``order_col``.
+def global_running_total(
+    df: DataFrame, value_col: str, order_cols: list[str],
+    out_col: str = "_cum",
+) -> DataFrame:
+    """EXCLUSIVE global running total of ``value_col`` in
+    ``order_cols`` order — the scalable replacement for an
+    empty-partitionBy window (which funnels the whole table through
+    ONE partition): range-repartition by the order key, per-partition
+    exclusive window sum, then add per-partition offsets computed from
+    the tiny one-row-per-partition totals table (collected to the
+    driver, broadcast-joined back). Every data-sized stage is
+    parallel; the only driver-side bytes are #partitions rows.
 
-    Two-phase global rank — NOT a single-partition window (a corpus-
-    scope vocab is 100M+ distinct tokens at production scale): range-
-    repartition the (value, first-occurrence) table by the order key,
-    assign per-partition ``row_number``, then add per-partition offsets
-    computed from the tiny (one row per partition) count table that is
-    collected to the driver and broadcast-joined back. Every stage is
-    parallel; the only driver-side data is #partitions rows."""
-    # checkpoint BEFORE repartitionByRange: the range partitioner runs
-    # a sampling pass over its input, which would otherwise re-execute
-    # the whole upstream lineage (tokenize + groupBy) a second time
-    firsts = df.groupBy(col).agg(
-        F.min(order_col).alias("_first")
-    ).localCheckpoint(eager=True)
+    The input must already be checkpoint-cheap to evaluate twice-ish:
+    the range partitioner runs a sampling pass, so callers with deep
+    lineage should localCheckpoint before calling (make_vocab does)."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     # range partitioner ⇒ partition i holds strictly smaller order keys
     # than partition i+1; pid is then materialized (localCheckpoint) so
-    # the count job and the rank job see identical placement
+    # the totals job and the cumsum job see identical placement
     parted = (
-        firsts.repartitionByRange(n_parts, F.col("_first"), F.col(col))
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
     )
     offsets, acc = [], 0
-    for pid, n in counts:
+    for pid, t in totals:
         offsets.append((pid, acc))
-        acc += n
+        acc += int(t or 0)
     if not offsets:
-        return firsts.select(
-            F.col(col).alias("value"), F.lit(0).alias("vocab_id")
-        ).limit(0)
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy("_first", col)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        parted.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .select(
-            F.col(col).alias("value"),
-            (F.col("_rn") - 1 + F.col("_off")).cast("int").alias("vocab_id"),
+        parted.withColumn(
+            "_within", F.coalesce(F.sum(value_col).over(w), F.lit(0))
         )
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_within")).cast("long"))
+        .drop("_pid", "_off", "_within")
+    )
+
+
+def make_vocab(df: DataFrame, col: str, order_col: str) -> DataFrame:
+    """(value, vocab_id) in first-appearance order of ``order_col``.
+
+    Two-phase global rank via ``global_running_total`` of a constant 1
+    — NOT a single-partition window (a corpus-scope vocab is 100M+
+    distinct tokens at production scale)."""
+    # checkpoint BEFORE the helper: its range partitioner samples the
+    # input, which would otherwise re-execute the whole upstream
+    # lineage (tokenize + groupBy) a second time
+    firsts = (
+        df.groupBy(col)
+        .agg(F.min(order_col).alias("_first"))
+        .withColumn("_one", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_running_total(
+        firsts, "_one", ["_first", col], out_col="vocab_id"
+    )
+    return ranked.select(
+        F.col(col).alias("value"),
+        F.col("vocab_id").cast("int").alias("vocab_id"),
     )
 
 

@@ -152,3 +152,33 @@ def test_remove_boilerplate_strips_shared_lines(spark):
         r.doc_id: r.clean_text for r in remove_boilerplate(docs2).collect()
     }
     assert got[1] == "b line a line"  # original order, not sorted
+
+
+def test_pack_assignments_partition_invariant_and_contiguous(spark):
+    from renard_spark.functions.text import pack_assignments
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 17)) for i in range(80)],
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.stream_pos, r.pack_id, r.pack_pos)
+        for r in pack_assignments(docs, 64).collect()
+    }
+    b = {
+        r.doc_id: (r.stream_pos, r.pack_id, r.pack_pos)
+        for r in pack_assignments(docs.repartition(7), 64).collect()
+    }
+    assert a == b
+    # the stream is gapless: sorted positions tile exactly
+    rows = sorted(
+        (r.stream_pos, r.n_tokens)
+        for r in pack_assignments(docs, 64).collect()
+    )
+    pos = 0
+    for s, n in rows:
+        assert s == pos
+        pos += n
+    # pack arithmetic is consistent
+    for doc, (s, pid, ppos) in a.items():
+        assert pid == s // 64 and ppos == s % 64
