@@ -1842,6 +1842,42 @@ def q_char_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+HITS_ITERS = 8
+
+
+def q_char_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hub/authority scores over the corpus-global
+    character network — same edge table as char_pagerank, 8 fixed
+    iterations with per-round L1 normalization; the oracle unrolls the
+    same rounds as chained CTEs (functions/graph.py hits)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    hs = gmetrics.hits(ge, iters=HITS_ITERS)
+    return hs.select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision (functions/similarity.semantic_dedup):
+    md5-sampled codebook cells, within-cell cosine >= threshold, keep
+    the smallest id per near-duplicate relation."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb, threshold=SEMDEDUP_THRESHOLD, n_centroids=IVF_CENTROIDS
+    )
+
+
 MEDIA_KINDS = ["audio", "video", "image"]
 
 
@@ -2250,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band": q_length_band,
         "boilerplate": q_boilerplate,
         "pack_ids": q_pack_ids,
+        "char_hits": q_char_hits,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2304,6 +2342,37 @@ pr{i + 1} AS (
 )"""
     pr_sql += f"""
 SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
+"""
+    # weighted HITS, rounds unrolled — same sym edge table as
+    # pagerank; per round the auth then hub half-steps, each L1-
+    # normalized, exactly mirroring functions/graph.py hits
+    hits_sql = edges_ctes + """,
+e0 AS (
+  SELECT least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::DOUBLE AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+sym AS (SELECT src AS u, dst AS v, w FROM e0
+        UNION ALL SELECT dst, src, w FROM e0),
+nd AS (SELECT DISTINCT u AS node FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS c FROM nd),
+h0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS h FROM nd)"""
+    for i in range(HITS_ITERS):
+        hits_sql += f""",
+ar{i + 1} AS (
+  SELECT s.v AS node, sum(s.w * h{i}.h) AS a
+  FROM sym s JOIN h{i} ON h{i}.node = s.u GROUP BY s.v
+),
+a{i + 1} AS (SELECT node, a / sum(a) OVER () AS a FROM ar{i + 1}),
+hr{i + 1} AS (
+  SELECT s.u AS node, sum(s.w * a{i + 1}.a) AS h
+  FROM sym s JOIN a{i + 1} ON a{i + 1}.node = s.v GROUP BY s.u
+),
+h{i + 1} AS (SELECT node, h / sum(h) OVER () AS h FROM hr{i + 1})"""
+    hits_sql += f"""
+SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS auth
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.node = h.node
 """
     # synchronous weighted LPA, rounds unrolled; same sparsified graph
     # as char_triangles, same deterministic (max weight-sum, min label)
@@ -2592,6 +2661,55 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        "char_hits": hits_sql,
+        # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
+        # the within-cell a>b pair join + min-id dup_of — mirrors
+        # functions/similarity.semantic_dedup
+        "semantic_dedup": f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS centroid_id
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+), cn AS (
+  SELECT centroid_id, cvec,
+         sqrt(list_sum(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE)))
+           AS cnrm
+  FROM cents
+), scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (v.nrm * c.cnrm)
+           AS cos_c
+  FROM n v CROSS JOIN cn c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_c DESC, centroid_id ASC) AS pr
+    FROM scored) WHERE pr = 1
+), dup AS (
+  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+  FROM assign a
+  JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+                 x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (na.nrm * nb.nrm)
+        >= {SEMDEDUP_THRESHOLD}
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id,
+       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::INT AS keep,
+       coalesce(d.dup_of, e.vec_id) AS canon
+FROM embeddings e LEFT JOIN dup d ON d.vec_id = e.vec_id
+""",
         # e0 (global canonical edges) reused from the pagerank CTE head:
         # wedge join + closure, then per-node counts — same shape as
         # functions/graph.py triangles

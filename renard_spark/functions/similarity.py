@@ -491,3 +491,90 @@ def cosine_topk_arrow(
         schema=f"vec_id {id_type}, neighbor_id {id_type},"
         " cosine double, rank int",
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.9, n_centroids: int = 16,
+    max_cell: int | None = None,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by embedding — cluster with a coarse
+    codebook, compare pairwise *within* each cell only, and keep one
+    representative per near-duplicate relation.
+
+    → (vec_id, keep int, canon): ``keep = 0`` iff the vector has a
+    same-cell neighbor with cosine ≥ ``threshold`` and a smaller id;
+    ``canon`` is the smallest such neighbor for dropped vectors and
+    the vector itself for kept ones (following canon repeatedly
+    reaches a kept vector, since the minimum-id member of any cell
+    always keeps itself).
+
+    Scale shape: assignment is the broadcast codebook argmax (one
+    narrow pass); the pairwise step is an equi self-join on
+    centroid_id with ``id_a > id_b``, so cost is Σ|cell|²/2 — the
+    paper's regime, where n_centroids grows with the corpus to hold
+    |cell| ≈ n/k bounded. For boilerplate-heavy corpora that flood a
+    cell, ``max_cell`` additionally caps the NEIGHBOR side per cell to
+    the ``max_cell`` smallest ids (deterministic, oracle-replicable):
+    fanout is then ≤ |cell|·max_cell; small-id canonical survivors are
+    exactly the vectors the cap retains, so precision is kept and only
+    recall against >max_cell-ranked duplicates trades away.
+
+    The default codebook is the md5-sampled ``ivf_centroids``
+    (bit-reproducible → DuckDB-oracle-gated); inject
+    ``ivf_kmeans_centroids`` or an offline-trained one via
+    ``centroids`` for better cell balance.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, vec_col, id_col)
+    )
+    assign = ivf_assignments(emb, cents, 1, vec_col, id_col).select(
+        "vec_id", "centroid_id"
+    )
+    e = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    m = assign.join(e, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("id_a"), F.col("centroid_id").alias("_ca"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"), F.col("centroid_id").alias("_cb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    if max_cell is not None:
+        wc = Window.partitionBy("_cb").orderBy("id_b")
+        b = (
+            b.withColumn("_cr", F.row_number().over(wc))
+            .filter(F.col("_cr") <= max_cell)
+            .drop("_cr")
+        )
+    dup = (
+        a.join(
+            b,
+            (a["_ca"] == b["_cb"]) & (a["id_a"] > b["id_b"]),
+        )
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+            F.coalesce("dup_of", "vec_id").alias("canon"),
+        )
+    )

@@ -205,3 +205,85 @@ def test_cosine_topk_arrow_matches_jvm_twin(spark):
     for key, (nid, cos) in jvm.items():
         aid, acos = arrow[key]
         assert aid == nid and abs(acos - cos) < 1e-9, key
+
+
+def _semdedup_oracle(vecs, n_centroids, threshold):
+    """Brute-force SemDeDup: md5-sampled codebook, nearest-cell
+    assignment, within-cell pairwise cosine, keep-smallest-id."""
+    n = len(vecs)
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = vecs[order[:n_centroids]]
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    nc = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cos_c = nv @ nc.T
+    # argmax with centroid-id tiebreak ascending
+    cell = np.array([
+        min(range(n_centroids), key=lambda c: (-cos_c[i, c], c))
+        for i in range(n)
+    ])
+    cos = nv @ nv.T
+    out = {}
+    for i in range(n):
+        dups = [
+            j for j in range(n)
+            if j < i and cell[j] == cell[i] and cos[i, j] >= threshold
+        ]
+        out[i] = (1, i) if not dups else (0, min(dups))
+    return out
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(12, 8)
+    # plant near-duplicate pairs: perturbed copies of existing rows
+    vecs = np.vstack([base, base[:6] + rng.randn(6, 8) * 0.01]).astype(
+        "float64"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.keep, r.canon)
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, n_centroids=4
+        ).collect()
+    }
+    want = _semdedup_oracle(vecs, 4, 0.9)
+    assert got == want
+    # at least one planted duplicate was caught (same cell + cos>0.9)
+    assert any(k == 0 for k, _ in got.values())
+    # every canon points at a kept vector, and kept vectors self-point
+    for i, (keep, canon) in got.items():
+        if keep:
+            assert canon == i
+        else:
+            assert got[canon][0] == 1 and canon < i
+
+
+def test_semantic_dedup_max_cell_caps_neighbor_side(spark):
+    rng = np.random.RandomState(5)
+    # one tight cluster of 10 near-identical vectors: uncapped, ids
+    # 1..9 all dup to 0; capped at 2 the neighbor side per cell is
+    # {two smallest ids} — everyone still resolves to a small id
+    vecs = (rng.randn(1, 8) + rng.randn(10, 8) * 0.001).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    full = {
+        r.vec_id: (r.keep, r.canon)
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.99, n_centroids=2
+        ).collect()
+    }
+    capped = {
+        r.vec_id: (r.keep, r.canon)
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.99, n_centroids=2, max_cell=2
+        ).collect()
+    }
+    # same keep decisions here (survivors are the smallest ids, which
+    # the cap retains); cap only limits who can SERVE as a neighbor
+    assert full == capped
+    assert sum(k for k, _ in full.values()) < 10

@@ -339,3 +339,76 @@ def test_weighted_distances_match_networkx(spark):
     assert set(got) == set(want)
     for n, d in want.items():
         assert abs(got[n] - d) < 1e-9, n
+
+
+def _hits_reference(rows, iters):
+    """Hand-rolled fixed-iteration HITS with the operator's exact
+    schedule (auth step, L1-normalize, hub step, L1-normalize)."""
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    import numpy as np
+
+    W = np.zeros((len(nodes), len(nodes)))
+    for a, b, w in rows:
+        W[idx[a], idx[b]] += w
+        W[idx[b], idx[a]] += w
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(iters):
+        a = W.T @ h
+        a = a / a.sum()
+        h = W @ a
+        h = h / h.sum()
+    return (
+        {v: h[idx[v]] for v in nodes},
+        {v: a[idx[v]] for v in nodes},
+    )
+
+
+def test_hits_matches_hand_rolled(spark):
+    rows = _random_edges(17, n_nodes=25, n_edges=60)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in gmetrics.hits(df, iters=8).collect()
+    }
+    wh, wa = _hits_reference(rows, 8)
+    assert set(got) == set(wh)
+    for node in wh:
+        assert got[node][0] == pytest.approx(wh[node], abs=1e-12)
+        assert got[node][1] == pytest.approx(wa[node], abs=1e-12)
+    # both score vectors are L1-normalized distributions
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_converges_to_principal_eigenvector(spark):
+    # at convergence on a symmetric graph, hub == auth == the L1-
+    # normalized principal eigenvector of the weighted adjacency
+    # (networkx's hits oracle needs scipy, absent here — numpy eigh on
+    # the symmetric matrix is the same converged answer)
+    import numpy as np
+
+    rows = _random_edges(23, n_nodes=15, n_edges=40)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in gmetrics.hits(df, iters=40).collect()
+    }
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    for a, b, w in rows:
+        W[idx[a], idx[b]] += w
+        W[idx[b], idx[a]] += w
+    vals, vecs = np.linalg.eigh(W)
+    v = vecs[:, np.argmax(vals)]
+    v = np.abs(v)
+    v = v / v.sum()
+    for node in nodes:
+        assert got[node][0] == pytest.approx(v[idx[node]], abs=1e-5)
+        assert got[node][1] == pytest.approx(v[idx[node]], abs=1e-5)
+
+
+def test_hits_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, weight int")
+    assert gmetrics.hits(df).count() == 0
