@@ -950,6 +950,28 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup action (functions/dedup.dedup_keep_best):
+    same MinHash clusters as dedup_groups, but the survivor is the
+    highest-quality member (ties → smallest id). Scores are rounded to
+    6 decimals BEFORE the argmax on both engines so last-ulp double
+    drift cannot flip near-tie survivors."""
+    from renard_spark.functions import dedup
+    from renard_spark.functions import text as ftext
+
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.minhash_dedup(
+        docs, w=3, num_hashes=8, bands=4, threshold=0.2
+    )
+    q = ftext.quality_scores(_spread(docs)).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+    return dedup.dedup_keep_best(docs, pairs, q).select(
+        "doc_id", "cluster_id",
+        F.col("keep").cast("long").alias("keep"), "best_id",
+    )
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded 16-bit keys, hamming ≤ 3."""
     from renard_spark.functions import dedup
@@ -2288,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ids": q_pack_ids,
         "char_hits": q_char_hits,
         "semantic_dedup": q_semantic_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3135,6 +3158,63 @@ FROM c GROUP BY doc_id
                   FROM documents),
                  LATERAL (SELECT unnest(tl) AS tok,
                                  generate_subscripts(tl, 1) AS i) u
+        """,
+        "dedup_keep_best": _MINHASH_CTES.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + f"""
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.doc_a
+              JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            dup_pairs AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              JOIN sizes na ON na.doc_id = c.doc_a
+              JOIN sizes nb ON nb.doc_id = c.doc_b
+              WHERE coalesce(i.i, 0)::DOUBLE
+                    / greatest(na.n + nb.n - coalesce(i.i, 0), 1) >= 0.2
+            ),
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION SELECT doc_b, doc_a FROM dup_pairs
+            ),
+            r(u, l) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.l FROM r JOIN e ON e.u = r.u
+            ),
+            clusters AS (
+              SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u
+            ),
+            qual AS (
+              SELECT doc_id, round(quality_score, 6) AS q
+              FROM ({_ORACLE_QUALITY}) _qq
+            ),
+            ranked AS (
+              SELECT c.doc_id, c.cluster_id,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.q DESC, c.doc_id ASC) AS rn
+              FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+            ),
+            best AS (
+              SELECT cluster_id, doc_id AS best_id FROM ranked WHERE rn = 1
+            )
+            SELECT c.doc_id, c.cluster_id,
+                   (c.doc_id = b.best_id)::BIGINT AS keep, b.best_id
+            FROM clusters c JOIN best b ON b.cluster_id = c.cluster_id
         """,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """

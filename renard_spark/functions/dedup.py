@@ -446,3 +446,48 @@ def simhash_dup_groups(sim: DataFrame) -> DataFrame:
     return sim.withColumn(
         "dup_group_size", F.count(F.lit(1)).over(w).cast("long")
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame,
+    id_col: str = "doc_id", score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware dedup action: near-dup pairs → connected-component
+    clusters (``dedup_clusters``), but the survivor per cluster is the
+    HIGHEST-``score_col`` member (ties → smallest id), not the smallest
+    id — the keep rule real curation pipelines use, where the longest /
+    cleanest copy of boilerplate-duplicated content should survive.
+
+    → (doc_id, cluster_id, keep int, best_id). ``cluster_id`` stays
+    the CC canonical label (smallest member) so cluster identity is
+    stable no matter how the keep rule changes; ``best_id`` is the
+    surviving member.
+
+    One extra shuffle over ``dedup_clusters``: the per-cluster argmax
+    (map-side-combinable ``max_by``). Callers should pass scores
+    pre-rounded to a stable precision (the driver query rounds to 6
+    decimals): the argmax compares raw doubles, and engines that
+    disagree in the last ulp would otherwise pick different survivors
+    on near-ties.
+    """
+    clusters = dedup_clusters(docs, pairs, id_col)
+    q = quality.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_q")
+    )
+    members = clusters.join(q, "doc_id")
+    # min over (-q, doc_id): highest quality, ties -> smallest id —
+    # works for string ids too (negating doc_id wouldn't)
+    best = members.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col("doc_id"),
+            F.struct((-F.col("_q")).alias("_nq"), F.col("doc_id")),
+        ).alias("best_id")
+    )
+    return (
+        clusters.join(best, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("best_id")).cast("int").alias("keep"),
+            "best_id",
+        )
+    )

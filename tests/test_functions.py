@@ -287,3 +287,45 @@ def test_semantic_dedup_max_cell_caps_neighbor_side(spark):
     # the cap retains); cap only limits who can SERVE as a neighbor
     assert full == capped
     assert sum(k for k, _ in full.values()) < 10
+
+
+def test_dedup_keep_best_survivor_is_highest_quality(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        "a": base,
+        "b": base + " tomorrow",  # near-dup of a
+        "c": "completely different content about spark partitions",
+        "d": base,  # exact dup of a
+    }
+    docs = _docs(spark, texts)
+    pairs = dedup.minhash_dedup(docs, w=3, threshold=0.3)
+    quality = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.5), ("d", 0.2)],
+        "doc_id string, quality_score double",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep, r.best_id)
+        for r in dedup.dedup_keep_best(docs, pairs, quality).collect()
+    }
+    # {a,b,d} is one cluster; canonical label stays the smallest member
+    # but the SURVIVOR is b (highest quality)
+    assert got["a"] == ("a", 0, "b")
+    assert got["b"] == ("a", 1, "b")
+    assert got["d"] == ("a", 0, "b")
+    # singleton keeps itself
+    assert got["c"] == ("c", 1, "c")
+
+
+def test_dedup_keep_best_quality_tie_breaks_to_smallest_id(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, {"a": base, "b": base, "c": base})
+    pairs = dedup.minhash_dedup(docs, w=3, threshold=0.3)
+    quality = spark.createDataFrame(
+        [("a", 0.7), ("b", 0.7), ("c", 0.7)],
+        "doc_id string, quality_score double",
+    )
+    got = {
+        r.doc_id: (r.keep, r.best_id)
+        for r in dedup.dedup_keep_best(docs, pairs, quality).collect()
+    }
+    assert got == {"a": (1, "a"), "b": (0, "a"), "c": (0, "a")}
