@@ -2236,6 +2236,39 @@ def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota(docs, "lang", QUOTA_N).select("doc_id", "lang")
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (functions/text.tfidf_topk):
+    the corpus-keyword operator for curation / topic tagging / filter
+    debugging. One (doc, term) count shuffle + a vocabulary-sized df
+    aggregation joined back + one per-doc top-k window."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.tfidf_topk(_spread(_documents(spark, sf_dir)), k=5)
+    return _long_doc_id(
+        out.select(
+            "doc_id", "term",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram-LM negative log-likelihood per document, LM
+    trained on the corpus in the same job (functions/text.
+    bigram_lm_scores) — the CCNet-style quality signal that separates
+    fluent head text from tail/garbage."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.bigram_lm_scores(_spread(_documents(spark, sf_dir)))
+    return _long_doc_id(
+        out.select(
+            "doc_id", "n_bigrams",
+            F.round("bigram_nll", 6).alias("bigram_nll"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2311,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_hits": q_char_hits,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
+        "tfidf_terms": q_tfidf_terms,
+        "lm_scores": q_lm_scores,
     }
 
 
@@ -3216,6 +3251,54 @@ FROM c GROUP BY doc_id
                    (c.doc_id = b.best_id)::BIGINT AS keep, b.best_id
             FROM clusters c JOIN best b ON b.cluster_id = c.cluster_id
         """,
+        "tfidf_terms": f"""
+WITH tr AS (
+  SELECT doc_id, lower(u.tok) AS term
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents),
+       LATERAL (SELECT unnest(tl) AS tok) u
+  WHERE regexp_matches(lower(u.tok), '^[a-z][a-z0-9_'']*$')
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tr GROUP BY doc_id, term
+), dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dft.df) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), rk AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, term, round(score, 6) AS score, rank::INT AS rank
+FROM rk WHERE rank <= 5
+""",
+        "lm_scores": f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                        t -> lower(t)) AS tl
+  FROM documents
+), bg AS (
+  SELECT doc_id, tl[g.i] AS w1, tl[g.i + 1] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tl))) AS i) g
+  WHERE len(tl) >= 2
+), dbg AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY doc_id, w1, w2
+), c2 AS (SELECT w1, w2, sum(m)::BIGINT AS c2 FROM dbg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(m)::BIGINT AS c1 FROM dbg GROUP BY w1),
+v AS (
+  SELECT count(*)::DOUBLE AS v FROM (
+    SELECT w1 AS w FROM dbg UNION SELECT w2 AS w FROM dbg
+  )
+)
+SELECT dbg.doc_id, sum(dbg.m)::BIGINT AS n_bigrams,
+       round(sum(dbg.m * (ln(c1.c1 + v.v) - ln(c2.c2 + 1))) / sum(dbg.m), 6)
+         AS bigram_nll
+FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY dbg.doc_id
+""",
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """
             , cand AS (

@@ -507,3 +507,104 @@ def pack_assignments(
         ),
         (F.col("stream_pos") % context_len).cast("long").alias("pack_pos"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document → (doc_id, term, score, rank).
+
+    The classic corpus-keyword operator for training-data curation
+    (topic tagging, per-domain vocabulary drift, filter debugging).
+    term = lowercased word token (must start with a letter);
+    score = tf * ln(N / df) with N = total documents, df = number of
+    documents containing the term; rank by (score DESC, term ASC).
+
+    Scale shape: tokenize is narrow; one (doc_id, term) count shuffle;
+    one vocabulary-sized df aggregation joined back on the term key
+    (shuffle join — the vocabulary is NOT broadcastable at corpus
+    scale); one per-doc window for top-k. N is ONE driver-side scalar
+    from a count-only job. The tf table is lineage-truncated because
+    both the df aggregation and the score join consume it.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(_toks(text_col)).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("term"))
+        .filter(F.col("term").rlike(r"^[a-z][a-z0-9_']*$"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.count()
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_t, "term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained add-one bigram-LM negative log-likelihood per
+    document → (doc_id, n_bigrams, bigram_nll) — the CCNet-style
+    language-model quality signal (low nll = head-like fluent text,
+    high nll = tail/garbage), with the LM trained on the corpus itself
+    in the same job.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·) counts
+    bigrams starting with w1 and V = distinct token types occurring in
+    any bigram; nll = mean over a document's bigrams of -ln P.
+
+    Scale shape: bigrams come from one narrow array transform; ONE
+    (doc, w1, w2) count shuffle produces the per-doc multiplicity table
+    that everything else derives from (lineage-truncated — three
+    consumers); bigram/unigram count tables are vocabulary²-bounded
+    aggregates shuffle-joined back on their keys; V is ONE driver-side
+    count scalar. No Python, no broadcast of data-sized tables.
+    """
+    tl = F.transform(_toks(text_col), lambda t: F.lower(t))
+    big = (
+        docs.select("doc_id", tl.alias("tl"))
+        .filter(F.size("tl") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tl") - 2),
+                    lambda i: F.struct(
+                        F.element_at("tl", i + 1).alias("w1"),
+                        F.element_at("tl", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = (
+        big.select(F.col("w1").alias("w"))
+        .union(big.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    inst = big.join(c2, ["w1", "w2"]).join(c1, "w1")
+    nll = F.log(F.col("c1") + F.lit(float(vocab))) - F.log(F.col("c2") + 1.0)
+    return inst.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("m") * nll) / F.sum("m")).alias("bigram_nll"),
+    )

@@ -329,3 +329,45 @@ def test_dedup_keep_best_quality_tie_breaks_to_smallest_id(spark):
         for r in dedup.dedup_keep_best(docs, pairs, quality).collect()
     }
     assert got == {"a": (1, "a"), "b": (0, "a"), "c": (0, "a")}
+
+
+def test_tfidf_topk_hand_golden(spark):
+    # 3 docs; "apple" only in d1 (idf ln3), "banana" in d1+d2 (ln 1.5),
+    # "cherry" in all three (idf 0 -> ranked last by score)
+    import math
+
+    texts = {
+        "d1": "apple apple banana cherry",
+        "d2": "banana cherry cherry",
+        "d3": "cherry",
+    }
+    out = text.tfidf_topk(_docs(spark, texts), k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, round(r.score, 6))
+        for r in out.collect()
+    }
+    ln3, ln15 = math.log(3.0), math.log(1.5)
+    assert got[("d1", 1)] == ("apple", round(2 * ln3, 6))
+    assert got[("d1", 2)] == ("banana", round(ln15, 6))
+    assert got[("d2", 1)] == ("banana", round(ln15, 6))
+    # cherry's idf is exactly 0 -> score 0, still returned at rank 2
+    assert got[("d2", 2)] == ("cherry", 0.0)
+    assert got[("d3", 1)] == ("cherry", 0.0)
+    assert len(got) == 5
+
+
+def test_bigram_lm_scores_hand_golden(spark):
+    # corpus: "a b a b" and "a b c". bigram counts: (a,b)=3, (b,a)=1,
+    # (b,c)=1; c1: a->3, b->2; V = |{a,b,c}| = 3.
+    import math
+
+    texts = {"x": "a b a b", "y": "a b c"}
+    out = text.bigram_lm_scores(_docs(spark, texts))
+    got = {r.doc_id: (r.n_bigrams, r.bigram_nll) for r in out.collect()}
+    p_ab = (3 + 1) / (3 + 3)   # c2(a,b)+1 / c1(a)+V
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    x_nll = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    y_nll = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got["x"][0] == 3 and abs(got["x"][1] - x_nll) < 1e-9
+    assert got["y"][0] == 2 and abs(got["y"][1] - y_nll) < 1e-9
