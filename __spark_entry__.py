@@ -2269,6 +2269,52 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality on the sparsified character network
+    (functions/graph.harmonic_centrality): exact multi-source BFS —
+    per round ONE equi-join keyed by node with the source carried in
+    the aggregation key. Unrolled to the same fixed rounds as
+    char_bfs in both engines."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    out = gmetrics.harmonic_centrality(ge, iters=BFS_ROUNDS)
+    return out.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 100, 80
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.
+    chunk_documents) — the RAG / context-window prep op; entirely
+    narrow, zero shuffle. chunk_fp gates the exact token slices."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.chunk_documents(
+        _spread(_documents(spark, sf_dir)), CHUNK_SIZE, CHUNK_STRIDE
+    )
+    return _long_doc_id(out)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source sampling weights (functions/text.
+    mixture_weights, alpha=0.7): weight ∝ token_share^alpha normalized
+    — the standard tail-upsampling mixing rule."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.mixture_weights(_spread(_documents(spark, sf_dir)))
+    return out.select(
+        "grp", "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2346,6 +2392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
         "lm_scores": q_lm_scores,
+        "char_harmonic": q_char_harmonic,
+        "doc_chunks": q_doc_chunks,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -2515,6 +2564,27 @@ v{i + 1} AS MATERIALIZED (
     cn_sql += f"""
 SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
 """
+    # multi-source BFS unroll for harmonic centrality: same monotone
+    # min-distance rounds as bfs_sql with the source carried in the key
+    hc_sql = kc_base + """,
+symn AS (SELECT a AS u, b AS v FROM c0 UNION ALL SELECT b, a FROM c0),
+hn0 AS MATERIALIZED (
+  SELECT node AS source, node, 0 AS d
+  FROM (SELECT DISTINCT u AS node FROM symn))"""
+    for i in range(BFS_ROUNDS):
+        hc_sql += f""",
+hn{i + 1} AS MATERIALIZED (
+  SELECT source, node, min(d) AS d FROM (
+    SELECT source, node, d FROM hn{i}
+    UNION ALL
+    SELECT hn{i}.source, s.u, hn{i}.d + 1
+    FROM symn s JOIN hn{i} ON hn{i}.node = s.v
+  ) GROUP BY source, node
+)"""
+    hc_sql += f"""
+SELECT source AS node, round(sum(1.0 / d), 6) AS harmonic
+FROM hn{BFS_ROUNDS} WHERE d > 0 GROUP BY source
+"""
     # BFS from the smallest node, rounds unrolled — per round the
     # distance vector unions with neighbor distances + 1 and takes the
     # per-node min (monotone ⇒ fixed rounds past the diameter no-op)
@@ -2562,6 +2632,7 @@ SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
+        "char_harmonic": hc_sql,
         "pack_ids": f"""
 WITH d AS (
   SELECT doc_id,
@@ -3298,6 +3369,36 @@ SELECT dbg.doc_id, sum(dbg.m)::BIGINT AS n_bigrams,
          AS bigram_nll
 FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY dbg.doc_id
+""",
+        "doc_chunks": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+  FROM documents
+), st AS (
+  SELECT doc_id, tl, unnest(range(0, len(tl), {CHUNK_STRIDE})) AS s
+  FROM tk WHERE len(tl) >= 1
+)
+SELECT doc_id, (s // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       s::BIGINT AS start_tok,
+       least({CHUNK_SIZE}, len(tl) - s)::BIGINT AS n_tok,
+       md5(array_to_string(list_slice(tl, s + 1, s + {CHUNK_SIZE}), ' '))
+         AS chunk_fp
+FROM st
+""",
+        "mixture_weights": f"""
+WITH per AS (
+  SELECT source AS grp,
+         sum(len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS tt FROM per),
+sh AS (
+  SELECT grp, n_tokens, n_tokens::DOUBLE / tot.tt AS token_share
+  FROM per, tot
+), z AS (SELECT sum(pow(token_share, 0.7)) AS z FROM sh)
+SELECT grp, n_tokens, round(token_share, 6) AS token_share,
+       round(pow(sh.token_share, 0.7) / z.z, 6) AS weight
+FROM sh, z
 """,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """

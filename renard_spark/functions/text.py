@@ -608,3 +608,58 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("m").cast("long").alias("n_bigrams"),
         (F.sum(F.col("m") * nll) / F.sum("m")).alias("bigram_nll"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.7,
+    group_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per slice → (grp, n_tokens,
+    token_share, weight): weight ∝ token_share^alpha, normalized to
+    sum 1 — the standard multilingual/multi-source rebalancing rule
+    (alpha < 1 upsamples tail slices). Built on ``mixture_stats``; the
+    normalizer is one scalar over the slice-count-sized table."""
+    per = mixture_stats(docs, group_col, text_col).localCheckpoint(
+        eager=True
+    )
+    z = per.agg(
+        F.sum(F.pow("token_share", F.lit(float(alpha))))
+    ).first()[0]
+    return per.select(
+        "grp", "n_tokens", "token_share",
+        (F.pow("token_share", F.lit(float(alpha))) / F.lit(float(z or 1.0)))
+        .alias("weight"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 100, stride: int = 80,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window
+    prep op) → (doc_id, chunk_id, start_tok, n_tok, chunk_fp): chunk
+    c starts at token c·stride and takes ``size`` tokens; every token
+    position < n_tokens starts in some chunk, trailing chunks may be
+    short, empty docs produce no chunks. chunk_fp is the md5 of the
+    space-joined token slice — the dedup/lineage key for the chunk
+    store. Entirely narrow (one array transform + explode per doc);
+    no shuffle at all."""
+    tl = _toks(text_col)
+    starts = F.when(
+        F.size(tl) >= 1,
+        F.sequence(F.lit(0), F.size(tl) - 1, F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", tl.alias("tl"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / int(stride)).cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(int(size)), F.size("tl") - F.col("s")
+            ).cast("long").alias("n_tok"),
+            F.md5(
+                F.array_join(F.slice("tl", F.col("s") + 1, int(size)), " ")
+            ).alias("chunk_fp"),
+        )
+    )

@@ -371,3 +371,42 @@ def test_bigram_lm_scores_hand_golden(spark):
     y_nll = -(math.log(p_ab) + math.log(p_bc)) / 2
     assert got["x"][0] == 3 and abs(got["x"][1] - x_nll) < 1e-9
     assert got["y"][0] == 2 and abs(got["y"][1] - y_nll) < 1e-9
+
+
+def test_chunk_documents_covers_and_reassembles(spark):
+    words = " ".join(f"w{i}" for i in range(250))
+    texts = {"long": words, "short": "only three tokens", "empty": ""}
+    out = text.chunk_documents(_docs(spark, texts), size=100, stride=80)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.doc_id, r.chunk_id)
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert "empty" not in by_doc
+    longs = by_doc["long"]
+    # starts 0,80,160,240 -> 4 chunks; last has 250-240=10 tokens
+    assert [(r.start_tok, r.n_tok) for r in longs] == [
+        (0, 100), (80, 100), (160, 90), (240, 10)
+    ]
+    assert [r.chunk_id for r in longs] == [0, 1, 2, 3]
+    import hashlib
+
+    toks = words.split(" ")
+    want_fp = hashlib.md5(
+        " ".join(toks[80:180]).encode()
+    ).hexdigest()
+    assert longs[1].chunk_fp == want_fp
+    assert by_doc["short"][0].n_tok == 3
+
+
+def test_mixture_weights_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "a b c d e f", "big"), (3, "a", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.grp: r for r in text.mixture_weights(df, alpha=0.5).collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    # alpha<1 upsamples the tail: weight share must exceed token share
+    assert out["small"].weight > out["small"].token_share
+    assert out["big"].weight < out["big"].token_share

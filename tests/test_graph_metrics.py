@@ -412,3 +412,32 @@ def test_hits_converges_to_principal_eigenvector(spark):
 def test_hits_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string, weight int")
     assert gmetrics.hits(df).count() == 0
+
+
+def test_harmonic_centrality_matches_networkx(spark):
+    rows = _random_edges(31, n_nodes=24, n_edges=48)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    got = {
+        r["node"]: round(r["harmonic"], 9)
+        for r in gmetrics.harmonic_centrality(df).collect()
+    }
+    want = {
+        n: round(v, 9) for n, v in nx.harmonic_centrality(g).items()
+    }
+    assert got == want
+
+
+def test_harmonic_centrality_sampled_sources(spark):
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "y", 1)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: round(r["harmonic"], 9)
+        for r in gmetrics.harmonic_centrality(
+            df, sources=["a", "x", "zz-not-in-graph"]
+        ).collect()
+    }
+    # a: b=1, c=2, d=3 -> 1 + 1/2 + 1/3; x: y=1 (other component)
+    assert got == {"a": round(1 + 0.5 + 1 / 3, 9), "x": 1.0}
