@@ -2315,6 +2315,79 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (functions/events.asof_join — the point-in-time
+    enrichment op Spark lacks natively): every click gets its user's
+    most recent at-or-before purchase. ONE union + window pass keyed
+    by user — no range self-join, no per-key loop. Right side deduped
+    per (user, ts) by max event_id for a deterministic winner."""
+    from renard_spark.functions import events as fevents
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = fevents.asof_join(
+        clicks, purchases, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_r").alias("purchase_id"),
+        F.round("value_r", 6).alias("purchase_value"),
+        F.col("ts_r").alias("purchase_ts"),
+    )
+
+
+def q_event_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (functions/events.range_join_buckets):
+    clicks joined to [signup, signup+90min) windows of the same user
+    via the bucketed equi-join strategy — intervals explode to their
+    overlapped hour buckets, points map to one bucket, exact range
+    predicate applied post-join. Never a nested-loop range join."""
+    from renard_spark.functions import events as fevents
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 90 minutes")).alias("end"),
+    )
+    out = fevents.range_join_buckets(
+        clicks, intervals, on="user_id", ts_col="ts", bucket="1 hour"
+    )
+    return out.select("event_id", "user_id", "signup_id")
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain hypertable rollup (functions/events.
+    hypertable_rollup): hour+day continuous-aggregate table in ONE
+    GROUPING SETS pass — shared map-side partials across grains."""
+    from renard_spark.functions import events as fevents
+
+    out = fevents.hypertable_rollup(_events(spark, sf_dir))
+    return out.select(
+        "grain", "bucket", "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2395,6 +2468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_harmonic": q_char_harmonic,
         "doc_chunks": q_doc_chunks,
         "mixture_weights": q_mixture_weights,
+        "event_asof": q_event_asof,
+        "event_range": q_event_range,
+        "event_rollup": q_event_rollup,
     }
 
 
@@ -3399,6 +3475,42 @@ sh AS (
 SELECT grp, n_tokens, round(token_share, 6) AS token_share,
        round(pow(sh.token_share, 0.7) / z.z, 6) AS weight
 FROM sh, z
+""",
+        "event_asof": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(event_id) AS event_id,
+         max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       p.event_id AS purchase_id,
+       round(p.value, 6) AS purchase_value,
+       p.ts AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "event_range": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), iv AS (
+  SELECT event_id AS signup_id, user_id, ts AS s,
+         ts + INTERVAL 90 MINUTE AS e
+  FROM events WHERE event_type = 'signup'
+)
+SELECT c.event_id, c.user_id, iv.signup_id
+FROM clicks c JOIN iv
+  ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
+""",
+        "event_rollup": """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       count(*)::BIGINT, round(sum(value), 6)
+FROM events GROUP BY 2, 3
 """,
         "dedup_groups": _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
         + """

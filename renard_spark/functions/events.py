@@ -88,3 +88,134 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, on: str = "user_id",
+    ts_col: str = "ts", right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """AS-OF join: for every left row, attach the LATEST right row with
+    the same ``on`` key and right.ts <= left.ts (strictly the most
+    recent at-or-before match; left rows with no prior right row get
+    NULLs) — the standard point-in-time enrichment Spark has no native
+    operator for.
+
+    Spark-first shape (NOT a per-key loop, NOT a range self-join):
+    tag both inputs, UNION them, and run ONE window pass per key
+    ordered by (ts, side) — `last(right_value, ignorenulls)` over
+    rows-unbounded-preceding gives every left row the most recent
+    right payload in a single shuffle keyed by ``on``. Right rows
+    sort BEFORE left rows at equal ts (side 0 < 1) so ties match
+    at-or-before semantics. Scales as one shuffle of |L|+|R| rows;
+    skewed keys fall to AQE like any window-by-key op.
+
+    Right rows must be unique per (on, ts) — with duplicates the
+    winner among equal timestamps is unspecified (pre-aggregate with
+    max_by first), matching ASOF JOIN semantics elsewhere.
+    """
+    from pyspark.sql import Window
+
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in (on, ts_col)
+        ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rts", F.lit(None).cast(right.schema[ts_col].dataType)
+    )
+    for c in right_cols:
+        l_tag = l_tag.withColumn(
+            f"_p_{c}", F.lit(None).cast(right.schema[c].dataType)
+        )
+    r_tag = right.select(
+        on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"_p_{c}") for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(f"_p_{c}", ignorenulls=True).over(w)
+        )
+    out = out.withColumn(
+        f"{ts_col}{suffix}", F.last("_rts", ignorenulls=True).over(w)
+    )
+    return out.filter(F.col("_side") == 1).drop(
+        "_side", "_rts", *[f"_p_{c}" for c in right_cols]
+    )
+
+
+def range_join_buckets(
+    points: DataFrame, intervals: DataFrame, on: str = "user_id",
+    ts_col: str = "ts", start_col: str = "start", end_col: str = "end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval (range) join: every (point, interval) pair with the
+    same key and start <= ts < end — expressed as a BUCKETED equi-join
+    so Catalyst never falls back to a broadcast-nested-loop range
+    join: each interval explodes to the (typically few) time buckets
+    it overlaps, points map to their one bucket, and the join runs on
+    (key, bucket) with the exact range predicate applied after. Cost
+    is |points| + Σ interval-spans/bucket rows through ONE shuffle —
+    the classic scalable range-join strategy.
+    """
+    b = F.expr(f"INTERVAL {bucket}")
+    p = points.withColumn(
+        "_bkt", F.window(ts_col, bucket)["start"]
+    )
+    i = intervals.withColumn(
+        "_bkts",
+        F.sequence(
+            F.window(start_col, bucket)["start"],
+            # end is exclusive: an interval ending exactly on a bucket
+            # boundary does not reach into that bucket
+            F.window(
+                F.col(end_col) - F.expr("INTERVAL 1 microsecond"), bucket
+            )["start"],
+            b,
+        ),
+    ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
+    joined = p.join(i, [on, "_bkt"]).filter(
+        (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bkt")
+
+
+def hypertable_rollup(
+    events: DataFrame, ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-grain time rollup (the hypertable continuous-aggregate
+    shape): per (event_type, grain ∈ {hour, day}) counts and value
+    sums in ONE pass — Spark GROUPING SETS, so the map-side partial
+    aggregation is shared across grains instead of re-scanning per
+    grain. → (grain, bucket, event_type, n, total_value)."""
+    hour = F.date_trunc("hour", ts_col)
+    day = F.date_trunc("day", ts_col)
+    base = events.select(
+        hour.alias("_h"), day.alias("_d"), "event_type", "value"
+    )
+    base.createOrReplaceTempView("_roll_base")
+    return base.sparkSession.sql(
+        """
+        SELECT CASE WHEN grouping(_d) = 1 THEN 'hour' ELSE 'day' END
+                 AS grain,
+               coalesce(_h, _d) AS bucket, event_type,
+               count(*) AS n, sum(value) AS total_value
+        FROM _roll_base
+        GROUP BY GROUPING SETS ((_h, event_type), (_d, event_type))
+        """
+    )
