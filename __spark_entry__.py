@@ -2315,6 +2315,25 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness on the sparsified character network
+    (functions/graph.betweenness_centrality): forward frontier-BFS
+    with σ counts + deepest-first δ accumulation, every phase a
+    join+agg round. Fixed-round unrolled in BOTH engines (empty
+    levels are no-ops past the diameter)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    out = gmetrics.betweenness_centrality(ge, iters=BFS_ROUNDS)
+    return out.select(
+        "node", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -2468,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_harmonic": q_char_harmonic,
         "doc_chunks": q_doc_chunks,
         "mixture_weights": q_mixture_weights,
+        "char_betweenness": q_char_betweenness,
         "event_asof": q_event_asof,
         "event_range": q_event_range,
         "event_rollup": q_event_rollup,
@@ -2661,6 +2681,61 @@ hn{i + 1} AS MATERIALIZED (
 SELECT source AS node, round(sum(1.0 / d), 6) AS harmonic
 FROM hn{BFS_ROUNDS} WHERE d > 0 GROUP BY source
 """
+    # Brandes betweenness unroll: forward frontier BFS with σ counts
+    # (bf{k} = level-k rows, rc{k} = reached set for the anti-join),
+    # then the backward δ sweep dl{R}..dl{1} — levels past the
+    # diameter are empty and every stage past them is a no-op, so the
+    # fixed unroll equals the fixpoint exactly (pytest-asserted vs
+    # networkx in tests/test_graph_metrics.py)
+    hb_sql = kc_base + """,
+symn AS (SELECT a AS u, b AS v FROM c0 UNION ALL SELECT b, a FROM c0),
+bf0 AS MATERIALIZED (
+  SELECT node AS source, node, 0 AS d, 1.0 AS sigma
+  FROM (SELECT DISTINCT u AS node FROM symn)),
+rc0 AS MATERIALIZED (SELECT source, node FROM bf0)"""
+    for k in range(1, BFS_ROUNDS + 1):
+        hb_sql += f""",
+bf{k} AS MATERIALIZED (
+  SELECT c.source, c.node, {k} AS d, c.sigma FROM (
+    SELECT f.source, s.u AS node, sum(f.sigma) AS sigma
+    FROM symn s JOIN bf{k - 1} f ON f.node = s.v
+    GROUP BY f.source, s.u
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM rc{k - 1} r
+                    WHERE r.source = c.source AND r.node = c.node)
+),
+rc{k} AS MATERIALIZED (
+  SELECT source, node FROM rc{k - 1}
+  UNION ALL SELECT source, node FROM bf{k}
+)"""
+    hb_sql += f""",
+dl{BFS_ROUNDS} AS MATERIALIZED (
+  SELECT source, node, sigma, 0.0 AS delta FROM bf{BFS_ROUNDS})"""
+    for k in range(BFS_ROUNDS - 1, 0, -1):
+        hb_sql += f""",
+ct{k} AS (
+  SELECT c.source, c.node,
+         sum(c.sigma / n.sigma * (1 + n.delta)) AS delta
+  FROM bf{k} c
+  JOIN symn s ON s.u = c.node
+  JOIN dl{k + 1} n ON n.source = c.source AND n.node = s.v
+  GROUP BY c.source, c.node
+),
+dl{k} AS MATERIALIZED (
+  SELECT c.source, c.node, c.sigma, coalesce(t.delta, 0) AS delta
+  FROM bf{k} c LEFT JOIN ct{k} t
+    ON t.source = c.source AND t.node = c.node
+)"""
+    hb_sql += (
+        """
+SELECT node, round(sum(delta) / 2, 6) AS betweenness FROM ("""
+        + " UNION ALL ".join(
+            f"SELECT node, delta FROM dl{k}"
+            for k in range(1, BFS_ROUNDS + 1)
+        )
+        + """) GROUP BY node
+"""
+    )
     # BFS from the smallest node, rounds unrolled — per round the
     # distance vector unions with neighbor distances + 1 and takes the
     # per-node min (monotone ⇒ fixed rounds past the diameter no-op)
@@ -2709,6 +2784,7 @@ SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
         "char_harmonic": hc_sql,
+        "char_betweenness": hb_sql,
         "pack_ids": f"""
 WITH d AS (
   SELECT doc_id,

@@ -653,3 +653,126 @@ def harmonic_centrality(
         .agg(F.sum(1.0 / F.col("distance")).alias("harmonic"))
         .select(F.col("source").alias("node"), "harmonic")
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    sources: list | None = None, iters: int | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Exact (unnormalized) shortest-path betweenness on the
+    undirected simple graph → (node, betweenness), Brandes'
+    accumulation expressed as bulk-synchronous joins — no per-node
+    Python, no driver-side graph.
+
+    Forward phase: multi-source frontier BFS carrying σ (shortest-path
+    counts) — per level ONE equi-join of the frontier onto the
+    checkpointed symmetric edge list + a (source, node) sum + an
+    anti-join against the reached set. Backward phase: levels walked
+    deepest-first; per level ONE join of the level's nodes onto their
+    level+1 successors' (σ, δ) and the Brandes update
+    δ(v) = Σ_w σ_v/σ_w · (1 + δ(w)). Betweenness(v) =
+    Σ_{s≠v} δ_s(v) / 2. State is O(|S|·V): exact with all sources on
+    entity-scale graphs; pass a sampled ``sources`` list for the
+    standard estimator at larger |V|.
+
+    Both phases are fixed-round unrollable (empty frontiers /
+    empty levels are no-ops), so a driver query can mirror the exact
+    computation in unrolled SQL with ``iters`` set; ``iters=None``
+    runs the forward phase to frontier exhaustion.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )
+    sym = (
+        e.select(F.explode(both).alias("p"))
+        .select("p.u", "p.v")
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    if sources is not None:
+        spark = edges.sparkSession
+        want = spark.createDataFrame(
+            [(s,) for s in sources], ["node"]
+        ).distinct()
+        seeds = nodes.join(want, "node")
+    else:
+        seeds = nodes
+    frontier = seeds.select(
+        F.col("node").alias("source"), "node",
+        F.lit(0).alias("d"), F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    sp = frontier
+    rounds = iters if iters is not None else max_rounds
+    for k in range(1, rounds + 1):
+        cand = (
+            sym.join(frontier, sym["v"] == frontier["node"])
+            .groupBy("source", sym["u"].alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        frontier = (
+            cand.join(
+                sp.select("source", "node"), ["source", "node"],
+                "left_anti",
+            )
+            .select(
+                "source", "node", F.lit(k).alias("d"), "sigma"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        sp = sp.unionByName(frontier).localCheckpoint(eager=True)
+    top = sp.agg(F.max("d")).first()[0]
+    if not top:  # no edges / no reachable pairs: all betweenness 0
+        return nodes.select(
+            "node", F.lit(0.0).alias("betweenness")
+        )
+    # deepest level seeds the backward sweep with δ = 0
+    dl = (
+        sp.filter(F.col("d") == top)
+        .select("source", "node", "sigma", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    acc = dl
+    for k in range(top - 1, 0, -1):
+        cur = sp.filter(F.col("d") == k)
+        contrib = (
+            cur.alias("c")
+            .join(sym.alias("s"), F.col("c.node") == F.col("s.u"))
+            .join(
+                dl.alias("n"),
+                (F.col("n.source") == F.col("c.source"))
+                & (F.col("n.node") == F.col("s.v")),
+            )
+            .groupBy(
+                F.col("c.source").alias("source"),
+                F.col("c.node").alias("node"),
+            )
+            .agg(
+                F.sum(
+                    F.col("c.sigma") / F.col("n.sigma")
+                    * (F.lit(1.0) + F.col("n.delta"))
+                ).alias("delta")
+            )
+        )
+        dl = (
+            cur.select("source", "node", "sigma")
+            .join(contrib, ["source", "node"], "left")
+            .withColumn("delta", F.coalesce("delta", F.lit(0.0)))
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(dl).localCheckpoint(eager=True)
+    return (
+        acc.filter(F.col("node") != F.col("source"))
+        .groupBy("node")
+        .agg((F.sum("delta") / 2.0).alias("betweenness"))
+    )

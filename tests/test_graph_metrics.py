@@ -441,3 +441,40 @@ def test_harmonic_centrality_sampled_sources(spark):
     }
     # a: b=1, c=2, d=3 -> 1 + 1/2 + 1/3; x: y=1 (other component)
     assert got == {"a": round(1 + 0.5 + 1 / 3, 9), "x": 1.0}
+
+
+def test_betweenness_matches_networkx(spark):
+    rows = _random_edges(47, n_nodes=18, n_edges=32)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    got = {
+        r["node"]: round(r["betweenness"], 9)
+        for r in gmetrics.betweenness_centrality(df).collect()
+    }
+    want = {
+        n: round(v, 9)
+        for n, v in nx.betweenness_centrality(g, normalized=False).items()
+    }
+    assert got == want
+
+
+def test_betweenness_fixed_rounds_converge(spark):
+    # path graph diameter 6: fixed 8 rounds must equal the fixpoint
+    rows = [(f"n{i}", f"n{i+1}", 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    fixed = {
+        r["node"]: round(r["betweenness"], 9)
+        for r in gmetrics.betweenness_centrality(df, iters=8).collect()
+    }
+    free = {
+        r["node"]: round(r["betweenness"], 9)
+        for r in gmetrics.betweenness_centrality(df).collect()
+    }
+    g = nx.path_graph(7)
+    want = {
+        f"n{n}": round(v, 9)
+        for n, v in nx.betweenness_centrality(g, normalized=False).items()
+    }
+    assert fixed == free == want
