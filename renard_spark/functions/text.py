@@ -663,3 +663,85 @@ def chunk_documents(
             ).alias("chunk_fp"),
         )
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn BPE merges on the corpus (the train-the-tokenizer op) →
+    [(left, right, pair_freq), ...] in merge order.
+
+    Sennrich-style byte-pair encoding over the WORD-FREQUENCY table:
+    the corpus collapses to (word, freq) once (one shuffle of corpus
+    tokens), then every merge round runs on the vocabulary-sized
+    symbol table — one adjacent-pair explode + one count aggregation +
+    one narrow left-to-right fold to apply the winning merge. The only
+    driver-side row per round is the argmax pair (count DESC, pair
+    ASC tie-break, deterministic). That is the production shape: at
+    100 TB the corpus pass happens once and the training loop touches
+    only the ~100M-row vocabulary.
+
+    Words are lowercased alphabetic tokens; symbols start as single
+    characters (no end-of-word marker — documented deviation, applied
+    consistently in the pytest reference implementation).
+    """
+    words = (
+        docs.select(F.explode(_toks(text_col)).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike(r"^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<l:string,r:string>>")
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((l, r, c))
+        joined = l + r
+        # left-to-right non-overlapping apply: the freshly merged token
+        # is strictly longer than `l`, so it can never immediately
+        # re-merge — the fold matches the sequential while-loop exactly
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (s == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(joined)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges

@@ -410,3 +410,58 @@ def test_mixture_weights_normalized(spark):
     # alpha<1 upsamples the tail: weight share must exceed token share
     assert out["small"].weight > out["small"].token_share
     assert out["big"].weight < out["big"].token_share
+
+
+def _ref_bpe(word_freqs: dict, n: int):
+    """Sequential Sennrich BPE reference: same symbol init (chars, no
+    end-of-word marker) and same (count DESC, pair ASC) tie-break."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_learn_bpe_matches_sequential_reference(spark):
+    texts = {
+        "a": "lower lowest newer newest wider widest low new",
+        "b": "lower lower newer newer low low low wide",
+        "c": "the theme there these the the",
+    }
+    docs = _docs(spark, texts)
+    got = text.learn_bpe_merges(docs, n_merges=8)
+    wf: dict = {}
+    for t in texts.values():
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _ref_bpe(wf, 8)
+    assert got == want
+
+
+def test_learn_bpe_overlap_and_exhaustion(spark):
+    # overlapping pairs count per adjacent position ("aaaa" -> 3x(a,a))
+    # and merges stop early once no pairs remain
+    docs = _docs(spark, {"d": "aaaa aaaa bb"})
+    got = text.learn_bpe_merges(docs, n_merges=10)
+    want = _ref_bpe({"aaaa": 2, "bb": 1}, 10)
+    assert got == want
+    assert got[0] == ("a", "a", 6)  # 3 positions x freq 2
+    assert len(got) < 10  # exhausted before the budget
