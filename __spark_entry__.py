@@ -2407,6 +2407,70 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_TOKENS = [
+    "spark", "customer", "window", "table", "batch", "vector", "data",
+    "merge", "zzzmissing",
+]
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/sketch.count_min): md5-addressed
+    d×w register table built in ONE groupBy, probed for a fixed token
+    list next to the exact counts — the deterministic cross-engine
+    frequency sketch (upward-biased: cms_est >= exact_n always)."""
+    from renard_spark.functions import sketch
+
+    docs = _spread(_documents(spark, sf_dir))
+    cms = sketch.count_min(docs, d=4, w=256)
+    probes = spark.createDataFrame(
+        [(t,) for t in PROBE_TOKENS], "token string"
+    )
+    est = sketch.cms_estimate(cms, probes, d=4, w=256)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        ).alias("tok")
+    ).select(F.lower("tok").alias("tok"))
+    exact = (
+        toks.filter(F.col("tok").isin(PROBE_TOKENS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        est.join(exact, est["token"] == exact["tok"], "left")
+        .select(
+            "token",
+            F.coalesce("n", F.lit(0)).cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+        )
+    )
+
+
+def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimates (functions/
+    sketch.hll_registers/hll_estimate): md5 bucketing + exact integer
+    bit-length rho (no float log in the registers), linear-counting
+    small-range branch — registers bit-identical across engines,
+    shown next to the exact distinct counts."""
+    from renard_spark.functions import sketch
+
+    docs = _spread(_documents(spark, sf_dir))
+    regs = sketch.hll_registers(docs, p=8, group_col="source")
+    est = sketch.hll_estimate(regs, p=8, group_col="source")
+    toks = docs.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    ).select("grp", F.lower("tok").alias("tok"))
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("tok").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "grp").select(
+        "grp", "n_exact", F.round("hll_est", 6).alias("hll_est")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2491,6 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": q_event_asof,
         "event_range": q_event_range,
         "event_rollup": q_event_rollup,
+        "cms_counts": q_cms_counts,
+        "hll_tokens": q_hll_tokens,
     }
 
 
@@ -3578,6 +3644,65 @@ WITH clicks AS (
 SELECT c.event_id, c.user_id, iv.signup_id
 FROM clicks c JOIN iv
   ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
+""",
+        "cms_counts": f"""
+WITH pr AS (SELECT unnest(['spark','customer','window','table','batch','vector','data','merge','zzzmissing']) AS token),
+tk AS (
+  SELECT lower(u.tok) AS tok
+  FROM (SELECT regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents),
+       LATERAL (SELECT unnest(tl) AS tok) u
+), cells AS (
+  SELECT j.row,
+         (('0x' || substr(md5(j.row::VARCHAR || ':' || tok), 1, 8))::BIGINT
+          % 256) AS col,
+         count(*) AS c
+  FROM tk, range(0, 4) j(row) GROUP BY 1, 2
+), pc AS (
+  SELECT p.token, j.row,
+         (('0x' || substr(md5(j.row::VARCHAR || ':' || lower(p.token)),
+                          1, 8))::BIGINT % 256) AS col
+  FROM pr p CROSS JOIN range(0, 4) j(row)
+), pe AS (
+  SELECT pc.token, min(coalesce(c.c, 0)) AS cms_est
+  FROM pc LEFT JOIN cells c ON c.row = pc.row AND c.col = pc.col
+  GROUP BY pc.token
+), ex AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok)
+SELECT p.token, coalesce(ex.n, 0)::BIGINT AS exact_n,
+       pe.cms_est::BIGINT AS cms_est
+FROM pr p JOIN pe ON pe.token = p.token
+LEFT JOIN ex ON ex.tok = lower(p.token)
+""",
+        "hll_tokens": f"""
+WITH tk AS (
+  SELECT source AS grp, lower(u.tok) AS tok
+  FROM (SELECT source, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents),
+       LATERAL (SELECT unnest(tl) AS tok) u
+), reg AS (
+  SELECT grp,
+         (('0x' || substr(md5('hllb:' || tok), 1, 8))::BIGINT % 256)
+           AS bucket,
+         max(CASE WHEN (('0x' || substr(md5('hllv:' || tok), 1, 8))::BIGINT)
+                       = 0
+                  THEN 33
+                  ELSE 33 - length(
+                    bin(('0x' || substr(md5('hllv:' || tok), 1, 8))::BIGINT))
+             END) AS rho
+  FROM tk GROUP BY 1, 2
+), ag AS (
+  SELECT grp, sum(pow(2.0, -rho)) AS s, count(*) AS nb FROM reg GROUP BY grp
+), fin AS (
+  SELECT grp, 0.7213 / (1 + 1.079 / 256) * 65536 / (s + (256 - nb)) AS raw,
+         256 - nb AS zeros
+  FROM ag
+), ex AS (
+  SELECT grp, count(DISTINCT tok)::BIGINT AS n_exact FROM tk GROUP BY grp
+)
+SELECT f.grp, ex.n_exact,
+       round(CASE WHEN raw <= 640 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_est
+FROM fin f JOIN ex ON ex.grp = f.grp
 """,
         "event_rollup": """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,

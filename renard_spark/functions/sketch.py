@@ -1,0 +1,142 @@
+"""Mergeable frequency/cardinality sketches, deterministic across
+engines.
+
+Both sketches hash with md5 (not Spark's internal xxhash / DuckDB's
+internal HLL), so every register value is reproducible bit-for-bit in
+ANY engine — the property that makes the driver's DuckDB value-hash
+gate possible, and that production systems want anyway when sketches
+are persisted and merged across jobs written in different stacks.
+
+Scale shape: both are one explode + one groupBy over bounded register
+space (d·w cells / m registers per group) — the classic
+sublinear-state summaries for 100 TB streams. Registers are plain
+rows, so merging two corpora's sketches is a union + max/sum groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from renard_spark.operators.tokenize import TOKEN_RE
+
+
+def _toks(text_col: str):
+    return F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+
+
+def _h(prefix, col, mod: int):
+    """Deterministic hash → [0, mod): first 8 md5 hex chars of
+    '<prefix>:<value>' as an integer. Identical in DuckDB:
+    conv-free — both engines parse hex via their conv/from_hex."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", prefix, col)), 1, 8), 16, 10)
+        .cast("long") % mod
+    )
+
+
+def count_min(
+    docs: DataFrame, d: int = 4, w: int = 256, text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of corpus token frequencies → the (row, col,
+    c) register table, d rows × w columns. One explode + ONE groupBy
+    over ≤ d·w cells; estimates come from ``cms_estimate``."""
+    toks = docs.select(F.explode(_toks(text_col)).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(d)])
+        ).alias("row"),
+    )
+    return (
+        rows.select("row", _h(F.col("row").cast("string"), F.col("tok"), w).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, d: int = 4, w: int = 256,
+    token_col: str = "token",
+) -> DataFrame:
+    """Point-query the count-min register table for each probe token →
+    (token, cms_est). est = min over the d rows of the addressed cell
+    (the standard upward-biased CM estimate; cells never collide to
+    undercount). Probe table joins the ≤ d·w register table — the
+    register side is broadcastable by construction."""
+    probe_cells = probes.select(
+        token_col,
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row"),
+    ).select(
+        token_col,
+        "row",
+        _h(F.col("row").cast("string"), F.lower(F.col(token_col)), w).alias(
+            "col"
+        ),
+    )
+    j = probe_cells.join(F.broadcast(cms), ["row", "col"], "left").select(
+        token_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return j.groupBy(token_col).agg(F.min("c").alias("cms_est"))
+
+
+def hll_registers(
+    docs: DataFrame, p: int = 8, group_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic HyperLogLog registers over distinct tokens →
+    (grp?, bucket, rho): bucket = md5-hash mod m (m = 2^p), rho =
+    leading-zero count + 1 of a second 32-bit md5-derived hash,
+    computed EXACTLY via integer binary-string length (length(bin(v))
+    = floor(log2 v)+1 — no float log, no engine drift)."""
+    m = 1 << p
+    toks = docs.select(
+        *([F.col(group_col).alias("grp")] if group_col else []),
+        F.explode(_toks(text_col)).alias("tok"),
+    ).select(
+        *(["grp"] if group_col else []), F.lower("tok").alias("tok")
+    )
+    v = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("hllv:"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("long")
+    )
+    # rho: leading zeros in the 32-bit value, +1. length(bin(v)) is the
+    # exact bit length; v == 0 (prob 2^-32) pins rho to 33.
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(v, 10, 2))
+    )
+    reg = toks.select(
+        *(["grp"] if group_col else []),
+        _h(F.lit("hllb"), F.col("tok"), m).alias("bucket"),
+        rho.alias("rho"),
+    )
+    keys = (["grp"] if group_col else []) + ["bucket"]
+    return reg.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 8, group_col: str | None = None,
+) -> DataFrame:
+    """Cardinality estimate from HLL registers → (grp?, hll_est):
+    alpha·m²/Σ2^(-rho) with empty buckets contributing 2^0 and the
+    standard linear-counting small-range correction (both branches
+    deterministic — the register table is identical across engines)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    keys = [F.col("grp")] if group_col else []
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    s_full = F.col("s") + (F.lit(m) - F.col("nb"))  # absent buckets: 2^0
+    raw = F.lit(alpha * m * m) / s_full
+    zeros = F.lit(m) - F.col("nb")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *(["grp"] if group_col else []), est.alias("hll_est")
+    )

@@ -465,3 +465,68 @@ def test_learn_bpe_overlap_and_exhaustion(spark):
     assert got == want
     assert got[0] == ("a", "a", 6)  # 3 positions x freq 2
     assert len(got) < 10  # exhausted before the budget
+
+
+def test_count_min_overestimates_and_matches_reference(spark):
+    import hashlib
+
+    texts = {
+        "a": "spark spark spark window window table",
+        "b": "spark table batch batch vector",
+    }
+    docs = _docs(spark, texts)
+    from renard_spark.functions import sketch
+
+    cms = sketch.count_min(docs, d=4, w=64)
+    probes = spark.createDataFrame(
+        [("spark",), ("table",), ("missing",)], "token string"
+    )
+    got = {
+        r.token: r.cms_est
+        for r in sketch.cms_estimate(cms, probes, d=4, w=64).collect()
+    }
+    exact = {"spark": 4, "table": 2, "missing": 0}
+    for tok, n in exact.items():
+        assert got[tok] >= n  # CM never undercounts
+    # reference registers: identical md5 addressing
+    all_toks = " ".join(texts.values()).split()
+    cells: dict = {}
+    for t in all_toks:
+        for row in range(4):
+            h = int(hashlib.md5(f"{row}:{t}".encode()).hexdigest()[:8], 16)
+            cells[(row, h % 64)] = cells.get((row, h % 64), 0) + 1
+    for t, n in exact.items():
+        est = min(
+            cells.get(
+                (row,
+                 int(hashlib.md5(f"{row}:{t}".encode()).hexdigest()[:8], 16)
+                 % 64),
+                0,
+            )
+            for row in range(4)
+        )
+        assert got[t] == est
+
+
+def test_hll_registers_match_reference_and_estimate_sane(spark):
+    import hashlib
+
+    words = [f"tok{i}" for i in range(400)]
+    docs = _docs(spark, {"d": " ".join(words + words)})  # dup tokens ok
+    from renard_spark.functions import sketch
+
+    regs = {
+        r.bucket: r.rho
+        for r in sketch.hll_registers(docs, p=8).collect()
+    }
+    want: dict = {}
+    for t in words:
+        b = int(hashlib.md5(f"hllb:{t}".encode()).hexdigest()[:8], 16) % 256
+        v = int(hashlib.md5(f"hllv:{t}".encode()).hexdigest()[:8], 16)
+        rho = 33 if v == 0 else 33 - v.bit_length()
+        want[b] = max(want.get(b, 0), rho)
+    assert regs == want
+    est = sketch.hll_estimate(
+        sketch.hll_registers(docs, p=8), p=8
+    ).collect()[0]["hll_est"]
+    assert abs(est - 400) / 400 < 0.15  # ~1.04/sqrt(256) std error
