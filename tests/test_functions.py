@@ -530,3 +530,24 @@ def test_hll_registers_match_reference_and_estimate_sane(spark):
         sketch.hll_registers(docs, p=8), p=8
     ).collect()[0]["hll_est"]
     assert abs(est - 400) / 400 < 0.15  # ~1.04/sqrt(256) std error
+
+
+def test_hll_registers_merge_property(spark):
+    # sketch mergeability: max-merge of two corpora's registers ==
+    # registers of the concatenated corpus (the property that lets
+    # per-partition / per-day sketches combine without rescanning)
+    from renard_spark.functions import sketch
+
+    a = _docs(spark, {"a": "alpha beta gamma delta epsilon"})
+    b = _docs(spark, {"b": "gamma delta zeta eta theta iota"})
+    both = a.unionByName(b)
+    merged = (
+        sketch.hll_registers(a, p=6)
+        .unionByName(sketch.hll_registers(b, p=6))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    direct = {
+        r.bucket: r.rho for r in sketch.hll_registers(both, p=6).collect()
+    }
+    assert {r.bucket: r.rho for r in merged.collect()} == direct
