@@ -2407,6 +2407,37 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the sparsified character network
+    (functions/graph.assortativity) — one degree agg + one join + one
+    4-sum aggregation, non-iterative."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    out = gmetrics.assortativity(ge)
+    return out.select(F.round("assortativity", 6).alias("assortativity"))
+
+
+def q_char_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition on the same sparsified
+    weighted network as char_communities (functions/graph.modularity)
+    — the quality number for the detected communities."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge, factor=1.03)
+    comms = gmetrics.label_propagation(ge, iters=LPA_ITERS)
+    out = gmetrics.modularity(ge, comms)
+    return out.select(F.round("modularity", 6).alias("modularity"))
+
+
 PROBE_TOKENS = [
     "spark", "customer", "window", "table", "batch", "vector", "data",
     "merge", "zzzmissing",
@@ -2555,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": q_event_asof,
         "event_range": q_event_range,
         "event_rollup": q_event_rollup,
+        "char_assort": q_char_assort,
+        "char_modularity": q_char_modularity,
         "cms_counts": q_cms_counts,
         "hll_tokens": q_hll_tokens,
     }
@@ -2667,7 +2700,26 @@ l{i + 1} AS (
   QUALIFY row_number() OVER (
     PARTITION BY s.u ORDER BY sum(s.w) DESC, l.label ASC) = 1
 )"""
+    lpa_base = lpa_sql
     lpa_sql += f"\nSELECT node, label FROM l{LPA_ITERS}\n"
+    # modularity of the SAME unrolled LPA partition on the same
+    # sparsified weighted graph: Q = Σ_intra w / m − Σ_c (tot_c/2m)²
+    mod_sql = lpa_base + f""",
+lab AS (SELECT node, label FROM l{LPA_ITERS}),
+mt AS (SELECT sum(wt) AS m FROM ef),
+ic AS (
+  SELECT lb.label, sum(e.wt) AS iw
+  FROM ef e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+  WHERE la.label = lb.label GROUP BY lb.label
+),
+st AS (SELECT u AS node, sum(w) AS s FROM sym GROUP BY u),
+tc AS (SELECT la.label, sum(st.s) AS tc
+       FROM st JOIN lab la ON la.node = st.node GROUP BY la.label)
+SELECT round(coalesce((SELECT sum(iw) FROM ic), 0) / mt.m
+           - (SELECT sum(pow(tc.tc / (2 * mt.m), 2)) FROM tc), 6)
+         AS modularity
+FROM mt
+"""
     # k-core peel, fixed unrolled rounds (monotone: extra rounds are
     # no-ops once the fixpoint is reached); same avg-sparsified graph
     # as char_triangles
@@ -2725,6 +2777,20 @@ v{i + 1} AS MATERIALIZED (
 )"""
     cn_sql += f"""
 SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
+"""
+    # degree assortativity on the avg-sparsified (factor 1.0) graph:
+    # integer sums (exact), one float division at the end
+    as_sql = kc_base + """,
+symn AS (SELECT a AS u, b AS v FROM c0 UNION ALL SELECT b, a FROM c0),
+dg AS (SELECT u, count(*) AS d FROM symn GROUP BY u),
+en AS (SELECT dx.d AS dx, dy.d AS dy
+       FROM symn s JOIN dg dx ON dx.u = s.u JOIN dg dy ON dy.u = s.v),
+sm AS (SELECT count(*) AS n, sum(dx) AS sx,
+              sum(dx * dy) AS sxy, sum(dx * dx) AS sxx
+       FROM en)
+SELECT round((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
+         AS assortativity
+FROM sm
 """
     # multi-source BFS unroll for harmonic centrality: same monotone
     # min-distance rounds as bfs_sql with the source carried in the key
@@ -2994,6 +3060,8 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) WHERE r <= """ + str(QUOTA_N) + "\n",
         "char_communities": lpa_sql,
+        "char_modularity": mod_sql,
+        "char_assort": as_sql,
         "char_degrees": edges_ctes + """,
 e0 AS (
   SELECT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst,

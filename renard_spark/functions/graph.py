@@ -776,3 +776,104 @@ def betweenness_centrality(
         .groupBy("node")
         .agg((F.sum("delta") / 2.0).alias("betweenness"))
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman) of the undirected
+    simple graph → ONE row (assortativity): the Pearson correlation of
+    endpoint degrees over directed edge ends. One degree aggregation,
+    one join of the degree vector onto the symmetric edge list, one
+    global 4-sum aggregation — no iteration, no driver loop."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )
+    sym = e.select(F.explode(both).alias("p")).select("p.u", "p.v")
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    ends = (
+        sym.join(deg.withColumnRenamed("u", "n1"), sym["u"] == F.col("n1"))
+        .withColumnRenamed("d", "dx")
+        .drop("n1")
+        .join(
+            deg.withColumnRenamed("u", "n2").withColumnRenamed("d", "dy"),
+            sym["v"] == F.col("n2"),
+        )
+        .drop("n2")
+    )
+    s = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    # by symmetry Σdy = Σdx and Σdy² = Σdx² over directed ends
+    return s.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("assortativity")
+    )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, src: str = "src",
+    dst: str = "dst", weight: str = "weight", label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the weighted
+    undirected graph → ONE row (modularity):
+    Q = Σ_intra w / m  −  Σ_c (tot_c / 2m)², with m the total edge
+    weight and tot_c the summed node strengths of community c. Two
+    label joins (one per endpoint) + community-sized aggregations;
+    the only driver scalar is m (a 1-row count-style pull)."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    la = labels.select(F.col("node"), F.col(label_col).alias("label"))
+    m = float(e.agg(F.sum("w")).first()[0] or 0.0)
+    if m == 0.0:
+        return e.sparkSession.createDataFrame(
+            [(0.0,)], "modularity double"
+        )
+    intra = (
+        e.join(la.withColumnRenamed("node", "a").withColumnRenamed(
+            "label", "lab_a"), "a")
+        .join(la.withColumnRenamed("node", "b").withColumnRenamed(
+            "label", "lab_b"), "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.sum("w").alias("iw"))
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("node"), F.col("w")),
+        F.struct(F.col("b").alias("node"), F.col("w")),
+    )
+    strength = (
+        e.select(F.explode(both).alias("p"))
+        .select("p.node", "p.w")
+        .groupBy("node")
+        .agg(F.sum("w").alias("s"))
+    )
+    tot = (
+        strength.join(la, "node")
+        .groupBy("label")
+        .agg(F.sum("s").alias("tc"))
+    )
+    per_c = tot.join(intra, "label", "left").select(
+        F.coalesce("iw", F.lit(0.0)).alias("iw"), "tc"
+    )
+    return per_c.agg(
+        (
+            F.sum("iw") / F.lit(m)
+            - F.sum(F.pow(F.col("tc") / F.lit(2.0 * m), F.lit(2.0)))
+        ).alias("modularity")
+    )

@@ -478,3 +478,41 @@ def test_betweenness_fixed_rounds_converge(spark):
         for n, v in nx.betweenness_centrality(g, normalized=False).items()
     }
     assert fixed == free == want
+
+
+def test_assortativity_matches_networkx(spark):
+    rows = _random_edges(53, n_nodes=20, n_edges=45)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    got = gmetrics.assortativity(df).collect()[0]["assortativity"]
+    want = nx.degree_assortativity_coefficient(g)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_modularity_matches_networkx(spark):
+    rows = _random_edges(59, n_nodes=20, n_edges=40)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, w in rows:
+        # duplicate pairs collapse in the nx oracle exactly as the
+        # operator consumes the aggregated edge table
+        g.add_edge(a, b, weight=max(w, g.get_edge_data(a, b, {}).get(
+            "weight", 0)))
+    agg = (
+        df.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+    comms = gmetrics.label_propagation(agg, iters=4)
+    got = gmetrics.modularity(agg, comms).collect()[0]["modularity"]
+    parts: dict = {}
+    for r in comms.collect():
+        parts.setdefault(r["label"], set()).add(r["node"])
+    want = nx.community.modularity(g, parts.values(), weight="weight")
+    assert got == pytest.approx(want, abs=1e-9)
