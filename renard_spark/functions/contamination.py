@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from renard_spark.functions.dedup import shingle_array, shingles
+from renard_spark.functions.dedup import shingles, with_shingle_array
 
 
 def cross_source_overlap(
@@ -60,9 +60,8 @@ def ngram_contamination(
     # the total count is size() of it — NO corpus-wide groupBy shuffle —
     # and only the exploded rows that survive the benchmark join are
     # ever shuffled by key
-    d_arr = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_array(text_col, w).alias("_shs"),
+    d_arr = with_shingle_array(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), w, text_col
     ).localCheckpoint(eager=False)
     bset = shingles(
         bench.select(F.col(id_col).alias("doc_id"), text_col), w, text_col
