@@ -176,18 +176,24 @@ def range_join_buckets(
     p = points.withColumn(
         "_bkt", F.window(ts_col, bucket)["start"]
     )
+    # explode the sequence EXPRESSION directly (not a bound alias):
+    # see dedup.shingles — an alias child lets InferFiltersFromGenerate
+    # duplicate the window/sequence computation into a pushed filter
     i = intervals.withColumn(
-        "_bkts",
-        F.sequence(
-            F.window(start_col, bucket)["start"],
-            # end is exclusive: an interval ending exactly on a bucket
-            # boundary does not reach into that bucket
-            F.window(
-                F.col(end_col) - F.expr("INTERVAL 1 microsecond"), bucket
-            )["start"],
-            b,
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.window(start_col, bucket)["start"],
+                # end is exclusive: an interval ending exactly on a
+                # bucket boundary does not reach into that bucket
+                F.window(
+                    F.col(end_col) - F.expr("INTERVAL 1 microsecond"),
+                    bucket,
+                )["start"],
+                b,
+            )
         ),
-    ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
+    )
     joined = p.join(i, [on, "_bkt"]).filter(
         (F.col(ts_col) >= F.col(start_col))
         & (F.col(ts_col) < F.col(end_col))

@@ -43,10 +43,12 @@ def parse_text_triples(df: DataFrame, text_col: str = "generated") -> DataFrame:
     subs = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 1)
     rels = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 2)
     objs = F.regexp_extract_all(text_col, F.lit(TRIPLE_RE), 3)
-    z = df.withColumn("_z", F.arrays_zip(subs, rels, objs))
-    return z.select(
-        *[c for c in df.columns if c != "_z"],
-        F.explode("_z").alias("_t"),
+    # explode the zip EXPRESSION, not a bound alias of it: exploding an
+    # alias lets InferFiltersFromGenerate add a size()>0 filter that
+    # re-inlines all three regexps a second (and third) time
+    return df.select(
+        *[c for c in df.columns],
+        F.explode(F.arrays_zip(subs, rels, objs)).alias("_t"),
     ).select(
         *[c for c in df.columns if c != "_z"],
         F.trim(F.col("_t.0")).alias("raw_subj"),

@@ -84,3 +84,32 @@ def test_char_blocks_bounded_fanout(spark):
     # correctness of the searchsorted mapping
     got = {r["block_id"]: (r["start"], r["end"]) for r in out.collect()}
     assert got == {0: (0, 2), 1: (2, 5)}
+
+
+def test_generators_explode_expressions_not_aliases(spark):
+    """Exploding a bound ALIAS of an expensive expression lets
+    InferFiltersFromGenerate add a size()>0 filter whose pushdown
+    re-inlines the whole expression below upstream repartitions — the
+    dedup family's heaviest map stage then runs twice (measured 8× at
+    sf0.1). Guard: the optimized plans of the shingle and triple-parse
+    generators must evaluate their regexps exactly once per input."""
+    from renard_spark.functions import dedup
+    from renard_spark.operators.relations import parse_text_triples
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    opt = (
+        dedup.shingles(docs.repartition(2), 3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("regexp_extract_all") == 1, opt
+
+    gen = spark.createDataFrame(
+        [(1, "(a, likes, b)")], "doc_id long, generated string"
+    )
+    opt = (
+        parse_text_triples(gen)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("regexp_extract_all") == 3, opt
