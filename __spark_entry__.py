@@ -1413,6 +1413,60 @@ def q_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KG construction behind the hash gate: the flagship
+    triples output (tokenize → dictionary NER → per-doc unification →
+    co-occurrence edges → triple emit) computed by Structured Streaming
+    over THREE micro-batches (maxFilesPerTrigger=1 over a 3-file copy
+    of the corpus) through ``foreachBatch`` running the IDENTICAL batch
+    operators, each batch appended as an idempotent ``batch_id=N``
+    partition (overwrite + _SUCCESS skip — replay-safe, the
+    streaming/ingest.write_batch_tables contract). Every stage is
+    doc-local, so the union of micro-batch outputs must equal the batch
+    run — checked here against the SAME DuckDB oracle as ``triples``,
+    not merely against the batch plan."""
+    import os
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="renard_stream_triples_")
+    in_dir = os.path.join(out_dir, "in")
+    data = os.path.join(out_dir, "data")
+    ckpt = os.path.join(out_dir, "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.parquet(in_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        toks = tokenize.tokens(ingest.normalize_documents(batch_df))
+        ments = ner.dictionary_ner(toks, CAST_TOKENS)
+        unified = unify.naive_unify(ments)
+        mentions = unified.select(
+            "doc_id", "char_id", "start_idx", "end_idx"
+        )
+        edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+        out = triples.edges_to_triples(edges)
+        part = os.path.join(data, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part, "_SUCCESS")):
+            return
+        out.write.mode("overwrite").parquet(part)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _long_doc_id(spark.read.parquet(data)).select(
+        "doc_id", "subj", "pred", "obj",
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
 def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-DOCUMENT canonicalization (north_rule: entity linking +
     canonicalization over the whole table): distributed unification at
@@ -2545,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_characters": q_global_characters,
         "winnow_dups": q_winnow_dups,
         "stream_tokens": q_stream_tokens,
+        "stream_triples": q_stream_triples,
         "relation_edges": q_relation_edges,
         "hypocorism_characters": q_hypocorism_characters,
         "gendered_characters": q_gendered_characters,
@@ -3272,6 +3327,17 @@ FROM c GROUP BY doc_id
             GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
         """,
         "triples": edges_ctes
+        + """
+            SELECT doc_id, least(t1, t2) AS subj,
+                   'interacts_with' AS pred,
+                   greatest(t1, t2) AS obj,
+                   count(*)::BIGINT AS weight
+            FROM pairs WHERE t1 <> t2
+            GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
+        """,
+        # the streaming run must reproduce the batch result exactly
+        # (every stage is doc-local), so it shares the triples oracle
+        "stream_triples": edges_ctes
         + """
             SELECT doc_id, least(t1, t2) AS subj,
                    'interacts_with' AS pred,
