@@ -2556,6 +2556,43 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M, BLOOM_K = 1024, 3
+BLOOM_SEEN_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set membership (functions/sketch.bloom_bits /
+    bloom_contains): the filter is built over the md5 fingerprints of
+    five sources' documents ('yesterday's ingest'), then EVERY document
+    probes it — the sublinear-state dedup gate an ingest pipeline runs
+    before the expensive near-dup machinery. in_bloom is the filter's
+    answer (never a false negative, real false positives at this m/k),
+    in_seen the exact membership — both engines reproduce the register
+    table bit-for-bit, false positives included."""
+    from renard_spark.functions import sketch
+
+    docs = _spread(_documents(spark, sf_dir))
+    fps = docs.select("doc_id", F.md5("text").alias("key"), "source")
+    seen = (
+        fps.filter(F.col("source").isin(BLOOM_SEEN_SOURCES))
+        .select("key")
+        .distinct()
+    )
+    bits = sketch.bloom_bits(seen, m=BLOOM_M, k=BLOOM_K)
+    mem = sketch.bloom_contains(
+        bits, fps.select("key").distinct(), m=BLOOM_M, k=BLOOM_K
+    )
+    return (
+        fps.join(mem, "key")
+        .join(seen.withColumn("_s", F.lit(1)), "key", "left")
+        .select(
+            "doc_id",
+            "in_bloom",
+            F.coalesce("_s", F.lit(0)).cast("long").alias("in_seen"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -2645,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_modularity": q_char_modularity,
         "cms_counts": q_cms_counts,
         "hll_tokens": q_hll_tokens,
+        "bloom_seen": q_bloom_seen,
     }
 
 
@@ -3837,6 +3875,30 @@ SELECT f.grp, ex.n_exact,
        round(CASE WHEN raw <= 640 AND zeros > 0
                   THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_est
 FROM fin f JOIN ex ON ex.grp = f.grp
+""",
+        "bloom_seen": f"""
+WITH fps AS (SELECT doc_id, md5(text) AS key, source FROM documents),
+seen AS (
+  SELECT DISTINCT key FROM fps
+  WHERE source IN ({", ".join("'" + s + "'" for s in BLOOM_SEEN_SOURCES)})
+), bits AS (
+  SELECT DISTINCT
+         (('0x' || substr(md5(i.i::VARCHAR || ':' || key), 1, 8))::BIGINT
+          % {BLOOM_M}) AS pos
+  FROM seen CROSS JOIN range(0, {BLOOM_K}) i(i)
+), pc AS (
+  SELECT key,
+         (('0x' || substr(md5(i.i::VARCHAR || ':' || key), 1, 8))::BIGINT
+          % {BLOOM_M}) AS pos
+  FROM (SELECT DISTINCT key FROM fps) CROSS JOIN range(0, {BLOOM_K}) i(i)
+), mem AS (
+  SELECT key,
+         min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_bloom
+  FROM pc LEFT JOIN bits b USING(pos) GROUP BY key
+)
+SELECT f.doc_id, m.in_bloom,
+       (CASE WHEN s.key IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_seen
+FROM fps f JOIN mem m USING(key) LEFT JOIN seen s ON s.key = f.key
 """,
         "event_rollup": """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,

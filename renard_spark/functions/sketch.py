@@ -140,3 +140,47 @@ def hll_estimate(
     return agg.select(
         *(["grp"] if group_col else []), est.alias("hll_est")
     )
+
+
+def bloom_bits(
+    keys: DataFrame, m: int = 4096, k: int = 3, key_col: str = "key",
+) -> DataFrame:
+    """Bloom-filter register table over a key set → (pos) distinct set
+    bit positions, pos = md5('<i>:<key>') mod m for i in 0..k-1.
+
+    The mergeable seen-set summary an ingest pipeline keeps per
+    partition/day: merging two corpora's filters is union+distinct of
+    ≤ m rows each; membership never false-negatives, false-positives
+    at the standard (1−e^{−kn/m})^k rate. Rows (not a packed bitmap)
+    so the table unions/joins like every other sketch here and the
+    DuckDB oracle reproduces it bit-for-bit."""
+    h = keys.select(
+        F.col(key_col).alias("_k"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+    )
+    return h.select(
+        _h(F.col("i").cast("string"), F.col("_k"), m).alias("pos")
+    ).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame, probes: DataFrame, m: int = 4096, k: int = 3,
+    key_col: str = "key",
+) -> DataFrame:
+    """Membership probe → (<key_col>, in_bloom): 1 iff ALL k positions
+    of the key are set. The ≤ m-row register side broadcasts; the probe
+    side stays partitioned — one equi-join + one groupBy, never a scan
+    of the filter per probe."""
+    pc = probes.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+    ).select(
+        key_col,
+        _h(F.col("i").cast("string"), F.col(key_col), m).alias("pos"),
+    )
+    j = pc.join(
+        F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left"
+    )
+    return j.groupBy(key_col).agg(
+        F.min(F.coalesce("_hit", F.lit(0))).cast("long").alias("in_bloom")
+    )

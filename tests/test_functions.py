@@ -551,3 +551,39 @@ def test_hll_registers_merge_property(spark):
         r.bucket: r.rho for r in sketch.hll_registers(both, p=6).collect()
     }
     assert {r.bucket: r.rho for r in merged.collect()} == direct
+
+
+def test_bloom_no_false_negatives_and_reference_positions(spark):
+    import hashlib
+
+    from renard_spark.functions import sketch
+
+    keys = [f"key{i}" for i in range(40)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    m, k = 128, 3
+    bits = sketch.bloom_bits(kdf, m=m, k=k)
+    got = {r.pos for r in bits.collect()}
+    want = {
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % m
+        for key in keys
+        for i in range(k)
+    }
+    assert got == want  # register table identical to the reference math
+
+    probes = spark.createDataFrame(
+        [(x,) for x in keys + [f"other{i}" for i in range(60)]],
+        "key string",
+    )
+    mem = {
+        r.key: r.in_bloom
+        for r in sketch.bloom_contains(bits, probes, m=m, k=k).collect()
+    }
+    # never a false negative
+    assert all(mem[key] == 1 for key in keys)
+    # at kn/m ≈ 0.94 some probes must still be rejected (filter works)
+    assert any(mem[f"other{i}"] == 0 for i in range(60))
+    # merge = union+distinct: two halves' filters equal the whole
+    half1 = sketch.bloom_bits(kdf.filter("key < 'key2'"), m=m, k=k)
+    half2 = sketch.bloom_bits(kdf.filter("key >= 'key2'"), m=m, k=k)
+    merged = {r.pos for r in half1.union(half2).distinct().collect()}
+    assert merged == want
