@@ -2279,6 +2279,23 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "split:"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment
+    (functions/sampling.hash_split): consecutive md5-prefix ranges, so
+    membership is a pure function of (salt, doc_id) — identical on any
+    cluster size, partition layout, or engine. Narrow."""
+    from renard_spark.functions.sampling import hash_split
+
+    docs = _documents(spark, sf_dir)
+    return hash_split(docs, SPLIT_FRACS, salt=SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
 def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixing quota (functions/sampling.stratified_quota):
     at most QUOTA_N docs per language, picked by hash rank — the
@@ -2655,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_kcore": q_char_kcore,
         "char_corenums": q_char_corenums,
         "doc_sample": q_doc_sample,
+        "hash_split": q_hash_split,
         "lang_quota": q_lang_quota,
         "char_bfs": q_char_bfs,
         "char_pmi": q_char_pmi,
@@ -2690,6 +2708,12 @@ def _sample_bound() -> str:
     from renard_spark.functions.sampling import hash_frac_bound
 
     return hash_frac_bound(SAMPLE_FRAC)
+
+
+def _split_bound(cum_frac: float) -> str:
+    from renard_spark.functions.sampling import hash_frac_bound
+
+    return hash_frac_bound(cum_frac)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3142,6 +3166,15 @@ JOIN st sb ON sb.node = e.b
         "doc_sample": f"""
 SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
 WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{_sample_bound()}'
+""",
+        "hash_split": f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 8)
+                 < '{_split_bound(0.8)}' THEN 'train'
+            WHEN substr(md5('{SPLIT_SALT}' || doc_id::VARCHAR), 1, 8)
+                 < '{_split_bound(0.9)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
         "lang_quota": """
 SELECT doc_id, lang FROM (

@@ -71,3 +71,34 @@ def stratified_quota(
         .filter(F.col("_r") <= n)
         .drop("_h", "_r")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive split assignment →
+    ``df`` + ``out_col`` label column (the train/val/test partitioner
+    of a training pipeline). Labels are assigned by consecutive hash
+    ranges in the given dict order, so every row lands in exactly one
+    split, membership is a pure function of (salt, key) — stable
+    across cluster sizes, repartitions, and engines — and fractions
+    are honored to 2^-32. The last label absorbs the remainder, so
+    fracs must sum to 1 (±1e-9). Narrow: zero shuffle."""
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fracs must sum to 1, got {total}")
+    labels = list(fracs)
+    h = _key_hash(key_col, salt)
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    bounds = []
+    for name in labels[:-1]:
+        cum += fracs[name]
+        bounds.append((name, hash_frac_bound(cum)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -182,3 +182,32 @@ def test_pack_assignments_partition_invariant_and_contiguous(spark):
     # pack arithmetic is consistent
     for doc, (s, pid, ppos) in a.items():
         assert pid == s // 64 and ppos == s % 64
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from renard_spark.functions.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, fr, salt="s:")
+    rows = out.collect()
+    assert len(rows) == 2000  # exhaustive: every row labeled
+    counts: dict = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) <= set(fr)
+    # fractions honored to sampling noise (±4 sigma at n=2000)
+    for name, f in fr.items():
+        sd = (2000 * f * (1 - f)) ** 0.5
+        assert abs(counts.get(name, 0) - 2000 * f) < 4 * sd + 1, counts
+    # stable under repartition (partition-layout independence)
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), fr, salt="s:").collect()
+    }
+    assert again == {r.doc_id: r.split for r in rows}
+    # fracs must sum to 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4})
