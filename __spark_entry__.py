@@ -820,6 +820,22 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (functions/events.
+    sliding_event_aggregates): 1-hour windows every 15 minutes — each
+    event lands in exactly 4 epoch-aligned windows; the same expression
+    runs under Structured Streaming after withWatermark. The oracle
+    replicates the window replication arithmetically."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fevents.sliding_event_aggregates(ev, "1 hour", "15 minutes")
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization (30-min gap) over the events table."""
     from renard_spark.functions import events as fevents
@@ -2632,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "bm25_topk": q_bm25_topk,
         "event_windows": q_event_windows,
+        "event_sliding": q_event_sliding,
         "user_sessions": q_user_sessions,
         "embedding_near_dups": q_embedding_near_dups,
         "session_windows": q_session_windows,
@@ -4154,6 +4171,20 @@ FROM events GROUP BY 2, 3
                    count(*)::BIGINT AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "event_sliding": """
+            WITH ev AS (
+              SELECT epoch(ts) AS es, event_type, value FROM events
+            ), w AS (
+              SELECT make_timestamp(
+                       ((floor(es / 900) * 900 - k.k * 900)
+                        * 1000000)::BIGINT) AS window_start,
+                     event_type, value
+              FROM ev CROSS JOIN range(0, 4) k(k)
+            )
+            SELECT window_start, event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS total_value
+            FROM w GROUP BY 1, 2
         """,
         "user_sessions": """
             WITH marked AS (

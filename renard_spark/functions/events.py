@@ -225,3 +225,30 @@ def hypertable_rollup(
         GROUP BY GROUPING SETS ((_h, event_type), (_d, event_type))
         """
     )
+
+
+def sliding_event_aggregates(
+    events: DataFrame, window: str = "1 hour",
+    slide: str = "15 minutes", ts_col: str = "ts",
+) -> DataFrame:
+    """(window_start, event_type, n, total_value) per SLIDING window —
+    Spark's native ``window(ts, dur, slide)``: each event lands in
+    dur/slide overlapping windows (epoch-aligned), the hot-aggregate
+    shape of rate monitoring / rolling quality dashboards. Works
+    unchanged on a streaming frame with a watermark; the explode factor
+    is the fixed dur/slide constant, never data-dependent."""
+    return (
+        events.groupBy(
+            F.window(ts_col, window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "total_value",
+        )
+    )
