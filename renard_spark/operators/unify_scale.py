@@ -179,7 +179,15 @@ def unify_distributed(
     holds every distinct surface in the table and a full self-join
     would be quadratic; provably recall-lossless for the rule set
     (see ``_block_keys_udf``) and property-tested equal to 'scope'."""
-    per = entities_df.filter(F.col("tag") == character_tag)
+    # the mention table feeds TWO consumers (the distinct-surface names
+    # build and the final labeling join) — without a checkpoint the
+    # upstream lineage (tokenize + NER over the whole corpus) executes
+    # once per consumer; mentions are mention-scale, so truncating here
+    # saves a full corpus scan per call. Lazy: materialized by the
+    # names checkpoint below, reused by the final join.
+    per = entities_df.filter(F.col("tag") == character_tag).localCheckpoint(
+        eager=False
+    )
     # names and linked pairs feed several consumers each (pair sides,
     # node/edge sides, labeling) and carry Arrow-UDF stages —
     # checkpoint once instead of recomputing the UDFs per consumer
