@@ -2278,6 +2278,30 @@ def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_QMIN, CURATE_CMAX = 0.55, 0.3
+
+
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation decision table (functions/curation.curate):
+    MinHash keep-best dedup + quality threshold + n-gram
+    decontamination + deterministic split assignment, composed — the
+    whole pipeline's keep/drop/split output gated as ONE table, so a
+    regression in any stage or in the composition breaks the gate.
+    Same train/bench convention as ngram_overlap (doc_id % 10)."""
+    from renard_spark.functions.curation import curate
+
+    docs = _spread(_documents(spark, sf_dir))
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = curate(
+        train, bench, contam_w=NGRAM_W,
+        quality_min=CURATE_QMIN, contam_max=CURATE_CMAX,
+    )
+    return _long_doc_id(out).withColumn(
+        "cluster_id", F.col("cluster_id").cast("long")
+    )
+
+
 SAMPLE_FRAC, QUOTA_N = 0.25, 20
 
 
@@ -2690,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_corenums": q_char_corenums,
         "doc_sample": q_doc_sample,
         "hash_split": q_hash_split,
+        "curated_docs": q_curated_docs,
         "lang_quota": q_lang_quota,
         "char_bfs": q_char_bfs,
         "char_pmi": q_char_pmi,
@@ -3045,7 +3070,7 @@ wd{i + 1} AS MATERIALIZED (
     wd_sql += f"""
 SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
 """
-    return {
+    out = {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
         "char_bfs": bfs_sql,
@@ -4302,3 +4327,87 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
             FROM med GROUP BY kind
         """,
     }
+    # The curation composite reuses the ngram_overlap decontamination
+    # SQL verbatim as a subquery (same train/bench convention) and the
+    # train-filtered twin of the MinHash cluster + keep-best chain; the
+    # split CASE replicates sampling.hash_split's hash ranges.
+    out["curated_docs"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents WHERE doc_id % 10 <> 0
+), sh0 AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+    ELSE [array_to_string(tk, ' ')] END AS shs
+  FROM t
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0
+), sigs AS (
+  SELECT doc_id, j.seed AS seed,
+         min(md5(j.seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, range(0, 8) j(seed) GROUP BY doc_id, j.seed
+), bands AS (
+  SELECT doc_id, (seed // 2)::INT AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)::INT
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY c.doc_a, c.doc_b
+), dup_pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  WHERE coalesce(i.i, 0)::DOUBLE
+        / greatest(na.n + nb.n - coalesce(i.i, 0), 1) >= 0.2
+), e AS (
+  SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+  UNION SELECT doc_b, doc_a FROM dup_pairs
+), r(u, l) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT e.v, r.l FROM r JOIN e ON e.u = r.u
+), clusters AS (
+  SELECT u AS doc_id, min(l) AS cluster_id FROM r GROUP BY u
+), qual AS (
+  SELECT doc_id, round(quality_score, 6) AS q
+  FROM ({_ORACLE_QUALITY}) _qq
+), ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY q.q DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+), best AS (
+  SELECT cluster_id, doc_id AS best_id FROM ranked WHERE rn = 1
+), contam AS (
+  SELECT doc_id, frac FROM ({out["ngram_overlap"]}) _ct
+)
+SELECT c.doc_id, c.cluster_id,
+       (c.doc_id = b.best_id)::BIGINT AS keep_dedup,
+       q.q AS quality_score,
+       ct.frac AS contam_frac,
+       ((c.doc_id = b.best_id) AND q.q >= {CURATE_QMIN}
+        AND ct.frac < {CURATE_CMAX})::BIGINT AS keep,
+       CASE WHEN substr(md5('curate:' || c.doc_id::VARCHAR), 1, 8)
+                 < '{_split_bound(0.8)}' THEN 'train'
+            WHEN substr(md5('curate:' || c.doc_id::VARCHAR), 1, 8)
+                 < '{_split_bound(0.9)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters c
+JOIN best b ON b.cluster_id = c.cluster_id
+JOIN qual q ON q.doc_id = c.doc_id
+JOIN contam ct ON ct.doc_id = c.doc_id
+"""
+    return out

@@ -1,0 +1,88 @@
+"""End-to-end training-corpus curation — the operators composed.
+
+A real data pipeline never runs dedup / quality / decontamination /
+splitting as separate ad-hoc jobs: one curation pass produces a
+decision table (keep or drop, and why) plus the split assignment,
+and downstream jobs filter on it. ``curate`` composes the engine's
+proven operators into exactly that:
+
+1. MinHash+LSH near-dup CLUSTERS over the training candidates
+   (exact duplicates are jaccard-1.0 members of the same cluster, so
+   a separate exact pass is redundant);
+2. quality scoring (length / stopword / punctuation / repetition mix);
+3. keep-best-of-cluster (highest quality survives, ties → smallest id);
+4. GPT-3-style n-gram decontamination against the benchmark slice;
+5. the final keep decision = cluster survivor AND quality ≥ min AND
+   contamination < max;
+6. deterministic train/val/test split labels (hash ranges — assigned
+   to every row so the keep rule can change without re-splitting).
+
+Every stage is one of the individually oracle-gated operators, and the
+composite itself is SQL-expressible — the driver gates the WHOLE
+decision table against DuckDB (q:curated_docs), so a regression in any
+stage OR in the composition breaks the gate.
+
+Scale shape: the expensive stages (shingling, band join, contamination
+join) are the audited dedup/contamination plans; the composition adds
+only doc-count-sized equi-joins on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    shingle_w: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    contam_w: int = 5,
+    quality_min: float = 0.55,
+    contam_max: float = 0.3,
+    split_fracs: dict[str, float] | None = None,
+    split_salt: str = "curate:",
+) -> DataFrame:
+    """→ (doc_id, cluster_id, keep_dedup, quality_score, contam_frac,
+    keep, split) — one row per training-candidate document.
+
+    Scores and fractions are rounded to 6 decimals BEFORE the argmax /
+    threshold comparisons (both engines, same rule), so last-ulp float
+    drift can neither flip a cluster survivor nor a threshold decision.
+    """
+    from renard_spark.functions import contamination, dedup, sampling, text
+
+    if split_fracs is None:
+        split_fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    pairs = dedup.minhash_dedup(
+        docs, w=shingle_w, num_hashes=num_hashes, bands=bands,
+        threshold=jaccard_threshold,
+    )
+    qual = text.quality_scores(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+    kb = dedup.dedup_keep_best(docs, pairs, qual).select(
+        "doc_id", "cluster_id",
+        F.col("keep").cast("long").alias("keep_dedup"),
+    )
+    contam = contamination.ngram_contamination(docs, bench, w=contam_w).select(
+        "doc_id", F.round("frac", 6).alias("contam_frac")
+    )
+    base = kb.join(qual, "doc_id").join(contam, "doc_id")
+    decided = base.withColumn(
+        "keep",
+        (
+            (F.col("keep_dedup") == 1)
+            & (F.col("quality_score") >= quality_min)
+            & (F.col("contam_frac") < contam_max)
+        ).cast("long"),
+    )
+    return sampling.hash_split(decided, split_fracs, salt=split_salt).select(
+        "doc_id", "cluster_id", "keep_dedup", "quality_score",
+        "contam_frac", "keep", "split",
+    )

@@ -587,3 +587,50 @@ def test_bloom_no_false_negatives_and_reference_positions(spark):
     half2 = sketch.bloom_bits(kdf.filter("key >= 'key2'"), m=m, k=k)
     merged = {r.pos for r in half1.union(half2).distinct().collect()}
     assert merged == want
+
+
+def test_curate_composes_decisions(spark):
+    from pyspark.sql import functions as F
+
+    from renard_spark.functions.curation import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "fox runs into the woods where it finds a quiet stream"
+    )
+    rows = [
+        (1, good + " one"),                      # unique, good quality
+        (2, good + " two"),                      # near-dup of 1
+        (3, "zzz qqq xxx " * 1),                 # garbage: low quality
+        (4, "bench overlap " + good),            # contaminated vs bench
+        (5, good + " five entirely different tail words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "bench overlap " + good)], "doc_id long, text string"
+    )
+    out = curate(
+        docs, bench, contam_w=5, quality_min=0.52, contam_max=0.5,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3, 4, 5}  # one decision per doc
+    for r in out:  # keep implies every gate passed
+        if r.keep == 1:
+            assert r.keep_dedup == 1
+            assert r.quality_score >= 0.52
+            assert r.contam_frac < 0.5
+        assert r.split in ("train", "val", "test")
+    # docs 1/2 are near-dups (4/5 share the same long template, so the
+    # cluster may absorb them too): same cluster, and EVERY cluster has
+    # exactly one keep_dedup survivor — the highest-quality member
+    assert by_id[1].cluster_id == by_id[2].cluster_id
+    clusters: dict = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for members in clusters.values():
+        assert sum(m.keep_dedup for m in members) == 1
+        best = max(members, key=lambda m: (m.quality_score, -m.doc_id))
+        assert next(m for m in members if m.keep_dedup == 1) == best
+    # the garbage doc fails quality, the bench copy fails contamination
+    assert by_id[3].keep == 0
+    assert by_id[4].contam_frac >= 0.5 and by_id[4].keep == 0
