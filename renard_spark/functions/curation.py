@@ -54,7 +54,7 @@ def curate(
     threshold comparisons (both engines, same rule), so last-ulp float
     drift can neither flip a cluster survivor nor a threshold decision.
     """
-    from renard_spark.functions import contamination, dedup, sampling, text
+    from renard_spark.functions import contamination, dedup, text
 
     if split_fracs is None:
         split_fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -73,6 +73,21 @@ def curate(
     contam = contamination.ngram_contamination(docs, bench, w=contam_w).select(
         "doc_id", F.round("frac", 6).alias("contam_frac")
     )
+    return _decide(
+        kb, qual, contam, quality_min, contam_max, split_fracs, split_salt
+    )
+
+
+def _decide(
+    kb: DataFrame, qual: DataFrame, contam: DataFrame,
+    quality_min: float, contam_max: float,
+    split_fracs: dict[str, float], split_salt: str,
+) -> DataFrame:
+    """Final decision join shared by ``curate`` and the staged
+    pipeline: doc-count-sized equi-joins + the keep predicate + split
+    label."""
+    from renard_spark.functions import sampling
+
     base = kb.join(qual, "doc_id").join(contam, "doc_id")
     decided = base.withColumn(
         "keep",
@@ -86,3 +101,83 @@ def curate(
         "doc_id", "cluster_id", "keep_dedup", "quality_score",
         "contam_frac", "keep", "split",
     )
+
+
+def curation_pipeline(
+    spark,
+    docs: DataFrame,
+    bench: DataFrame,
+    workdir: str,
+    *,
+    shingle_w: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    contam_w: int = 5,
+    quality_min: float = 0.55,
+    contam_max: float = 0.3,
+    split_fracs: dict[str, float] | None = None,
+    split_salt: str = "curate:",
+    rerun_from: str | None = None,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """``curate`` as a CHECKPOINT-RESUMABLE staged pipeline: each stage
+    persists to a catalog table with a manifest config-hash, so a
+    restarted job (or one with only the thresholds changed) re-executes
+    only the invalidated suffix — changing ``quality_min`` recomputes
+    the cheap decision join, never the shingle/band stages. Per-stage
+    per-partition row/doc metrics land in the ``_metrics`` table like
+    every other staged run. Returns {stage: DataFrame}; the final
+    table is ``curated`` (same schema as :func:`curate`)."""
+    from renard_spark.functions import contamination, dedup, text
+    from renard_spark.io.catalog import get_catalog
+    from renard_spark.plans.stage import StageRunner
+
+    if split_fracs is None:
+        split_fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    cat = get_catalog(spark, workdir)
+    r = StageRunner(
+        spark, cat, inputs={"documents": docs, "benchmark": bench}
+    )
+    dedup_cfg = dict(
+        w=shingle_w, num_hashes=num_hashes, bands=bands,
+        threshold=jaccard_threshold,
+    )
+    r.add(
+        "near_dup_pairs", ["documents"],
+        lambda sp, d: dedup.minhash_dedup(d, **dedup_cfg),
+        config=dedup_cfg,
+    )
+    r.add(
+        "quality", ["documents"],
+        lambda sp, d: text.quality_scores(d).select(
+            "doc_id", F.round("quality_score", 6).alias("quality_score")
+        ),
+        config={},
+    )
+    r.add(
+        "contamination", ["documents", "benchmark"],
+        lambda sp, d, b: contamination.ngram_contamination(
+            d, b, w=contam_w
+        ).select("doc_id", F.round("frac", 6).alias("contam_frac")),
+        config={"w": contam_w},
+    )
+    r.add(
+        "dedup_decisions", ["documents", "near_dup_pairs", "quality"],
+        lambda sp, d, p, q: dedup.dedup_keep_best(d, p, q).select(
+            "doc_id", "cluster_id",
+            F.col("keep").cast("long").alias("keep_dedup"),
+        ),
+        config={},
+    )
+    r.add(
+        "curated", ["dedup_decisions", "quality", "contamination"],
+        lambda sp, kb, q, c: _decide(
+            kb, q, c, quality_min, contam_max, split_fracs, split_salt
+        ),
+        config={
+            "quality_min": quality_min, "contam_max": contam_max,
+            "split_fracs": split_fracs, "split_salt": split_salt,
+        },
+    )
+    return r.run(rerun_from=rerun_from, force=force)

@@ -57,3 +57,47 @@ def test_check_valid_rejects_missing_dep(spark, tmp_path):
     r.add("b", ["a"], lambda s, a: a)
     with pytest.raises(ValueError, match="needs \\['a'\\]"):
         r.run()
+
+
+def test_curation_pipeline_resumes_and_matches_inline(spark, tmp_path):
+    import json
+    import os
+
+    from renard_spark.functions.curation import curate, curation_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs into the woods where it finds a quiet stream"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{base} tail{i % 3}") for i in range(1, 13)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base + " tail0")], "doc_id long, text string"
+    )
+    wd = str(tmp_path / "curate_wd")
+    kw = dict(contam_w=5, quality_min=0.5, contam_max=0.9)
+    out = curation_pipeline(spark, docs, bench, wd, **kw)
+    staged = sorted(
+        map(tuple, out["curated"].collect())
+    )
+    inline = sorted(map(tuple, curate(docs, bench, **kw).collect()))
+    assert staged == inline  # staged == the inline composition
+
+    manifest = json.load(open(os.path.join(wd, "_manifest.json")))
+    t_pairs = manifest["near_dup_pairs"]["finished_at"]
+    # threshold-only change: expensive upstream stages stay checkpointed,
+    # only the decision stage (changed config hash) recomputes
+    out2 = curation_pipeline(
+        spark, docs, bench, wd, contam_w=5, quality_min=0.6,
+        contam_max=0.9,
+    )
+    manifest2 = json.load(open(os.path.join(wd, "_manifest.json")))
+    assert manifest2["near_dup_pairs"]["finished_at"] == t_pairs
+    assert manifest2["curated"]["finished_at"] != manifest["curated"]["finished_at"]
+    # the new threshold is live in the recomputed table
+    q6 = {r.doc_id: r for r in out2["curated"].collect()}
+    for r in q6.values():
+        if r.keep == 1:
+            assert r.quality_score >= 0.6
