@@ -106,6 +106,12 @@ def main() -> None:
                     help="parquet path of a documents table (else synthetic)")
     ap.add_argument("--rerun-from", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--mode", choices=["kg", "curate"], default="kg",
+                    help="kg: narrative-KG stages; curate: the "
+                         "dedup+quality+decontamination decision table")
+    ap.add_argument("--bench-input", default=None,
+                    help="curate mode: parquet path of the benchmark "
+                         "slice (else doc_id %% 10 == 0 of the input)")
     args = ap.parse_args()
 
     spark = get_spark("renard_spark_run", cpus=args.cpus)
@@ -113,6 +119,37 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
     else:
         docs = corpus.generate_documents(spark, args.docs, seed=args.seed)
+    if args.mode == "curate":
+        from pyspark.sql import functions as F
+
+        from renard_spark.functions.curation import curation_pipeline
+
+        # curation operates on text — assemble it from interleaved
+        # spans (no-op for flat (doc_id, text) tables)
+        docs = ingest.normalize_documents(docs).select("doc_id", "text")
+        if args.bench_input:
+            bench = ingest.normalize_documents(
+                spark.read.parquet(args.bench_input)
+            ).select("doc_id", "text")
+            train = docs
+        else:
+            # deterministic 10% benchmark slice by id hash — works for
+            # string and numeric ids alike
+            from renard_spark.functions.sampling import hash_split
+
+            lab = hash_split(
+                docs, {"train": 0.9, "bench": 0.1}, salt="benchslice:",
+                out_col="_slice",
+            )
+            train = lab.filter(F.col("_slice") == "train").drop("_slice")
+            bench = lab.filter(F.col("_slice") == "bench").drop("_slice")
+        out = curation_pipeline(
+            spark, train, bench, args.workdir, rerun_from=args.rerun_from
+        )
+        out["curated"].groupBy("keep", "split").count().orderBy(
+            "keep", "split"
+        ).show(10, truncate=False)
+        return
     runner = build_runner(spark, docs, args.workdir)
     out = runner.run(rerun_from=args.rerun_from)
     n = out["triples"].count()
