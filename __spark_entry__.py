@@ -2321,6 +2321,27 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SALT = "split:"
+MIX_ALPHA, MIX_SALT = 0.7, "mix:"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture MATERIALIZED (functions/sampling.
+    apply_mixture): the alpha=0.7 per-source weights become keep rates
+    (normalized so the heaviest source keeps everything) and each row's
+    keep decision is a hash-Bernoulli draw keyed to doc identity —
+    the deterministic, replayable form of multi-source rebalancing."""
+    from renard_spark.functions import text as ftext
+    from renard_spark.functions.sampling import apply_mixture
+
+    docs = _spread(_documents(spark, sf_dir))
+    w = ftext.mixture_weights(docs, alpha=MIX_ALPHA)
+    mx = w.agg(F.max("weight").alias("_mx"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        F.col("grp").alias("source"),
+        F.round(F.col("weight") / F.col("_mx"), 6).alias("rate"),
+    )
+    kept = apply_mixture(docs, rates, salt=MIX_SALT)
+    return kept.select("doc_id", "source")
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2715,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "hash_split": q_hash_split,
         "curated_docs": q_curated_docs,
+        "mixture_sample": q_mixture_sample,
         "lang_quota": q_lang_quota,
         "char_bfs": q_char_bfs,
         "char_pmi": q_char_pmi,
@@ -3864,6 +3886,23 @@ sh AS (
 SELECT grp, n_tokens, round(token_share, 6) AS token_share,
        round(pow(sh.token_share, 0.7) / z.z, 6) AS weight
 FROM sh, z
+""",
+        "mixture_sample": f"""
+WITH per AS (
+  SELECT source AS grp,
+         sum(len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS tt FROM per),
+p AS (
+  SELECT grp, pow(n_tokens::DOUBLE / tot.tt, {MIX_ALPHA}) AS pw
+  FROM per, tot
+), mx AS (SELECT max(pw) AS m FROM p),
+rates AS (SELECT grp, round(pw / m, 6) AS rate FROM p, mx)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.grp = d.source
+WHERE ('0x' || substr(md5('{MIX_SALT}' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      < floor(r.rate * 4294967296)::BIGINT
 """,
         "event_asof": """
 WITH clicks AS (

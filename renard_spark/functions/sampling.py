@@ -102,3 +102,38 @@ def hash_split(
     for name, bound in reversed(bounds):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def apply_mixture(
+    docs: DataFrame,
+    rates: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    rate_col: str = "rate",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize per-group mixture rates as a deterministic
+    downsample: keep each group's rows with probability ``rate``
+    (hash-Bernoulli keyed to row identity — partition-layout- and
+    engine-invariant like :func:`sample_by_hash`). ``rates``:
+    (group_col, rate in [0, 1]), slice-count-sized → broadcast join.
+    The decision compares the 32-bit md5 integer against
+    floor(round(rate, 6) · 2³²) — an INTEGER bound, so the keep set is
+    bit-stable across engines given the same 6-decimal rate."""
+    bound = F.floor(
+        F.round(F.col(rate_col), 6) * F.lit(float(1 << 32))
+    ).cast("long")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1, HEX_W,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(h < bound)
+        .drop(rate_col)
+    )

@@ -211,3 +211,35 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
 
     with _pytest.raises(ValueError):
         hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_apply_mixture_rates_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from renard_spark.functions.sampling import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "head" if i < 3000 else "tail") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    rates = spark.createDataFrame(
+        [("head", 0.25), ("tail", 1.0)], "source string, rate double"
+    )
+    kept = apply_mixture(docs, rates, salt="t:")
+    rows = kept.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["tail"] == 1000          # rate 1.0 keeps everything
+    exp, sd = 3000 * 0.25, (3000 * 0.25 * 0.75) ** 0.5
+    assert abs(by_src["head"] - exp) < 4 * sd
+    # layout invariance: same keep set after repartition
+    again = {r.doc_id for r in apply_mixture(
+        docs.repartition(7), rates, salt="t:").collect()}
+    assert again == {r.doc_id for r in rows}
+    # rate 0 drops the group entirely
+    zero = spark.createDataFrame(
+        [("head", 0.0), ("tail", 0.5)], "source string, rate double"
+    )
+    z = apply_mixture(docs, zero, salt="t:").collect()
+    assert all(r.source == "tail" for r in z)
