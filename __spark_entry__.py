@@ -1934,6 +1934,27 @@ def q_char_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_char_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the PER-DOCUMENT character networks
+    (functions/graph.link_prediction_scores, scope=doc_id):
+    common-neighbor / Jaccard / Adamic-Adar scores for every
+    distance-2 non-adjacent pair — the missing-edge candidates of the
+    knowledge graph, from one wedge equi-join (never all-pairs). The
+    corpus-global cast network is complete, so the per-doc networks
+    (which are sparse) are where candidates exist."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    lp = gmetrics.link_prediction_scores(edges, scope_cols=("doc_id",))
+    return _long_doc_id(lp).select(
+        "doc_id", "u", "v", "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 HITS_ITERS = 8
 
 
@@ -2749,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "pack_ids": q_pack_ids,
         "char_hits": q_char_hits,
+        "char_linkpred": q_char_linkpred,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
@@ -2825,6 +2847,39 @@ pr{i + 1} AS (
 )"""
     pr_sql += f"""
 SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
+"""
+    lp_sql = edges_ctes + """,
+e0 AS (
+  SELECT DISTINCT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst
+  FROM pairs WHERE t1 <> t2
+),
+sym AS (SELECT doc_id, src AS u, dst AS v FROM e0
+        UNION ALL SELECT doc_id, dst, src FROM e0),
+dg AS (SELECT doc_id, u, count(*) AS deg FROM sym GROUP BY doc_id, u),
+wed AS (
+  SELECT l.doc_id, l.v AS a, r.v AS b, l.u AS c
+  FROM sym l JOIN sym r
+    ON l.doc_id = r.doc_id AND l.u = r.u AND l.v < r.v
+),
+sc AS (
+  SELECT w.doc_id, w.a, w.b, count(*)::BIGINT AS common_neighbors,
+         sum(1.0 / ln(d.deg)) AS aa
+  FROM wed w JOIN dg d ON d.doc_id = w.doc_id AND d.u = w.c
+  GROUP BY w.doc_id, w.a, w.b
+),
+cand AS (
+  SELECT sc.* FROM sc
+  LEFT JOIN e0 ON e0.doc_id = sc.doc_id
+              AND e0.src = sc.a AND e0.dst = sc.b
+  WHERE e0.src IS NULL
+)
+SELECT c.doc_id, c.a AS u, c.b AS v, c.common_neighbors,
+       round(c.common_neighbors::DOUBLE
+             / (da.deg + db.deg - c.common_neighbors), 6) AS jaccard,
+       round(c.aa, 6) AS adamic_adar
+FROM cand c
+JOIN dg da ON da.doc_id = c.doc_id AND da.u = c.a
+JOIN dg db ON db.doc_id = c.doc_id AND db.u = c.b
 """
     # weighted HITS, rounds unrolled — same sym edge table as
     # pagerank; per round the auth then hub half-steps, each L1-
@@ -3266,6 +3321,7 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        "char_linkpred": lp_sql,
         "char_hits": hits_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors

@@ -877,3 +877,82 @@ def modularity(
             - F.sum(F.pow(F.col("tc") / F.lit(2.0 * m), F.lit(2.0)))
         ).alias("modularity")
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    scope_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Link-prediction scores for every distance-2 NON-adjacent pair →
+    (*scope_cols, u, v, common_neighbors, jaccard, adamic_adar), u < v.
+
+    The classic missing-edge candidates of a knowledge graph (which
+    characters never co-occur but share many neighbors?): candidates
+    come from ONE wedge self-equi-join on the shared neighbor — never
+    an all-pairs scan, exactly the `triangles` join shape, so hub-node
+    skew is AQE's skew-join case and fanout is Σ deg(c)². Existing
+    edges are removed with an anti-join; degrees come from one
+    aggregation. adamic_adar = Σ_c 1/ln(deg(c)) is safe: a wedge
+    center has ≥ 2 neighbors, so ln(deg) ≥ ln 2 > 0. ``scope_cols``
+    (e.g. ("doc_id",)) scores each scope's network independently —
+    all joins stay equi on (scope, key)."""
+    sc = list(scope_cols)
+    canon = (
+        edges.select(
+            *sc,
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # symmetrize() drops extra cols; do the two-direction explode here
+    both = F.array(
+        F.struct(F.col("s").alias("u"), F.col("d").alias("v")),
+        F.struct(F.col("d").alias("u"), F.col("s").alias("v")),
+    )
+    sym = canon.select(*sc, F.explode(both).alias("e")).select(
+        *sc, "e.u", "e.v"
+    )
+    deg = sym.groupBy(*sc, "u").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_l = sym.select(*sc, F.col("u").alias("c"), F.col("v").alias("a"))
+    wedge_r = sym.select(
+        *[F.col(c).alias(f"_s_{c}") for c in sc],
+        F.col("u").alias("_c2"), F.col("v").alias("b"),
+    )
+    cond = (wedge_l["c"] == wedge_r["_c2"]) & (wedge_l["a"] < wedge_r["b"])
+    for c in sc:
+        cond = cond & (wedge_l[c] == wedge_r[f"_s_{c}"])
+    wed = wedge_l.join(wedge_r, cond).select(*sc, "c", "a", "b")
+    dc = deg.select(
+        *sc, F.col("u").alias("c"), F.col("deg").alias("_cdeg")
+    )
+    scored = (
+        wed.join(dc, sc + ["c"])
+        .groupBy(*sc, "a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("_cdeg"))).alias("aa"),
+        )
+    )
+    existing = canon.select(
+        *sc, F.col("s").alias("a"), F.col("d").alias("b")
+    )
+    cand = scored.join(existing, sc + ["a", "b"], "left_anti")
+    da = deg.select(*sc, F.col("u").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(*sc, F.col("u").alias("b"), F.col("deg").alias("_db"))
+    return (
+        cand.join(da, sc + ["a"])
+        .join(db, sc + ["b"])
+        .select(
+            *sc,
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            (
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common"))
+            ).alias("jaccard"),
+            F.col("aa").alias("adamic_adar"),
+        )
+    )

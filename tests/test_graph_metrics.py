@@ -516,3 +516,48 @@ def test_modularity_matches_networkx(spark):
         parts.setdefault(r["label"], set()).add(r["node"])
     want = nx.community.modularity(g, parts.values(), weight="weight")
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_link_prediction_matches_networkx(spark):
+    rows = _random_edges(23, n_nodes=25, n_edges=50)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.jaccard, r.adamic_adar)
+        for r in gmetrics.link_prediction_scores(df).collect()
+    }
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    want = {}
+    for u, v in nx.non_edges(g):
+        u, v = min(u, v), max(u, v)
+        cn = list(nx.common_neighbors(g, u, v))
+        if not cn:
+            continue  # only distance-2 pairs are emitted
+        (_, _, jac), = nx.jaccard_coefficient(g, [(u, v)])
+        (_, _, aa), = nx.adamic_adar_index(g, [(u, v)])
+        want[(u, v)] = (len(cn), jac, aa)
+    assert set(got) == set(want)
+    for k, (cn, jac, aa) in want.items():
+        assert got[k][0] == cn
+        assert got[k][1] == pytest.approx(jac, abs=1e-9)
+        assert got[k][2] == pytest.approx(aa, abs=1e-9)
+
+
+def test_link_prediction_scoped_isolates_docs(spark):
+    # two docs with the same path graph a-b-c: the (a,c) candidate must
+    # appear once PER DOC, never across docs
+    rows = [("d1", "a", "b", 1), ("d1", "b", "c", 1),
+            ("d2", "a", "b", 1), ("d2", "b", "c", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, dst string, weight int"
+    )
+    out = gmetrics.link_prediction_scores(
+        df, scope_cols=("doc_id",)
+    ).collect()
+    assert sorted((r.doc_id, r.u, r.v) for r in out) == [
+        ("d1", "a", "c"), ("d2", "a", "c")
+    ]
+    for r in out:
+        assert r.common_neighbors == 1
+        assert r.jaccard == pytest.approx(1.0)  # 1 / (1 + 1 - 1)
