@@ -836,6 +836,33 @@ def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_K = 5
+
+
+def q_event_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling features over the previous 5 events
+    (functions/events.rolling_features): recent-activity windows, the
+    feature-engineering staple — ROWS frame on a deterministic
+    (ts, event_id) order, one shuffle by user."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fevents.rolling_features(ev, k=ROLL_K)
+    # history-less events carry NULL mean/max/delta — coalesce to 0 for
+    # the value-hash compare (roll_n = 0 still marks them)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        "roll_n",
+        F.round(F.coalesce("roll_sum", F.lit(0.0)), 6).alias("roll_sum"),
+        F.round(F.coalesce("roll_mean", F.lit(0.0)), 6).alias("roll_mean"),
+        F.round(F.coalesce("roll_max", F.lit(0.0)), 6).alias("roll_max"),
+        F.round(F.coalesce("delta_prev", F.lit(0.0)), 6).alias(
+            "delta_prev"
+        ),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization (30-min gap) over the events table."""
     from renard_spark.functions import events as fevents
@@ -2715,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "event_windows": q_event_windows,
         "event_sliding": q_event_sliding,
+        "event_rolling": q_event_rolling,
         "user_sessions": q_user_sessions,
         "embedding_near_dups": q_embedding_near_dups,
         "session_windows": q_session_windows,
@@ -4305,6 +4333,24 @@ FROM events GROUP BY 2, 3
             SELECT window_start, event_type, count(*)::BIGINT AS n,
                    round(sum(value), 6) AS total_value
             FROM w GROUP BY 1, 2
+        """,
+        "event_rolling": f"""
+            SELECT event_id, user_id, ts, round(value, 6) AS value,
+                   count(value) OVER w_prev::BIGINT AS roll_n,
+                   round(coalesce(sum(value) OVER w_prev, 0), 6)
+                     AS roll_sum,
+                   round(coalesce(avg(value) OVER w_prev, 0), 6)
+                     AS roll_mean,
+                   round(coalesce(max(value) OVER w_prev, 0), 6)
+                     AS roll_max,
+                   round(coalesce(value - lag(value) OVER w_ord, 0), 6)
+                     AS delta_prev
+            FROM events
+            WINDOW
+              w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ROLL_K} PRECEDING
+                                  AND 1 PRECEDING),
+              w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "user_sessions": """
             WITH marked AS (

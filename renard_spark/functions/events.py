@@ -252,3 +252,37 @@ def sliding_event_aggregates(
             "total_value",
         )
     )
+
+
+def rolling_features(
+    events: DataFrame, k: int = 5,
+    key_col: str = "user_id", ts_col: str = "ts",
+    val_col: str = "value", id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key rolling features over the previous ``k`` events
+    (exclusive of the current one) → (id, key, ts, value, roll_n,
+    roll_sum, roll_mean, roll_max, delta_prev):
+
+    the standard feature-engineering window of an event pipeline
+    (recent activity level, deviation from recent behavior). ONE
+    shuffle keyed by ``key_col``; the frame is ROWS-based so results
+    are layout-invariant given the deterministic (ts, id) order.
+    Events with no history get roll_n = 0 and NULL mean/max/delta."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-k, -1)
+    )
+    wlag = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return events.select(
+        id_col, key_col, ts_col, val_col,
+        F.count(val_col).over(w).cast("long").alias("roll_n"),
+        F.sum(val_col).over(w).alias("roll_sum"),
+        F.avg(val_col).over(w).alias("roll_mean"),
+        F.max(val_col).over(w).alias("roll_max"),
+        (F.col(val_col) - F.lag(val_col).over(wlag)).alias("delta_prev"),
+    )

@@ -98,3 +98,28 @@ def test_hypertable_rollup_hand_case(spark):
     assert got[("day", "2024-01-02T00:00:00", "view")] == (1, 8.0)
     assert got[("hour", "2024-01-02T00:00:00", "view")] == (1, 8.0)
     assert len(got) == 5  # 3 hour groups + 2 day groups
+
+
+def test_rolling_features_window_semantics(spark):
+    from renard_spark.functions.events import rolling_features
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 00:01:00", 10, 2.0),
+        (3, "2024-01-01 00:02:00", 10, 4.0),
+        (4, "2024-01-01 00:03:00", 10, 8.0),
+        (5, "2024-01-01 00:00:30", 20, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    got = {r.event_id: r for r in rolling_features(ev, k=2).collect()}
+    # first event per user: empty frame
+    assert got[1].roll_n == 0 and got[1].roll_mean is None
+    assert got[1].delta_prev is None
+    # frame is the previous k events, EXCLUSIVE of the current row
+    assert got[3].roll_n == 2 and got[3].roll_mean == 1.5
+    assert got[4].roll_n == 2 and got[4].roll_sum == 6.0  # 2+4, 1 aged out
+    assert got[4].roll_max == 4.0 and got[4].delta_prev == 4.0
+    # user isolation
+    assert got[5].roll_n == 0
