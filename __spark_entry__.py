@@ -1385,6 +1385,26 @@ REL_VERBS = {"scan": "scans", "sort": "sorts", "group": "groups"}
 # are unit territory, the CHAIN is what this query hash-checks
 REL_MIN_OCC = 1
 
+# synthetic KB over the corpus vocabulary for the entity-linking gate:
+# shared aliases ("merge", "batch", "vector") force disambiguation;
+# the two kb_vector_* entities are score-symmetric so NIL ties occur.
+KB_ENTITIES = [
+    # (entity_id, aliases, context profile, popularity prior)
+    ("kb_spark", ["spark"], ["query", "fast", "table"], 0.9),
+    ("kb_join", ["join", "merge"], ["hash", "key", "table"], 0.7),
+    ("kb_mergesort", ["merge", "sort"], ["order", "row", "slow"], 0.5),
+    ("kb_stream", ["stream", "batch"], ["window", "data"], 0.8),
+    ("kb_batch", ["batch"], ["big", "group"], 0.4),
+    ("kb_window", ["window"], ["agg", "group"], 0.6),
+    ("kb_customer", ["customer"], ["order", "value"], 0.8),
+    ("kb_filter", ["filter"], ["scan", "column", "small"], 0.6),
+    ("kb_vector_a", ["vector"], ["data", "scan"], 0.5),
+    ("kb_vector_b", ["vector"], ["row", "line"], 0.5),
+    ("kb_table", ["table"], ["scan", "row", "column"], 0.7),
+]
+LINK_PRIOR_W = 0.4
+LINK_MARGIN = 1e-9
+
 
 def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full relation-extraction chain behind the gate: in-sentence
@@ -1415,6 +1435,45 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(
             "doc_id", "subj_char", "rel", "obj_char",
             F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KB entity linking behind the hash gate (operators/linking.py):
+    alias candidate generation via a broadcast alias index, context-
+    overlap + popularity-prior disambiguation, NIL on score ties —
+    the entity-linking stage of the KG contract, generalizing
+    identify_character's unique-owner-else-NULL semantics (reference
+    relation_extraction.py:227-237). The token table is filtered to
+    the KB's alias ∪ context vocabulary and checkpointed once: both
+    consumers (mention candidates, per-doc context profile) read the
+    mention-scale table, not the corpus scan."""
+    from renard_spark.operators import linking
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    kb = spark.createDataFrame(
+        KB_ENTITIES,
+        "entity_id string, aliases array<string>,"
+        " context array<string>, prior double",
+    )
+    vocab = {a for _, als, _, _ in KB_ENTITIES for a in als} | {
+        c for _, _, ctx, _ in KB_ENTITIES for c in ctx
+    }
+    toks = _toks_ckpt(tokenize.tokens(docs), vocab)
+    out = linking.link_entities(
+        toks, kb, prior_weight=LINK_PRIOR_W, min_margin=LINK_MARGIN
+    )
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            F.col("tok_idx").cast("long").alias("tok_idx"),
+            "surface",
+            # NIL (abstained) links surface as a sentinel: the gate's
+            # value-hash sorts column values and NULL doesn't order
+            F.coalesce("entity_id", F.lit("NIL")).alias("entity_id"),
+            "score",
+            "n_cands",
         )
     )
 
@@ -2766,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tokens": q_stream_tokens,
         "stream_triples": q_stream_triples,
         "relation_edges": q_relation_edges,
+        "entity_links": q_entity_links,
         "hypocorism_characters": q_hypocorism_characters,
         "gendered_characters": q_gendered_characters,
         "coref_characters": q_coref_characters,
@@ -3827,6 +3887,52 @@ FROM c GROUP BY doc_id
             FROM hits WHERE rn = 1 AND subj <> obj
             GROUP BY doc_id, subj, rel, obj
             HAVING count(*) >= {REL_MIN_OCC}
+        """,
+        "entity_links": _BASE_CTES + f"""
+            , kb(entity_id, alias, prior) AS (
+              VALUES {", ".join(f"('{e}', '{a}', {p}::DOUBLE)" for e, als, _, p in KB_ENTITIES for a in als)}
+            ), kbctx(entity_id, ctx_token, n_ctx) AS (
+              VALUES {", ".join(f"('{e}', '{c}', {len(ctx)})" for e, _, ctx, _ in KB_ENTITIES for c in ctx)}
+            ), ment AS (
+              SELECT doc_id, tok_idx, token AS surface, lower(token) AS al
+              FROM toks
+              WHERE lower(token) IN ({", ".join(sorted({f"'{a}'" for _, als, _, _ in KB_ENTITIES for a in als}))})
+            ), cand AS (
+              SELECT mt.doc_id, mt.tok_idx, mt.surface, k.entity_id, k.prior
+              FROM ment mt JOIN kb k ON mt.al = k.alias
+            ), dprof AS (
+              SELECT DISTINCT doc_id, lower(token) AS ctx_token FROM toks
+            ), ov AS (
+              SELECT c.doc_id, c.entity_id,
+                     count(*)::DOUBLE / greatest(max(kc.n_ctx), 1)
+                       AS ctx_score
+              FROM (SELECT DISTINCT doc_id, entity_id FROM cand) c
+              JOIN kbctx kc ON kc.entity_id = c.entity_id
+              JOIN dprof dp ON dp.doc_id = c.doc_id
+                           AND dp.ctx_token = kc.ctx_token
+              GROUP BY c.doc_id, c.entity_id
+            ), scored AS (
+              SELECT c.doc_id, c.tok_idx, c.surface, c.entity_id,
+                     {LINK_PRIOR_W!r}::DOUBLE * c.prior
+                     + {1.0 - LINK_PRIOR_W!r}::DOUBLE
+                       * coalesce(ov.ctx_score, 0.0::DOUBLE) AS score
+              FROM cand c LEFT JOIN ov ON ov.doc_id = c.doc_id
+                                      AND ov.entity_id = c.entity_id
+            ), ranked AS (
+              SELECT doc_id, tok_idx, surface, entity_id, score,
+                     row_number() OVER w AS rn, lead(score) OVER w AS nxt,
+                     count(*) OVER (PARTITION BY doc_id, tok_idx)
+                       AS n_cands
+              FROM scored
+              WINDOW w AS (PARTITION BY doc_id, tok_idx
+                           ORDER BY score DESC, entity_id ASC)
+            )
+            SELECT doc_id, tok_idx, surface,
+                   CASE WHEN nxt IS NOT NULL
+                         AND score - nxt < {LINK_MARGIN!r}::DOUBLE
+                        THEN 'NIL' ELSE entity_id END AS entity_id,
+                   round(score, 6) AS score, n_cands::BIGINT AS n_cands
+            FROM ranked WHERE rn = 1
         """,
         "stream_tokens": f"""
             SELECT doc_id, u.i - 1 AS tok_idx, u.tok AS token

@@ -1,0 +1,131 @@
+"""KB entity linking — alias candidate generation + disambiguation.
+
+The reference resolves generated triple arguments to characters by
+unique-name ownership (relation_extraction.py:227-237,
+``identify_character``): a name links only when exactly one character
+owns it. This operator generalizes that contract to linking mentions
+against an explicit knowledge base — the "entity linking" stage of the
+KG-construction pipeline — with three standard ingredients:
+
+1. candidate generation: an alias index (one row per lowered alias)
+   equi-joined to the mention surface;
+2. disambiguation: score = prior_weight * popularity prior +
+   (1 - prior_weight) * context overlap, where context overlap is the
+   fraction of the entity's profile tokens present in the mention's
+   document;
+3. NIL on ambiguity: when the top two candidate scores are within
+   ``min_margin``, the mention links to NULL — the same abstain-on-
+   ambiguity semantics as ``identify_character``.
+
+Scale shapes (100 TB): the KB is a dimension table — both the alias
+index and the exploded context profile are broadcast. Corpus-scale
+tables (mentions, per-doc token profile) meet dimension tables only in
+equi-joins keyed by (alias), (doc_id, token) and (doc_id, entity_id);
+there is no cross join, no UDF, and the per-mention argmax window is
+keyed by the mention itself, so nothing funnels through one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def alias_index(kb: DataFrame) -> DataFrame:
+    """(entity_id, aliases, ..., prior) → one row per lowered alias.
+
+    The KB is a dimension table; callers broadcast the result.
+    """
+    return kb.select(
+        "entity_id", "prior", F.explode("aliases").alias("alias")
+    ).withColumn("alias", F.lower("alias"))
+
+
+def entity_context(kb: DataFrame) -> DataFrame:
+    """(entity_id, context array<string>) → one row per lowered context
+    token, carrying the profile size for the overlap denominator."""
+    return kb.select(
+        "entity_id",
+        F.size("context").alias("n_ctx"),
+        F.explode("context").alias("ctx_token"),
+    ).withColumn("ctx_token", F.lower("ctx_token"))
+
+
+def link_entities(
+    tokens_df: DataFrame,
+    kb: DataFrame,
+    prior_weight: float = 0.4,
+    min_margin: float = 1e-9,
+) -> DataFrame:
+    """Link every alias-matching token to its best KB entity.
+
+    ``tokens_df``: (doc_id, tok_idx, token). ``kb``: (entity_id,
+    aliases array<string>, context array<string>, prior double).
+
+    → (doc_id, tok_idx, surface, entity_id, score, n_cands) with one
+    row per candidate mention; ``entity_id`` is NULL (NIL) when the
+    top two scores are within ``min_margin``. ``score`` is the winning
+    score either way, rounded to 6 for stable comparison.
+    """
+    ali = F.broadcast(alias_index(kb))
+    mentions = tokens_df.select(
+        "doc_id",
+        "tok_idx",
+        F.col("token").alias("surface"),
+        F.lower("token").alias("_al"),
+    )
+    cands = mentions.join(ali, mentions["_al"] == ali["alias"]).drop(
+        "alias", "_al"
+    )
+
+    # context overlap at (doc_id, entity_id) granularity — one row per
+    # (candidate doc, entity), NOT per mention: mentions of the same
+    # entity in one doc share the doc profile.
+    ctx = F.broadcast(entity_context(kb))
+    doc_profile = tokens_df.select(
+        "doc_id", F.lower("token").alias("ctx_token")
+    ).distinct()
+    overlap = (
+        cands.select("doc_id", "entity_id")
+        .distinct()
+        .join(ctx, "entity_id")
+        .join(doc_profile, ["doc_id", "ctx_token"])
+        .groupBy("doc_id", "entity_id")
+        .agg(
+            (
+                F.count(F.lit(1))
+                / F.greatest(F.max("n_ctx"), F.lit(1))
+            ).alias("ctx_score")
+        )
+    )
+
+    scored = cands.join(overlap, ["doc_id", "entity_id"], "left").withColumn(
+        "score",
+        F.lit(prior_weight) * F.col("prior")
+        + F.lit(1.0 - prior_weight)
+        * F.coalesce(F.col("ctx_score"), F.lit(0.0)),
+    )
+
+    w = Window.partitionBy("doc_id", "tok_idx").orderBy(
+        F.col("score").desc(), F.col("entity_id").asc()
+    )
+    wall = Window.partitionBy("doc_id", "tok_idx")
+    ranked = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nxt", F.lead("score").over(w))
+        .withColumn("n_cands", F.count(F.lit(1)).over(wall))
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "doc_id",
+        "tok_idx",
+        "surface",
+        F.when(
+            F.col("_nxt").isNotNull()
+            & (F.col("score") - F.col("_nxt") < F.lit(min_margin)),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("entity_id"))
+        .alias("entity_id"),
+        F.round("score", 6).alias("score"),
+        F.col("n_cands").cast("long").alias("n_cands"),
+    )

@@ -1,0 +1,117 @@
+"""KB entity linking (operators/linking.py): candidate generation,
+context disambiguation, prior fallback, NIL-on-tie."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from renard_spark.operators import linking
+
+KB_ROWS = [
+    ("e_join", ["join", "merge"], ["hash", "key"], 0.7),
+    ("e_sort", ["merge", "sort"], ["order", "slow"], 0.5),
+    ("e_vec_a", ["vector"], ["data", "scan"], 0.5),
+    ("e_vec_b", ["vector"], ["row", "line"], 0.5),
+]
+KB_SCHEMA = (
+    "entity_id string, aliases array<string>,"
+    " context array<string>, prior double"
+)
+
+
+def _toks(spark, docs: dict[str, str]):
+    rows = [
+        (d, i, t)
+        for d, text in docs.items()
+        for i, t in enumerate(text.split())
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, tok_idx int, token string"
+    )
+
+
+def _links(spark, docs, **kw):
+    kb = spark.createDataFrame(KB_ROWS, KB_SCHEMA)
+    out = linking.link_entities(_toks(spark, docs), kb, **kw)
+    return {
+        (r["doc_id"], r["tok_idx"]): (
+            r["entity_id"],
+            r["score"],
+            r["n_cands"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_context_disambiguates_shared_alias(spark):
+    # "merge" is claimed by e_join and e_sort; d1's context is all
+    # e_join profile, d2's all e_sort profile.
+    got = _links(
+        spark,
+        {"d1": "hash key merge", "d2": "order slow merge"},
+        prior_weight=0.4,
+    )
+    assert got[("d1", 2)][0] == "e_join"
+    assert got[("d2", 2)][0] == "e_sort"
+    # score = .4*prior + .6*overlap: e_join in d1 = .4*.7 + .6*1.0
+    assert got[("d1", 2)][1] == pytest.approx(0.88, abs=1e-6)
+    assert got[("d1", 2)][2] == 2
+
+
+def test_prior_breaks_context_tie(spark):
+    # no context tokens present: scores are pure priors, e_join (0.7)
+    # beats e_sort (0.5) with a real margin — linked, not NIL.
+    got = _links(spark, {"d": "merge"}, prior_weight=0.4)
+    assert got[("d", 0)] == (
+        "e_join",
+        pytest.approx(0.28, abs=1e-6),
+        2,
+    )
+
+
+def test_exact_tie_is_nil(spark):
+    # e_vec_a and e_vec_b are fully symmetric here: same prior, zero
+    # overlap each -> exact tie -> NIL, n_cands still reported.
+    got = _links(spark, {"d": "vector"}, prior_weight=0.4)
+    ent, score, n = got[("d", 0)]
+    assert ent is None
+    assert n == 2
+    assert score == pytest.approx(0.2, abs=1e-6)
+
+
+def test_tie_broken_by_context_links(spark):
+    got = _links(spark, {"d": "data scan vector"}, prior_weight=0.4)
+    assert got[("d", 2)][0] == "e_vec_a"
+
+
+def test_unique_alias_links_directly(spark):
+    got = _links(spark, {"d": "sort"}, prior_weight=0.4)
+    assert got[("d", 0)][0] == "e_sort"
+    assert got[("d", 0)][2] == 1
+
+
+def test_non_alias_tokens_produce_no_rows(spark):
+    got = _links(spark, {"d": "hash key order"}, prior_weight=0.4)
+    assert got == {}
+
+
+def test_alias_match_is_case_insensitive(spark):
+    got = _links(spark, {"d": "MERGE hash key"}, prior_weight=0.4)
+    assert got[("d", 0)][0] == "e_join"
+    # surface keeps the original casing
+    kb = spark.createDataFrame(KB_ROWS, KB_SCHEMA)
+    out = linking.link_entities(
+        _toks(spark, {"d": "MERGE hash key"}), kb
+    )
+    assert out.select("surface").first()[0] == "MERGE"
+
+
+def test_broadcast_dimension_joins(spark):
+    """The alias index and context profile must reach the plan as
+    broadcast joins — the KB is a dimension table."""
+    kb = spark.createDataFrame(KB_ROWS, KB_SCHEMA)
+    out = linking.link_entities(_toks(spark, {"d": "merge hash"}), kb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
