@@ -2158,6 +2158,44 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media grounding over the interleaved corpus
+    (operators/linking.py link_media_to_mentions): each media span
+    links to the nearest character mention by char offset (ties → the
+    preceding mention) — the KG edge set that associates interleaved
+    media with entities. AS-OF union+window shape: one doc_id shuffle,
+    never a media×mention join. Mentions come from the Arrow offset
+    tokenizer (tokenize.tokens_with_offsets), the documented
+    char-addressed path."""
+    from renard_spark.operators import linking
+
+    inter = _interleaved(spark, sf_dir)
+    med = ingest.media_spans(inter).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "media_ref",
+        "kind",
+        "offset",
+    )
+    docs = ingest.normalize_documents(inter).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ment = (
+        tokenize.tokens_with_offsets(docs)
+        .filter(F.col("token").isin(list(CAST_TOKENS)))
+        .select("doc_id", "char_start", F.col("token").alias("character"))
+    )
+    out = linking.link_media_to_mentions(med, ment)
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            "media_ref",
+            "kind",
+            "character",
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
 BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 
 
@@ -2826,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_triples": q_stream_triples,
         "relation_edges": q_relation_edges,
         "entity_links": q_entity_links,
+        "media_links": q_media_links,
         "hypocorism_characters": q_hypocorism_characters,
         "gendered_characters": q_gendered_characters,
         "coref_characters": q_coref_characters,
@@ -4551,6 +4590,49 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
                        || chr(1) || '3'
                    ) AS span_fingerprint
             FROM q
+        """,
+        # media grounding: DuckDB rebuilds mention char offsets from
+        # the single-space token structure (prefix sum of lengths) and
+        # takes the global argmin — equivalent to the engine's
+        # prev/next AS-OF pass because the nearest mention is always
+        # one of the two directional neighbors, and the (dist,
+        # char_start) order reproduces the prev-on-tie rule.
+        "media_links": _BASE_CTES + f"""
+            , toko AS (
+              SELECT doc_id, token,
+                     coalesce(sum(length(token)) OVER (
+                       PARTITION BY doc_id ORDER BY tok_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + tok_idx AS char_start
+              FROM toks
+            ), ment AS (
+              SELECT doc_id, char_start, token AS character
+              FROM toko WHERE token IN ({_CAST_SQL})
+            ), med AS (
+              SELECT doc_id,
+                     'img://' || doc_id::VARCHAR || '/0' AS media_ref,
+                     'image' AS kind, length(text) // 2 AS off
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     (['audio','video','image'])[(doc_id % 3 + 1)::INT]
+                       || '://' || doc_id::VARCHAR || '/1',
+                     (['audio','video','image'])[(doc_id % 3 + 1)::INT],
+                     length(text)
+              FROM documents
+            ), cand AS (
+              SELECT med.doc_id, med.media_ref, med.kind, mn.character,
+                     abs(med.off - mn.char_start) AS dist,
+                     row_number() OVER (
+                       PARTITION BY med.doc_id, med.media_ref
+                       ORDER BY abs(med.off - mn.char_start),
+                                mn.char_start, mn.character
+                     ) AS rn
+              FROM med JOIN ment mn ON mn.doc_id = med.doc_id
+            )
+            SELECT doc_id, media_ref, kind, character,
+                   dist::BIGINT AS dist
+            FROM cand WHERE rn = 1
         """,
         "media_stats": """
             WITH med AS (

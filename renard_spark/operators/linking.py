@@ -129,3 +129,79 @@ def link_entities(
         F.round("score", 6).alias("score"),
         F.col("n_cands").cast("long").alias("n_cands"),
     )
+
+
+def link_media_to_mentions(
+    media_df: DataFrame, mentions_df: DataFrame
+) -> DataFrame:
+    """Ground each media span in the nearest entity mention — the
+    interleaved-payload KG edge (character)-[appears_near]->(media_ref).
+
+    ``media_df``: (doc_id, media_ref, kind, offset) — char-addressed
+    media spans (sources/ingest.media_spans). ``mentions_df``:
+    (doc_id, char_start, character). Nearest = min |offset −
+    char_start|; an exact-distance tie links the PRECEDING mention.
+    Media in docs with no mentions drop out (inner semantics).
+
+    Scale shape: the AS-OF pattern (tag + union + one window pass per
+    direction), NOT a media×mention join — |media| + |mentions| rows
+    through ONE shuffle keyed by doc_id; a long document costs one
+    sort, never a quadratic candidate set.
+    """
+    null_s = F.lit(None).cast("string")
+    m = mentions_df.select(
+        "doc_id",
+        F.col("char_start").cast("int").alias("pos"),
+        "character",
+        null_s.alias("media_ref"),
+        null_s.alias("kind"),
+        F.lit(1).alias("_is_m"),
+    )
+    x = media_df.select(
+        "doc_id",
+        F.col("offset").cast("int").alias("pos"),
+        null_s.alias("character"),
+        "media_ref",
+        "kind",
+        F.lit(0).alias("_is_m"),
+    )
+    # mentions sort before media at equal pos in BOTH directions, so a
+    # mention exactly at the media offset is visible to each side with
+    # distance 0 (and the prev-preferred rule then links it).
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc(), F.col("_is_m").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").desc(), F.col("_is_m").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mc = F.when(F.col("_is_m") == 1, F.col("character"))
+    mp = F.when(F.col("_is_m") == 1, F.col("pos"))
+    ann = (
+        m.unionByName(x)
+        .withColumn("_pc", F.last(mc, ignorenulls=True).over(wp))
+        .withColumn("_pp", F.last(mp, ignorenulls=True).over(wp))
+        .withColumn("_nc", F.last(mc, ignorenulls=True).over(wn))
+        .withColumn("_np", F.last(mp, ignorenulls=True).over(wn))
+    )
+    prev_d = F.col("pos") - F.col("_pp")
+    next_d = F.col("_np") - F.col("pos")
+    use_prev = F.col("_pc").isNotNull() & (
+        F.col("_nc").isNull() | (prev_d <= next_d)
+    )
+    return (
+        ann.filter(F.col("_is_m") == 0)
+        .select(
+            "doc_id",
+            "media_ref",
+            "kind",
+            F.when(use_prev, F.col("_pc"))
+            .otherwise(F.col("_nc"))
+            .alias("character"),
+            F.when(use_prev, prev_d).otherwise(next_d).alias("dist"),
+        )
+        .filter(F.col("character").isNotNull())
+    )

@@ -106,6 +106,84 @@ def test_alias_match_is_case_insensitive(spark):
     assert out.select("surface").first()[0] == "MERGE"
 
 
+def _media_links(spark, mentions, media):
+    ment = spark.createDataFrame(
+        mentions, "doc_id string, char_start int, character string"
+    )
+    med = spark.createDataFrame(
+        media, "doc_id string, media_ref string, kind string, offset int"
+    )
+    out = linking.link_media_to_mentions(med, ment)
+    return {
+        r["media_ref"]: (r["character"], r["dist"]) for r in out.collect()
+    }
+
+
+def test_media_links_nearest_mention(spark):
+    got = _media_links(
+        spark,
+        [("d", 0, "alice"), ("d", 100, "bob")],
+        [("d", "img://1", "image", 30), ("d", "img://2", "image", 90)],
+    )
+    assert got == {"img://1": ("alice", 30), "img://2": ("bob", 10)}
+
+
+def test_media_links_tie_prefers_preceding(spark):
+    got = _media_links(
+        spark,
+        [("d", 10, "alice"), ("d", 30, "bob")],
+        [("d", "img://t", "image", 20)],
+    )
+    assert got == {"img://t": ("alice", 10)}
+
+
+def test_media_links_mention_at_offset_is_distance_zero(spark):
+    got = _media_links(
+        spark,
+        [("d", 20, "alice"), ("d", 21, "bob")],
+        [("d", "img://z", "image", 20)],
+    )
+    assert got == {"img://z": ("alice", 0)}
+
+
+def test_media_links_no_mentions_drops_media(spark):
+    got = _media_links(
+        spark,
+        [("other", 0, "alice")],
+        [("d", "img://x", "image", 5)],
+    )
+    assert got == {}
+
+
+def test_media_links_only_following_mention(spark):
+    got = _media_links(
+        spark,
+        [("d", 50, "carol")],
+        [("d", "img://f", "image", 10)],
+    )
+    assert got == {"img://f": ("carol", 40)}
+
+
+def test_media_links_no_join_explosion(spark):
+    """The plan must be the union+window AS-OF shape — no join node
+    between media and mentions at all."""
+    ment = spark.createDataFrame(
+        [("d", 0, "a")], "doc_id string, char_start int, character string"
+    )
+    med = spark.createDataFrame(
+        [("d", "m", "image", 1)],
+        "doc_id string, media_ref string, kind string, offset int",
+    )
+    plan = (
+        linking.link_media_to_mentions(med, ment)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin", "BroadcastHashJoin"):
+        assert node not in plan
+
+
 def test_broadcast_dimension_joins(spark):
     """The alias index and context profile must reach the plan as
     broadcast joins — the KB is a dimension table."""
