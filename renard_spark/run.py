@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from renard_spark import corpus
 from renard_spark.io.catalog import get_catalog
@@ -26,6 +27,7 @@ from renard_spark.operators import (
     conversation,
     cooccur,
     coref,
+    linking,
     ner,
     quotes,
     sentiment,
@@ -45,6 +47,7 @@ def build_runner(
     dist: tuple[int, str] = (1, "sentences"),
     min_appearances: int = 0,
     with_speech: bool = True,
+    with_media: bool = True,
 ) -> StageRunner:
     from renard_spark.pipeline import default_gazetteer
 
@@ -80,6 +83,31 @@ def build_runner(
     )
     r.add("triples", ["edges"],
           lambda s, e: triples.edges_to_triples(e))
+    if with_media:
+        # media grounding: interleaved media spans → nearest unified
+        # mention by char offset (KG edges character-[appears_near]->
+        # media_ref). Mention char positions come from the Arrow
+        # offset tokenizer joined back on the token index.
+        r.add("token_offsets", ["documents"],
+              lambda s, d: tokenize.tokens_with_offsets(d))
+        r.add(
+            "media_links", ["documents", "unified_mentions",
+                            "token_offsets"],
+            lambda s, d, u, to: linking.link_media_to_mentions(
+                ingest.media_spans(d),
+                u.join(
+                    to.select(
+                        "doc_id",
+                        F.col("tok_idx").alias("start_idx"),
+                        "char_start",
+                    ),
+                    ["doc_id", "start_idx"],
+                ).select(
+                    "doc_id", "char_start",
+                    F.col("char_id").alias("character"),
+                ),
+            ),
+        )
     if with_speech:
         r.add("quotes", ["tokens"], lambda s, t: quotes.detect_quotes(t))
         r.add("speakers", ["quotes", "unified_mentions"],

@@ -51,6 +51,44 @@ def test_full_runner_and_resume(spark, tmp_path):
     assert {"tokens", "entities", "unified_mentions", "edges", "triples"} <= stages
 
 
+def test_media_links_stage_matches_bruteforce(spark, tmp_path):
+    """The media_links stage output equals the brute-force global
+    argmin over (|offset − char_start|, char_start) per media span."""
+    from renard_spark.sources import ingest
+
+    wd = str(tmp_path / "kg_media")
+    docs = corpus.generate_documents(spark, 8, seed=7)
+    runner = build_runner(spark, docs, wd, with_speech=False)
+    out = runner.run()
+
+    got = {
+        (r.doc_id, r.media_ref): (r.character, r.dist)
+        for r in out["media_links"].collect()
+    }
+
+    offs = {
+        (r.doc_id, r.tok_idx): r.char_start
+        for r in out["token_offsets"].collect()
+    }
+    ments = {}
+    for r in out["unified_mentions"].collect():
+        cs = offs[(r.doc_id, r.start_idx)]
+        ments.setdefault(r.doc_id, []).append((cs, r.char_id))
+    media = ingest.media_spans(out["documents"]).collect()
+    assert len(media) > 0
+
+    want = {}
+    for r in media:
+        cands = ments.get(r.doc_id)
+        if not cands:
+            continue
+        dist, cs, ch = min(
+            (abs(r.offset - cs), cs, ch) for cs, ch in cands
+        )
+        want[(r.doc_id, r.media_ref)] = (ch, dist)
+    assert got == want
+
+
 def test_check_valid_rejects_missing_dep(spark, tmp_path):
     cat = get_catalog(spark, str(tmp_path / "bad"))
     r = StageRunner(spark, cat, inputs={})
