@@ -184,6 +184,40 @@ def test_media_links_no_join_explosion(spark):
         assert node not in plan
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_media_links_randomized_matches_bruteforce(spark, seed):
+    """Operator == brute-force argmin over (dist, char_start) on a
+    randomized (seeded) mention/media layout, including collisions of
+    mention and media positions."""
+    import random
+
+    rng = random.Random(seed)
+    mentions, media = [], []
+    for d in range(12):
+        doc = f"d{d}"
+        n_m = rng.randint(0, 6)
+        starts = rng.sample(range(0, 200), n_m) if n_m else []
+        for cs in starts:
+            mentions.append((doc, cs, f"ch{rng.randint(0, 3)}"))
+        for j in range(rng.randint(0, 4)):
+            media.append(
+                (doc, f"m://{doc}/{j}", "image", rng.randint(0, 200))
+            )
+    got = _media_links(spark, mentions or [("zz", 0, "x")], media)
+
+    by_doc = {}
+    for doc, cs, ch in mentions:
+        by_doc.setdefault(doc, []).append((cs, ch))
+    want = {}
+    for doc, ref, _, off in media:
+        cands = by_doc.get(doc)
+        if not cands:
+            continue
+        dist, cs, ch = min((abs(off - cs), cs, ch) for cs, ch in cands)
+        want[ref] = (ch, dist)
+    assert got == want
+
+
 def test_broadcast_dimension_joins(spark):
     """The alias index and context profile must reach the plan as
     broadcast joins — the KB is a dimension table."""
