@@ -48,6 +48,9 @@ def build_runner(
     min_appearances: int = 0,
     with_speech: bool = True,
     with_media: bool = True,
+    kb_df: DataFrame | None = None,
+    link_prior_weight: float = 0.4,
+    kb_version: str = "v0",
 ) -> StageRunner:
     from renard_spark.pipeline import default_gazetteer
 
@@ -83,6 +86,23 @@ def build_runner(
     )
     r.add("triples", ["edges"],
           lambda s, e: triples.edges_to_triples(e))
+    if kb_df is not None:
+        # KB entity linking as a first-class stage: every alias-
+        # matching token links to its best KB entity (NIL on ties).
+        # The stage table is keyed by (prior_weight, kb_version) —
+        # bump kb_version when the KB contents change, or the
+        # checkpointed links are (correctly) reused.
+        r.inputs["kb"] = kb_df
+        r.add(
+            "entity_links", ["tokens", "kb"],
+            lambda s, t, kb: linking.link_entities(
+                t, kb, prior_weight=link_prior_weight
+            ),
+            config={
+                "prior_weight": link_prior_weight,
+                "kb_version": kb_version,
+            },
+        )
     if with_media:
         # media grounding: interleaved media spans → nearest unified
         # mention by char offset (KG edges character-[appears_near]->

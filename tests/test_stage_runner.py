@@ -89,6 +89,46 @@ def test_media_links_stage_matches_bruteforce(spark, tmp_path):
     assert got == want
 
 
+def test_kb_linking_stage_matches_inline(spark, tmp_path):
+    """The optional entity_links stage equals the direct operator
+    call, and a kb_version bump invalidates only that stage."""
+    from renard_spark.operators import linking, tokenize
+    from renard_spark.sources import ingest
+
+    kb = spark.createDataFrame(
+        [("e_lady", ["lady", "catherine"], ["letter", "village"], 0.7)],
+        "entity_id string, aliases array<string>,"
+        " context array<string>, prior double",
+    )
+    wd = str(tmp_path / "kg_kb")
+    docs = corpus.generate_documents(spark, 6, seed=9)
+    runner = build_runner(
+        spark, docs, wd, with_speech=False, with_media=False, kb_df=kb
+    )
+    out = runner.run()
+    staged = sorted(map(tuple, out["entity_links"].collect()))
+    inline = sorted(
+        map(
+            tuple,
+            linking.link_entities(
+                tokenize.tokens(ingest.normalize_documents(docs)), kb
+            ).collect(),
+        )
+    )
+    assert staged == inline
+    assert len(staged) > 0
+
+    m1 = json.load(open(os.path.join(wd, "_manifest.json")))
+    runner2 = build_runner(
+        spark, docs, wd, with_speech=False, with_media=False, kb_df=kb,
+        kb_version="v1",
+    )
+    runner2.run()
+    m2 = json.load(open(os.path.join(wd, "_manifest.json")))
+    assert m2["entity_links"]["config_hash"] != m1["entity_links"]["config_hash"]
+    assert m2["tokens"]["finished_at"] == m1["tokens"]["finished_at"]
+
+
 def test_check_valid_rejects_missing_dep(spark, tmp_path):
     cat = get_catalog(spark, str(tmp_path / "bad"))
     r = StageRunner(spark, cat, inputs={})
