@@ -56,6 +56,7 @@ def link_entities(
     kb: DataFrame,
     prior_weight: float = 0.4,
     min_margin: float = 1e-9,
+    broadcast_kb: bool = True,
 ) -> DataFrame:
     """Link every alias-matching token to its best KB entity.
 
@@ -66,8 +67,14 @@ def link_entities(
     row per candidate mention; ``entity_id`` is NULL (NIL) when the
     top two scores are within ``min_margin``. ``score`` is the winning
     score either way, rounded to 6 for stable comparison.
+
+    ``broadcast_kb=False`` drops the broadcast hints for KBs too big
+    to ship to every executor (a 100M-entity KB is itself a corpus):
+    the alias/context joins are already equi-keyed, so they degrade to
+    shuffle hash joins — same results, no driver OOM.
     """
-    ali = F.broadcast(alias_index(kb))
+    bc = F.broadcast if broadcast_kb else (lambda df: df)
+    ali = bc(alias_index(kb))
     mentions = tokens_df.select(
         "doc_id",
         "tok_idx",
@@ -81,7 +88,7 @@ def link_entities(
     # context overlap at (doc_id, entity_id) granularity — one row per
     # (candidate doc, entity), NOT per mention: mentions of the same
     # entity in one doc share the doc profile.
-    ctx = F.broadcast(entity_context(kb))
+    ctx = bc(entity_context(kb))
     doc_profile = tokens_df.select(
         "doc_id", F.lower("token").alias("ctx_token")
     ).distinct()

@@ -160,6 +160,13 @@ def main() -> None:
     ap.add_argument("--bench-input", default=None,
                     help="curate mode: parquet path of the benchmark "
                          "slice (else doc_id %% 10 == 0 of the input)")
+    ap.add_argument("--kb", default=None,
+                    help="kg mode: parquet path of a KB table "
+                         "(entity_id, aliases, context, prior) — adds "
+                         "the entity_links stage")
+    ap.add_argument("--kb-version", default="v0",
+                    help="bump when the --kb contents change so the "
+                         "checkpointed entity_links stage recomputes")
     args = ap.parse_args()
 
     spark = get_spark("renard_spark_run", cpus=args.cpus)
@@ -198,7 +205,10 @@ def main() -> None:
             "keep", "split"
         ).show(10, truncate=False)
         return
-    runner = build_runner(spark, docs, args.workdir)
+    kb = spark.read.parquet(args.kb) if args.kb else None
+    runner = build_runner(
+        spark, docs, args.workdir, kb_df=kb, kb_version=args.kb_version
+    )
     out = runner.run(rerun_from=args.rerun_from)
     n = out["triples"].count()
     print(f"triples: {n}")

@@ -218,6 +218,22 @@ def test_media_links_randomized_matches_bruteforce(spark, seed):
     assert got == want
 
 
+def test_unbroadcast_kb_same_results(spark):
+    """broadcast_kb=False (huge-KB path) changes the join strategy,
+    never the links."""
+    docs = {"d1": "hash key merge", "d2": "order slow merge", "d3": "vector"}
+    a = _links(spark, docs, prior_weight=0.4)
+    kb = spark.createDataFrame(KB_ROWS, KB_SCHEMA)
+    out = linking.link_entities(
+        _toks(spark, docs), kb, prior_weight=0.4, broadcast_kb=False
+    )
+    b = {
+        (r["doc_id"], r["tok_idx"]): (r["entity_id"], r["score"], r["n_cands"])
+        for r in out.collect()
+    }
+    assert a == b
+
+
 def test_broadcast_dimension_joins(spark):
     """The alias index and context profile must reach the plan as
     broadcast joins — the KB is a dimension table."""
