@@ -609,6 +609,59 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_OLD_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+DIFF_NEW_SOURCES = ["src5", "src6", "src7", "src8", "src9"]
+
+
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG snapshot diffing at the TRIPLE level
+    (operators/triples.graph_diff): the corpus-global (subj, rel, obj)
+    relation graph of two source slices ("yesterday's" ingest vs
+    "today's") full-outer joined on the triple key → added / removed /
+    changed / same — the incremental-maintenance delta a periodically
+    rebuilt KG table needs (what MERGE INTO against the previous
+    snapshot would compute, emitted as a table). Each slice runs the
+    full relation chain (mentions → pattern triples → resolve →
+    min-occurrence edges) with the source filter pushed to the scan."""
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+
+    def slice_triples(srcs: list[str]) -> DataFrame:
+        d = docs.filter(F.col("source").isin(srcs))
+        toks = tokenize.tokens(d).filter(
+            F.col("token").isin(list(CAST_TOKENS))
+            | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+        ).localCheckpoint(eager=False)
+        unified = unify.naive_unify(
+            ner.dictionary_ner(toks, CAST_TOKENS)
+        ).localCheckpoint(eager=False)
+        raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+        chars = unify.characters_table(unified)
+        resolved = relations.resolve_triples(raw, chars)
+        edges = relations.relational_edges(
+            resolved, min_rel_occurrences=REL_MIN_OCC
+        )
+        return edges.groupBy("subj_char", "rel", "obj_char").agg(
+            F.sum("n").alias("w")
+        )
+
+    out = triples.graph_diff(
+        slice_triples(DIFF_OLD_SOURCES),
+        slice_triples(DIFF_NEW_SOURCES),
+        keys=("subj_char", "rel", "obj_char"),
+        weight_col="w",
+    )
+    return out.select(
+        "subj_char",
+        "rel",
+        "obj_char",
+        F.col("w_old").cast("long").alias("w_old"),
+        F.col("w_new").cast("long").alias("w_new"),
+        "status",
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprints: md5(text) + duplicate-group size."""
     from pyspark.sql import Window
@@ -1405,6 +1458,54 @@ KB_ENTITIES = [
 LINK_PRIOR_W = 0.4
 LINK_MARGIN = 1e-9
 
+# shared oracle chain for the KB-linking queries: appended after
+# _BASE_CTES (which provides toks), ends with linked(doc_id, tok_idx,
+# surface, entity_id['NIL' on ties], score, n_cands)
+_LINK_CTES = f"""
+kb(entity_id, alias, prior) AS (
+  VALUES {", ".join(f"('{e}', '{a}', {p}::DOUBLE)" for e, als, _, p in KB_ENTITIES for a in als)}
+), kbctx(entity_id, ctx_token, n_ctx) AS (
+  VALUES {", ".join(f"('{e}', '{c}', {len(ctx)})" for e, _, ctx, _ in KB_ENTITIES for c in ctx)}
+), kment AS (
+  SELECT doc_id, tok_idx, token AS surface, lower(token) AS al
+  FROM toks
+  WHERE lower(token) IN ({", ".join(sorted({f"'{a}'" for _, als, _, _ in KB_ENTITIES for a in als}))})
+), kcand AS (
+  SELECT mt.doc_id, mt.tok_idx, mt.surface, k.entity_id, k.prior
+  FROM kment mt JOIN kb k ON mt.al = k.alias
+), dprof AS (
+  SELECT DISTINCT doc_id, lower(token) AS ctx_token FROM toks
+), ov AS (
+  SELECT c.doc_id, c.entity_id,
+         count(*)::DOUBLE / greatest(max(kc.n_ctx), 1) AS ctx_score
+  FROM (SELECT DISTINCT doc_id, entity_id FROM kcand) c
+  JOIN kbctx kc ON kc.entity_id = c.entity_id
+  JOIN dprof dp ON dp.doc_id = c.doc_id
+               AND dp.ctx_token = kc.ctx_token
+  GROUP BY c.doc_id, c.entity_id
+), kscored AS (
+  SELECT c.doc_id, c.tok_idx, c.surface, c.entity_id,
+         {LINK_PRIOR_W!r}::DOUBLE * c.prior
+         + {1.0 - LINK_PRIOR_W!r}::DOUBLE
+           * coalesce(ov.ctx_score, 0.0::DOUBLE) AS score
+  FROM kcand c LEFT JOIN ov ON ov.doc_id = c.doc_id
+                           AND ov.entity_id = c.entity_id
+), kranked AS (
+  SELECT doc_id, tok_idx, surface, entity_id, score,
+         row_number() OVER w AS rn, lead(score) OVER w AS nxt,
+         count(*) OVER (PARTITION BY doc_id, tok_idx) AS n_cands
+  FROM kscored
+  WINDOW w AS (PARTITION BY doc_id, tok_idx
+               ORDER BY score DESC, entity_id ASC)
+), linked AS (
+  SELECT doc_id, tok_idx, surface,
+         CASE WHEN nxt IS NOT NULL
+               AND score - nxt < {LINK_MARGIN!r}::DOUBLE
+              THEN 'NIL' ELSE entity_id END AS entity_id,
+         round(score, 6) AS score, n_cands::BIGINT AS n_cands
+  FROM kranked WHERE rn = 1
+)"""
+
 
 def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full relation-extraction chain behind the gate: in-sentence
@@ -1611,6 +1712,55 @@ def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("mention_count"),
     )
     return _long_doc_id(out)
+
+
+def q_kb_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-rule chain in one gate: mention detection →
+    cross-document canonicalization (global alias components) → KB
+    entity linking → majority-vote canonical KB ids
+    (linking.canonicalize_links). Each (first, last) bigram mention
+    instance votes with the doc-level KB link of its LAST token; the
+    component's canonical entity is the vote argmax (ties → smallest
+    entity_id), 'NIL' when no member linked."""
+    from pyspark.sql import Window
+
+    from renard_spark.operators import linking
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    kb = spark.createDataFrame(
+        KB_ENTITIES,
+        "entity_id string, aliases array<string>,"
+        " context array<string>, prior double",
+    )
+    # ONE tokenize pass feeds both consumers (bigram mention detection
+    # needs full adjacency; linking needs alias+context tokens)
+    toks = tokenize.tokens(docs).localCheckpoint(eager=False)
+    w = Window.partitionBy("doc_id").orderBy("tok_idx")
+    big = (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .filter(
+            F.col("token").isin(LINK_FIRSTS) & F.col("nxt").isin(LINK_LASTS)
+        )
+        .select(
+            "doc_id",
+            "tok_idx",
+            F.col("token").alias("fi"),
+            F.concat("token", F.lit(" "), "nxt").alias("mention"),
+        )
+    )
+    comp = big.groupBy("fi").agg(F.min("mention").alias("char_id"))
+    links = linking.link_entities(
+        toks, kb, prior_weight=LINK_PRIOR_W, min_margin=LINK_MARGIN
+    )
+    ml = big.join(comp, "fi").join(
+        links.select(
+            "doc_id",
+            (F.col("tok_idx") - 1).alias("tok_idx"),
+            "entity_id",
+        ),
+        ["doc_id", "tok_idx"],
+    )
+    return linking.canonicalize_links(ml)
 
 
 def q_linked_scale_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2824,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_characters": q_scale_characters,
         "cooccur_edges": q_cooccur_edges,
         "triples": q_triples,
+        "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
         "cumulative_edges": q_cumulative_edges,
@@ -2859,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "character_names": q_character_names,
         "bpe_tokens": q_bpe_tokens,
         "global_characters": q_global_characters,
+        "kb_characters": q_kb_characters,
         "winnow_dups": q_winnow_dups,
         "stream_tokens": q_stream_tokens,
         "stream_triples": q_stream_triples,
@@ -3653,6 +3805,68 @@ FROM c GROUP BY doc_id
             FROM pairs WHERE t1 <> t2
             GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
         """,
+        "graph_diff": "WITH verbs(verb, rel) AS (VALUES "
+        + ", ".join(f"('{v}', '{r}')" for v, r in REL_VERBS.items())
+        + "),"
+        + ",".join(
+            f"""
+t{tag} AS (
+  SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents
+        WHERE source IN ({", ".join(f"'{s}'" for s in srcs)})),
+       LATERAL (SELECT unnest(tl) AS tok,
+                       generate_subscripts(tl, 1) AS i) u
+),
+m{tag} AS (SELECT doc_id, tok_idx, token FROM t{tag}
+           WHERE token IN ({_CAST_SQL})),
+rk{tag} AS (SELECT doc_id, tok_idx, token,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tok_idx) AS r
+            FROM m{tag}),
+adj{tag} AS (
+  SELECT a.doc_id, a.tok_idx AS ai, a.token AS subj,
+         b.tok_idx AS bi, b.token AS obj
+  FROM rk{tag} a JOIN rk{tag} b
+    ON a.doc_id = b.doc_id AND b.r = a.r + 1
+),
+vt{tag} AS (
+  SELECT t.doc_id, t.tok_idx, v.rel
+  FROM t{tag} t JOIN verbs v ON lower(t.token) = v.verb
+),
+hits{tag} AS (
+  SELECT adj.doc_id, adj.subj, adj.obj, vt.rel,
+         row_number() OVER (PARTITION BY adj.doc_id, adj.ai
+                            ORDER BY vt.tok_idx) AS rn
+  FROM adj{tag} adj JOIN vt{tag} vt ON vt.doc_id = adj.doc_id
+    AND vt.tok_idx >= adj.ai + 1 AND vt.tok_idx < adj.bi
+),
+rel{tag} AS (
+  SELECT doc_id, subj, rel, obj, count(*)::BIGINT AS n
+  FROM hits{tag} WHERE rn = 1 AND subj <> obj
+  GROUP BY doc_id, subj, rel, obj
+  HAVING count(*) >= {REL_MIN_OCC}
+),
+e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
+           FROM rel{tag} GROUP BY subj, rel, obj)"""
+            for tag, srcs in (
+                ("a", DIFF_OLD_SOURCES),
+                ("b", DIFF_NEW_SOURCES),
+            )
+        )
+        + """
+            SELECT coalesce(a.subj, b.subj) AS subj_char,
+                   coalesce(a.rel, b.rel) AS rel,
+                   coalesce(a.obj, b.obj) AS obj_char,
+                   coalesce(a.w, 0)::BIGINT AS w_old,
+                   coalesce(b.w, 0)::BIGINT AS w_new,
+                   CASE WHEN a.w IS NULL THEN 'added'
+                        WHEN b.w IS NULL THEN 'removed'
+                        WHEN a.w = b.w THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM ea a FULL OUTER JOIN eb b
+              ON a.subj = b.subj AND a.rel = b.rel AND a.obj = b.obj
+        """,
         # the streaming run must reproduce the batch result exactly
         # (every stage is doc-local), so it shares the triples oracle
         "stream_triples": edges_ctes
@@ -3927,51 +4141,48 @@ FROM c GROUP BY doc_id
             GROUP BY doc_id, subj, rel, obj
             HAVING count(*) >= {REL_MIN_OCC}
         """,
-        "entity_links": _BASE_CTES + f"""
-            , kb(entity_id, alias, prior) AS (
-              VALUES {", ".join(f"('{e}', '{a}', {p}::DOUBLE)" for e, als, _, p in KB_ENTITIES for a in als)}
-            ), kbctx(entity_id, ctx_token, n_ctx) AS (
-              VALUES {", ".join(f"('{e}', '{c}', {len(ctx)})" for e, _, ctx, _ in KB_ENTITIES for c in ctx)}
-            ), ment AS (
-              SELECT doc_id, tok_idx, token AS surface, lower(token) AS al
-              FROM toks
-              WHERE lower(token) IN ({", ".join(sorted({f"'{a}'" for _, als, _, _ in KB_ENTITIES for a in als}))})
-            ), cand AS (
-              SELECT mt.doc_id, mt.tok_idx, mt.surface, k.entity_id, k.prior
-              FROM ment mt JOIN kb k ON mt.al = k.alias
-            ), dprof AS (
-              SELECT DISTINCT doc_id, lower(token) AS ctx_token FROM toks
-            ), ov AS (
-              SELECT c.doc_id, c.entity_id,
-                     count(*)::DOUBLE / greatest(max(kc.n_ctx), 1)
-                       AS ctx_score
-              FROM (SELECT DISTINCT doc_id, entity_id FROM cand) c
-              JOIN kbctx kc ON kc.entity_id = c.entity_id
-              JOIN dprof dp ON dp.doc_id = c.doc_id
-                           AND dp.ctx_token = kc.ctx_token
-              GROUP BY c.doc_id, c.entity_id
-            ), scored AS (
-              SELECT c.doc_id, c.tok_idx, c.surface, c.entity_id,
-                     {LINK_PRIOR_W!r}::DOUBLE * c.prior
-                     + {1.0 - LINK_PRIOR_W!r}::DOUBLE
-                       * coalesce(ov.ctx_score, 0.0::DOUBLE) AS score
-              FROM cand c LEFT JOIN ov ON ov.doc_id = c.doc_id
-                                      AND ov.entity_id = c.entity_id
-            ), ranked AS (
-              SELECT doc_id, tok_idx, surface, entity_id, score,
-                     row_number() OVER w AS rn, lead(score) OVER w AS nxt,
-                     count(*) OVER (PARTITION BY doc_id, tok_idx)
-                       AS n_cands
-              FROM scored
-              WINDOW w AS (PARTITION BY doc_id, tok_idx
-                           ORDER BY score DESC, entity_id ASC)
+        "entity_links": _BASE_CTES + ", " + _LINK_CTES + """
+            SELECT doc_id, tok_idx, surface, entity_id, score, n_cands
+            FROM linked
+        """,
+        # the full chain: bigram mentions -> global components (the
+        # group-by-first equivalence the linked-characters property
+        # test proves for this corpus) -> per-instance KB link of the
+        # LAST token -> majority vote per component
+        "kb_characters": _BASE_CTES + ", " + _LINK_CTES + f""",
+            big AS (
+              SELECT t.doc_id, t.tok_idx, t.token AS fi,
+                     t.token || ' ' || nx.token AS mention
+              FROM toks t JOIN toks nx
+                ON nx.doc_id = t.doc_id AND nx.tok_idx = t.tok_idx + 1
+              WHERE t.token IN ({_LINK_FIRSTS_SQL})
+                AND nx.token IN ({_LINK_LASTS_SQL})
+            ), comp AS (
+              SELECT fi, min(mention) AS char_id
+              FROM (SELECT DISTINCT fi, mention FROM big) GROUP BY fi
+            ), ml AS (
+              SELECT c.char_id, l.entity_id
+              FROM big b
+              JOIN comp c ON c.fi = b.fi
+              JOIN linked l ON l.doc_id = b.doc_id
+                           AND l.tok_idx = b.tok_idx + 1
+            ), tot AS (
+              SELECT char_id, count(*)::BIGINT AS n_mentions
+              FROM ml GROUP BY char_id
+            ), votes AS (
+              SELECT char_id, entity_id, count(*)::BIGINT AS n
+              FROM ml WHERE entity_id <> 'NIL'
+              GROUP BY char_id, entity_id
+            ), best AS (
+              SELECT char_id, entity_id, n,
+                     row_number() OVER (PARTITION BY char_id
+                                        ORDER BY n DESC, entity_id) AS rn
+              FROM votes
             )
-            SELECT doc_id, tok_idx, surface,
-                   CASE WHEN nxt IS NOT NULL
-                         AND score - nxt < {LINK_MARGIN!r}::DOUBLE
-                        THEN 'NIL' ELSE entity_id END AS entity_id,
-                   round(score, 6) AS score, n_cands::BIGINT AS n_cands
-            FROM ranked WHERE rn = 1
+            SELECT t.char_id, coalesce(b.entity_id, 'NIL') AS entity_id,
+                   coalesce(b.n, 0)::BIGINT AS n_linked, t.n_mentions
+            FROM tot t LEFT JOIN best b
+              ON b.char_id = t.char_id AND b.rn = 1
         """,
         "stream_tokens": f"""
             SELECT doc_id, u.i - 1 AS tok_idx, u.tok AS token

@@ -138,6 +138,46 @@ def link_entities(
     )
 
 
+def canonicalize_links(
+    member_links: DataFrame,
+    group_col: str = "char_id",
+    entity_col: str = "entity_id",
+    nil: str = "NIL",
+) -> DataFrame:
+    """Lift mention-level KB links to canonical entities: one row per
+    mention instance (``group_col``, ``entity_col`` nullable for
+    NIL-abstained links) → one row per group with the majority-vote
+    entity (ties → lexicographically smallest), ``nil`` when no
+    member linked.
+
+    This is the canonicalization step between entity linking and graph
+    materialization: unified characters (alias-graph components) vote
+    with their mentions' links, so one noisy link cannot relabel a
+    well-attested character. Two map-side-combined aggregations + one
+    group-keyed argmax window — no driver state, no UDF.
+    """
+    votes = (
+        member_links.filter(F.col(entity_col).isNotNull())
+        .groupBy(group_col, entity_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col(entity_col).asc()
+    )
+    best = votes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    tot = member_links.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    return tot.join(best, group_col, "left").select(
+        group_col,
+        F.coalesce(entity_col, F.lit(nil)).alias(entity_col),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_linked"),
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
+
+
 def link_media_to_mentions(
     media_df: DataFrame, mentions_df: DataFrame
 ) -> DataFrame:

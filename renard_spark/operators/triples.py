@@ -68,3 +68,36 @@ def nodes_table(unified_mentions: DataFrame, tag: str = "PER") -> DataFrame:
     return unified_mentions.select(
         "doc_id", "char_id", F.lit(tag).alias("entity_type")
     ).distinct()
+
+
+def graph_diff(
+    edges_old: DataFrame,
+    edges_new: DataFrame,
+    keys: tuple[str, ...] = ("src", "dst"),
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Diff two KG edge-weight snapshots → (*keys, w_old, w_new,
+    status) with status ∈ added / removed / changed / same — the
+    incremental-maintenance primitive for periodically rebuilt graph
+    tables (what a MERGE INTO against the previous snapshot would
+    compute, expressed engine-side so the delta itself is a table).
+
+    ONE full-outer equi-join on the edge key; weights coalesce to 0 on
+    the missing side. Compose with ``cumulative_edges`` for
+    window-over-window deltas.
+    """
+    a = edges_old.select(*keys, F.col(weight_col).alias("w_old"))
+    b = edges_new.select(*keys, F.col(weight_col).alias("w_new"))
+    j = a.join(b, on=list(keys), how="full_outer")
+    status = (
+        F.when(F.col("w_old").isNull(), F.lit("added"))
+        .when(F.col("w_new").isNull(), F.lit("removed"))
+        .when(F.col("w_old") == F.col("w_new"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *keys,
+        F.coalesce("w_old", F.lit(0)).alias("w_old"),
+        F.coalesce("w_new", F.lit(0)).alias("w_new"),
+        status.alias("status"),
+    )

@@ -218,6 +218,26 @@ def test_media_links_randomized_matches_bruteforce(spark, seed):
     assert got == want
 
 
+def test_canonicalize_links_majority_and_nil(spark):
+    ml = spark.createDataFrame(
+        [
+            ("c1", "e_a"), ("c1", "e_a"), ("c1", "e_b"), ("c1", None),
+            ("c2", "e_x"), ("c2", "e_y"),       # 1-1 tie -> smaller id
+            ("c3", None), ("c3", None),          # nothing linked -> NIL
+        ],
+        "char_id string, entity_id string",
+    )
+    got = {
+        r.char_id: (r.entity_id, r.n_linked, r.n_mentions)
+        for r in linking.canonicalize_links(ml).collect()
+    }
+    assert got == {
+        "c1": ("e_a", 2, 4),
+        "c2": ("e_x", 1, 2),
+        "c3": ("NIL", 0, 2),
+    }
+
+
 def test_unbroadcast_kb_same_results(spark):
     """broadcast_kb=False (huge-KB path) changes the join strategy,
     never the links."""
