@@ -2871,6 +2871,36 @@ PROBE_TOKENS = [
 ]
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 640.0, 64
+HIST_QS = [0.5, 0.9, 0.99]
+
+
+def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (functions/sketch.hist_registers /
+    hist_quantiles): per-source doc-length p50/p90/p99 estimated from
+    a 64-bin fixed-width register table — the quantile member of the
+    mergeable register-row sketch family (count-min / HLL / Bloom).
+    One groupBy to the registers, one ≤nbins-row cumulative window per
+    group; never a per-value sort."""
+    from renard_spark.functions import sketch
+
+    docs = _spread(_documents(spark, sf_dir))
+    regs = sketch.hist_registers(
+        docs, "n_chars", HIST_LO, HIST_HI, HIST_BINS,
+        group_cols=("source",),
+    )
+    out = sketch.hist_quantiles(
+        regs, HIST_QS, HIST_LO, HIST_HI, HIST_BINS,
+        group_cols=("source",),
+    )
+    return out.select(
+        "source",
+        F.round("q", 2).alias("q"),
+        F.round("est", 6).alias("est"),
+        "n",
+    )
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (functions/sketch.count_min): md5-addressed
     d×w register table built in ONE groupBy, probed for a fixed token
@@ -3064,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_assort": q_char_assort,
         "char_modularity": q_char_modularity,
         "cms_counts": q_cms_counts,
+        "len_quantiles": q_len_quantiles,
         "hll_tokens": q_hll_tokens,
         "bloom_seen": q_bloom_seen,
     }
@@ -4371,6 +4402,32 @@ SELECT c.event_id, c.user_id, iv.signup_id
 FROM clicks c JOIN iv
   ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
 """,
+        "len_quantiles": f"""
+            WITH regs AS (
+              SELECT source,
+                     least(greatest(floor((n_chars - {HIST_LO!r})
+                                          / {(HIST_HI - HIST_LO) / HIST_BINS!r}),
+                                    0), {HIST_BINS - 1})::INT AS bin,
+                     count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, bin, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM regs
+            ), qq AS (
+              SELECT cum.*, q
+              FROM cum, (SELECT unnest([{", ".join(repr(q) for q in HIST_QS)}]) AS q)
+            )
+            SELECT source, round(q, 2) AS q,
+                   round({HIST_LO!r}
+                         + (min(CASE WHEN cum >= q * n THEN bin END) + 1)
+                           * {(HIST_HI - HIST_LO) / HIST_BINS!r}, 6) AS est,
+                   max(n)::BIGINT AS n
+            FROM qq GROUP BY source, q
+        """,
         "cms_counts": f"""
 WITH pr AS (SELECT unnest(['spark','customer','window','table','batch','vector','data','merge','zzzmissing']) AS token),
 tk AS (

@@ -184,3 +184,81 @@ def bloom_contains(
     return j.groupBy(key_col).agg(
         F.min(F.coalesce("_hit", F.lit(0))).cast("long").alias("in_bloom")
     )
+
+
+def hist_registers(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-width histogram sketch → (*group_cols, bin, c) register
+    table, the quantile member of the register-row sketch family
+    (count-min / HLL / Bloom): one groupBy over ≤ nbins cells per
+    group, mergeable by union + sum, every register reproducible
+    bit-for-bit in any engine (plain float arithmetic, no internal
+    hash). Values outside [lo, hi) clamp to the edge bins — the
+    declared-range tradeoff that keeps state bounded on 100 TB
+    streams."""
+    width = (hi - lo) / nbins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(nbins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return df.groupBy(*group_cols, b).agg(F.count("*").alias("c"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram register table:
+    est(q) = upper edge of the first bin whose cumulative count
+    reaches q·N (conservative: exact value ≤ est, error ≤ one bin
+    width). → (*group_cols, q, est, n). One cumulative window per
+    group (bin-ordered, ≤ nbins rows per group) + one aggregation —
+    never a per-value sort, which is the point of the sketch at
+    corpus scale."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = registers.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy(*group_cols))
+    )
+    qlit = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    qq = cum.select(*group_cols, "bin", "cum", "n", qlit)
+    return (
+        qq.groupBy(*group_cols, "q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("q") * F.col("n"), F.col("bin")
+                )
+            ).alias("_b"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            *group_cols,
+            "q",
+            (F.lit(lo) + (F.col("_b") + 1) * F.lit(width)).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

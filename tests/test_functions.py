@@ -634,3 +634,55 @@ def test_curate_composes_decisions(spark):
     # the garbage doc fails quality, the bench copy fails contamination
     assert by_id[3].keep == 0
     assert by_id[4].contam_frac >= 0.5 and by_id[4].keep == 0
+
+
+def test_hist_sketch_merge_and_accuracy(spark):
+    """Histogram registers merge by union+sum (two halves == whole),
+    and the quantile estimate sits within one bin width above the
+    exact value."""
+    import numpy as np
+
+    from renard_spark.functions import sketch
+
+    vals = [float((7 * i) % 500) for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, nb = 0.0, 500.0, 50
+    whole = {
+        (r.bin): r.c
+        for r in sketch.hist_registers(df, "x", lo, hi, nb).collect()
+    }
+    h1 = sketch.hist_registers(
+        df.filter("x < 250"), "x", lo, hi, nb
+    )
+    h2 = sketch.hist_registers(
+        df.filter("x >= 250"), "x", lo, hi, nb
+    )
+    merged = {}
+    for r in h1.unionByName(h2).collect():
+        merged[r.bin] = merged.get(r.bin, 0) + r.c
+    assert merged == whole
+
+    regs = sketch.hist_registers(df, "x", lo, hi, nb)
+    got = {
+        r.q: r.est
+        for r in sketch.hist_quantiles(
+            regs, [0.5, 0.9], lo, hi, nb
+        ).collect()
+    }
+    width = (hi - lo) / nb
+    for q, est in got.items():
+        exact = float(np.quantile(np.array(vals), q, method="lower"))
+        assert exact <= est <= exact + 2 * width
+
+
+def test_hist_sketch_clamps_out_of_range(spark):
+    from renard_spark.functions import sketch
+
+    df = spark.createDataFrame(
+        [(-5.0,), (999.0,), (10.0,)], "x double"
+    )
+    regs = {
+        r.bin: r.c
+        for r in sketch.hist_registers(df, "x", 0.0, 100.0, 10).collect()
+    }
+    assert regs == {0: 1, 9: 1, 1: 1}
