@@ -2871,6 +2871,31 @@ PROBE_TOKENS = [
 ]
 
 
+def q_norm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (functions/text.normalize_text) behind the
+    hash gate: the clean driver corpus is deterministically dirtied
+    (tabs, curly quotes, an en dash, doubled spaces, uppercase
+    prefix) and the normalizer must produce byte-identical cleanups in
+    both engines — control chars stripped, unicode punctuation
+    ASCII-unified, whitespace collapsed, edges trimmed. Narrow one-scan
+    plan (translate + regexp_replace, codegen'd)."""
+    from renard_spark.functions import text as tfn
+
+    docs = _spread(_documents(spark, sf_dir))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" \t“"),
+            F.upper(F.expr("substring(text, 1, 8)")),
+            F.lit("”  "),
+            F.col("text"),
+            F.lit(" – end\t"),
+        ).alias("text"),
+    )
+    out = tfn.normalize_text(dirty)
+    return _long_doc_id(out.select("doc_id", "norm_text"))
+
+
 HIST_LO, HIST_HI, HIST_BINS = 0.0, 640.0, 64
 HIST_QS = [0.5, 0.9, 0.99]
 
@@ -3095,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_modularity": q_char_modularity,
         "cms_counts": q_cms_counts,
         "len_quantiles": q_len_quantiles,
+        "norm_text": q_norm_text,
         "hll_tokens": q_hll_tokens,
         "bloom_seen": q_bloom_seen,
     }
@@ -4402,6 +4428,20 @@ SELECT c.event_id, c.user_id, iv.signup_id
 FROM clicks c JOIN iv
   ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts < iv.e
 """,
+        "norm_text": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     ' ' || chr(9) || '“' || upper(substr(text, 1, 8))
+                     || '”  ' || text || ' – end' || chr(9) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     translate(t, '‘’“”–— ', '''''""-- '),
+                     '[\\x00-\\x1F\\x7F]', '', 'g'),
+                     '\\s+', ' ', 'g')) AS norm_text
+            FROM dirty
+        """,
         "len_quantiles": f"""
             WITH regs AS (
               SELECT source,

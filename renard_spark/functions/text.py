@@ -745,3 +745,33 @@ def learn_bpe_merges(
             "freq",
         ).localCheckpoint(eager=True)
     return merges
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Deterministic text normalization — the cleanup pass a training
+    pipeline runs before dedup/quality so near-identical bytes hash
+    identically: control chars stripped, curly quotes / long dashes /
+    NBSP unified to ASCII, whitespace runs collapsed to one space,
+    edges trimmed, optional lowercasing.
+
+    Entirely JVM built-ins (translate + regexp_replace) — narrow, one
+    scan, whole-stage-codegen'd; the 100 TB cost is the read itself.
+    """
+    c = F.col(text_col)
+    # unicode punctuation first so its variants join the ASCII classes
+    c = F.translate(
+        c,
+        "‘’“”–— ",
+        "''\"\"-- ",
+    )
+    c = F.regexp_replace(c, r"[\x00-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return docs.withColumn(out_col, c)

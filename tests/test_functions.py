@@ -686,3 +686,15 @@ def test_hist_sketch_clamps_out_of_range(spark):
         for r in sketch.hist_registers(df, "x", 0.0, 100.0, 10).collect()
     }
     assert regs == {0: 1, 9: 1, 1: 1}
+
+
+def test_normalize_text_rules(spark):
+    from renard_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, " \t“Hello”   world\x01 –  ok \n")], "doc_id int, text string"
+    )
+    got = normalize_text(df).first()["norm_text"]
+    assert got == '"Hello" world - ok'
+    low = normalize_text(df, lowercase=True).first()["norm_text"]
+    assert low == '"hello" world - ok'
