@@ -1670,6 +1670,75 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL entity linking behind the hash gate: the KB-linking
+    stage (alias candidates → context/prior disambiguation → NIL on
+    ties) run by Structured Streaming over three micro-batches through
+    ``foreachBatch`` with idempotent ``batch_id=N`` partitions. The
+    context profile is DOC-local (per-doc token set), so per-batch
+    linking must equal batch linking — the union of micro-batch
+    outputs is checked against the SAME DuckDB oracle as
+    ``entity_links``."""
+    import os
+    import tempfile
+
+    from renard_spark.operators import linking
+
+    out_dir = tempfile.mkdtemp(prefix="renard_stream_links_")
+    in_dir = os.path.join(out_dir, "in")
+    data = os.path.join(out_dir, "data")
+    ckpt = os.path.join(out_dir, "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.parquet(in_dir)
+
+    kb = spark.createDataFrame(
+        KB_ENTITIES,
+        "entity_id string, aliases array<string>,"
+        " context array<string>, prior double",
+    )
+    vocab = sorted(
+        {a for _, als, _, _ in KB_ENTITIES for a in als}
+        | {c for _, _, ctx, _ in KB_ENTITIES for c in ctx}
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        toks = tokenize.tokens(
+            ingest.normalize_documents(batch_df)
+        ).filter(F.col("token").isin(vocab))
+        out = linking.link_entities(
+            toks, kb, prior_weight=LINK_PRIOR_W, min_margin=LINK_MARGIN
+        )
+        part = os.path.join(data, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part, "_SUCCESS")):
+            return
+        out.select(
+            "doc_id", "tok_idx", "surface",
+            F.coalesce("entity_id", F.lit("NIL")).alias("entity_id"),
+            "score", "n_cands",
+        ).write.mode("overwrite").parquet(part)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _long_doc_id(spark.read.parquet(data)).select(
+        "doc_id",
+        F.col("tok_idx").cast("long").alias("tok_idx"),
+        "surface",
+        "entity_id",
+        "score",
+        F.col("n_cands").cast("long").alias("n_cands"),
+    )
+
+
 def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-DOCUMENT canonicalization (north_rule: entity linking +
     canonicalization over the whole table): distributed unification at
@@ -3069,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dups": q_winnow_dups,
         "stream_tokens": q_stream_tokens,
         "stream_triples": q_stream_triples,
+        "stream_links": q_stream_links,
         "relation_edges": q_relation_edges,
         "entity_links": q_entity_links,
         "media_links": q_media_links,
@@ -4199,6 +4269,12 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
             HAVING count(*) >= {REL_MIN_OCC}
         """,
         "entity_links": _BASE_CTES + ", " + _LINK_CTES + """
+            SELECT doc_id, tok_idx, surface, entity_id, score, n_cands
+            FROM linked
+        """,
+        # incremental linking == batch linking (doc-local context), so
+        # the streaming run shares the entity_links oracle
+        "stream_links": _BASE_CTES + ", " + _LINK_CTES + """
             SELECT doc_id, tok_idx, surface, entity_id, score, n_cands
             FROM linked
         """,
