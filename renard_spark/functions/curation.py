@@ -46,6 +46,7 @@ def curate(
     contam_max: float = 0.3,
     split_fracs: dict[str, float] | None = None,
     split_salt: str = "curate:",
+    normalize: bool = False,
 ) -> DataFrame:
     """→ (doc_id, cluster_id, keep_dedup, quality_score, contam_frac,
     keep, split) — one row per training-candidate document.
@@ -53,11 +54,19 @@ def curate(
     Scores and fractions are rounded to 6 decimals BEFORE the argmax /
     threshold comparisons (both engines, same rule), so last-ulp float
     drift can neither flip a cluster survivor nor a threshold decision.
+
+    ``normalize=True`` runs ``text.normalize_text`` over BOTH the
+    training candidates and the benchmark slice first, so whitespace /
+    unicode-punctuation variants of one document dedup and
+    decontaminate as the same bytes.
     """
     from renard_spark.functions import contamination, dedup, text
 
     if split_fracs is None:
         split_fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if normalize:
+        docs = text.normalize_text(docs, out_col="text")
+        bench = text.normalize_text(bench, out_col="text")
 
     pairs = dedup.minhash_dedup(
         docs, w=shingle_w, num_hashes=num_hashes, bands=bands,
@@ -118,6 +127,7 @@ def curation_pipeline(
     contam_max: float = 0.3,
     split_fracs: dict[str, float] | None = None,
     split_salt: str = "curate:",
+    normalize: bool = False,
     rerun_from: str | None = None,
     force: bool = False,
 ) -> dict[str, DataFrame]:
@@ -143,27 +153,42 @@ def curation_pipeline(
         w=shingle_w, num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold,
     )
+    doc_src, bench_src = "documents", "benchmark"
+    if normalize:
+        # normalization as checkpointed stages: the cleaned tables are
+        # what every downstream stage (and a resumed run) reads
+        doc_src, bench_src = "documents_norm", "benchmark_norm"
+        r.add(
+            "documents_norm", ["documents"],
+            lambda sp, d: text.normalize_text(d, out_col="text"),
+            config={},
+        )
+        r.add(
+            "benchmark_norm", ["benchmark"],
+            lambda sp, b: text.normalize_text(b, out_col="text"),
+            config={},
+        )
     r.add(
-        "near_dup_pairs", ["documents"],
+        "near_dup_pairs", [doc_src],
         lambda sp, d: dedup.minhash_dedup(d, **dedup_cfg),
         config=dedup_cfg,
     )
     r.add(
-        "quality", ["documents"],
+        "quality", [doc_src],
         lambda sp, d: text.quality_scores(d).select(
             "doc_id", F.round("quality_score", 6).alias("quality_score")
         ),
         config={},
     )
     r.add(
-        "contamination", ["documents", "benchmark"],
+        "contamination", [doc_src, bench_src],
         lambda sp, d, b: contamination.ngram_contamination(
             d, b, w=contam_w
         ).select("doc_id", F.round("frac", 6).alias("contam_frac")),
         config={"w": contam_w},
     )
     r.add(
-        "dedup_decisions", ["documents", "near_dup_pairs", "quality"],
+        "dedup_decisions", [doc_src, "near_dup_pairs", "quality"],
         lambda sp, d, p, q: dedup.dedup_keep_best(d, p, q).select(
             "doc_id", "cluster_id",
             F.col("keep").cast("long").alias("keep_dedup"),

@@ -160,6 +160,10 @@ def main() -> None:
     ap.add_argument("--bench-input", default=None,
                     help="curate mode: parquet path of the benchmark "
                          "slice (else doc_id %% 10 == 0 of the input)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="curate mode: normalize text (whitespace/"
+                         "unicode cleanup) before dedup/quality/"
+                         "decontamination")
     ap.add_argument("--kb", default=None,
                     help="kg mode: parquet path of a KB table "
                          "(entity_id, aliases, context, prior) — adds "
@@ -199,7 +203,8 @@ def main() -> None:
             train = lab.filter(F.col("_slice") == "train").drop("_slice")
             bench = lab.filter(F.col("_slice") == "bench").drop("_slice")
         out = curation_pipeline(
-            spark, train, bench, args.workdir, rerun_from=args.rerun_from
+            spark, train, bench, args.workdir,
+            normalize=args.normalize, rerun_from=args.rerun_from,
         )
         out["curated"].groupBy("keep", "split").count().orderBy(
             "keep", "split"

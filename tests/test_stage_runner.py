@@ -179,3 +179,41 @@ def test_curation_pipeline_resumes_and_matches_inline(spark, tmp_path):
     for r in q6.values():
         if r.keep == 1:
             assert r.quality_score >= 0.6
+
+
+def test_curation_normalize_stage_matches_inline(spark, tmp_path):
+    """normalize=True: whitespace/unicode variants of one document
+    dedup together, and the staged pipeline equals the inline curate."""
+    from renard_spark.functions.curation import curate, curation_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs into the woods where it finds a quiet stream"
+    )
+    dirty = " \t" + base.replace(" the ", "  the ") + "  "
+    docs = spark.createDataFrame(
+        [(1, base), (2, dirty), (3, base + " unrelated tail here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "completely different benchmark text")],
+        "doc_id long, text string",
+    )
+    kw = dict(contam_w=5, quality_min=0.0, contam_max=0.9, normalize=True)
+    inline = {r.doc_id: r for r in curate(docs, bench, **kw).collect()}
+    # doc 2 normalizes to doc 1's exact bytes -> same cluster (equal
+    # quality), and the whole cluster keeps exactly one survivor
+    assert inline[1].cluster_id == inline[2].cluster_id
+    assert inline[1].quality_score == inline[2].quality_score
+    cluster = inline[1].cluster_id
+    keepers = [
+        r for r in inline.values()
+        if r.cluster_id == cluster and r.keep_dedup == 1
+    ]
+    assert len(keepers) == 1
+
+    wd = str(tmp_path / "curate_norm")
+    staged = curation_pipeline(spark, docs, bench, wd, **kw)
+    got = sorted(map(tuple, staged["curated"].collect()))
+    want = sorted(map(tuple, curate(docs, bench, **kw).collect()))
+    assert got == want
