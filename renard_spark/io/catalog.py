@@ -58,6 +58,56 @@ class ParquetCatalog:
             shutil.rmtree(p)
 
 
+class BucketedCatalog:
+    """Session-catalog stage tables written with TRUE Spark bucketing
+    (``bucketBy(N, key).sortBy(key).saveAsTable``) — unlike the
+    parquet-dir stand-in, the bucket metadata survives the write, so a
+    downstream join or aggregation of two stage tables bucketed on the
+    same key with the same bucket count runs with ZERO Exchange (plan-
+    guarded in test_bucketed_catalog_join_has_no_exchange). This is the
+    local-mode equivalent of Iceberg's ``bucket(N, doc_id)`` partition
+    transform: co-location decided at write time, shuffles eliminated
+    at read time.
+
+    ``prefix`` namespaces table names inside the shared session
+    catalog (saveAsTable is warehouse-global, not workdir-local), so
+    two concurrent staged runs don't collide.
+    """
+
+    def __init__(self, spark: SparkSession, prefix: str,
+                 default_buckets: int = 8):
+        self.spark = spark
+        # root doubles as the StageRunner manifest directory
+        self.root = prefix
+        os.makedirs(prefix, exist_ok=True)
+        self.prefix = "".join(
+            ch if ch.isalnum() else "_" for ch in prefix
+        ).strip("_")
+        self.default_buckets = default_buckets
+
+    def path(self, name: str) -> str:
+        return f"{self.prefix}__{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.path(name))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite",
+              bucket_by: str | None = None, num_buckets: int = 0) -> None:
+        w = df.write.mode(mode).format("parquet")
+        key = bucket_by or ("doc_id" if "doc_id" in df.columns else None)
+        if key:
+            w = w.bucketBy(num_buckets or self.default_buckets, key).sortBy(
+                key
+            )
+        w.saveAsTable(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self.path(name))
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+
+
 class IcebergCatalog:
     """Iceberg-backed stage tables: same contract as ParquetCatalog.
 

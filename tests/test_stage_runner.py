@@ -217,3 +217,55 @@ def test_curation_normalize_stage_matches_inline(spark, tmp_path):
     got = sorted(map(tuple, staged["curated"].collect()))
     want = sorted(map(tuple, curate(docs, bench, **kw).collect()))
     assert got == want
+
+
+def test_bucketed_catalog_join_has_no_exchange(spark, tmp_path):
+    """Stage tables written through BucketedCatalog carry real bucket
+    metadata: a doc_id join of two of them plans with ZERO Exchange —
+    the co-located-join contract the Iceberg bucket(N, doc_id)
+    transform provides in production."""
+    from renard_spark.io.catalog import BucketedCatalog
+
+    cat = BucketedCatalog(spark, str(tmp_path / "bcat"), default_buckets=4)
+    a = spark.range(500).selectExpr("cast(id as string) doc_id", "id*2 v")
+    b = spark.range(500).selectExpr("cast(id as string) doc_id", "id*3 w")
+    try:
+        cat.write("ta", a)
+        cat.write("tb", b)
+        assert cat.exists("ta") and cat.exists("tb")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        try:
+            j = cat.read("ta").join(cat.read("tb"), "doc_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert "Bucketed: true" in plan
+            assert j.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        cat.drop("ta")
+        cat.drop("tb")
+
+
+def test_bucketed_catalog_backs_stage_runner(spark, tmp_path):
+    from renard_spark.io.catalog import BucketedCatalog
+
+    cat = BucketedCatalog(spark, str(tmp_path / "bstage"))
+    r = StageRunner(
+        spark, cat,
+        inputs={"docs": spark.range(10).selectExpr(
+            "cast(id as string) doc_id", "id v")},
+    )
+    r.add("doubled", ["docs"],
+          lambda s, d: d.selectExpr("doc_id", "v * 2 AS v2"))
+    try:
+        out = r.run()
+        assert out["doubled"].count() == 10
+        # resume: stage table found by name, not recomputed
+        r2 = StageRunner(spark, cat, inputs={"docs": None})
+        r2.add("doubled", ["docs"], lambda s, d: (_ for _ in ()).throw(
+            AssertionError("must not recompute")))
+        assert r2.run()["doubled"].count() == 10
+    finally:
+        cat.drop("doubled")
