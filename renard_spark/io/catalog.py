@@ -69,43 +69,90 @@ class BucketedCatalog:
     transform: co-location decided at write time, shuffles eliminated
     at read time.
 
-    ``prefix`` namespaces table names inside the shared session
-    catalog (saveAsTable is warehouse-global, not workdir-local), so
-    two concurrent staged runs don't collide.
+    Tables are EXTERNAL: data lives under the workdir (``root``), the
+    session catalog holds only metadata. Because the sandbox's
+    in-memory catalog forgets metadata when the session ends, every
+    write drops a ``_bucketspec.json`` sidecar (schema DDL + bucket
+    spec) next to the data, and ``exists`` re-registers an orphaned
+    table from it — so cross-session resume keeps BOTH the data and
+    the zero-Exchange bucketing (re-registration is a metadata-only
+    CREATE TABLE ... CLUSTERED BY ... LOCATION). ``prefix`` namespaces
+    the session-catalog table names so concurrent runs don't collide.
     """
 
-    def __init__(self, spark: SparkSession, prefix: str,
+    def __init__(self, spark: SparkSession, root: str,
                  default_buckets: int = 8):
         self.spark = spark
         # root doubles as the StageRunner manifest directory
-        self.root = prefix
-        os.makedirs(prefix, exist_ok=True)
+        self.root = root
+        os.makedirs(root, exist_ok=True)
         self.prefix = "".join(
-            ch if ch.isalnum() else "_" for ch in prefix
+            ch if ch.isalnum() else "_" for ch in root
         ).strip("_")
         self.default_buckets = default_buckets
 
     def path(self, name: str) -> str:
         return f"{self.prefix}__{name}"
 
+    def _loc(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
     def exists(self, name: str) -> bool:
-        return self.spark.catalog.tableExists(self.path(name))
+        import json
+
+        if self.spark.catalog.tableExists(self.path(name)):
+            return True
+        loc = self._loc(name)
+        spec_p = os.path.join(loc, "_bucketspec.json")
+        if not (
+            os.path.exists(spec_p)
+            and os.path.exists(os.path.join(loc, "_SUCCESS"))
+        ):
+            return False
+        # orphaned table from a previous session: metadata-only
+        # re-registration, bucketing declared so joins stay
+        # Exchange-free
+        with open(spec_p) as f:
+            spec = json.load(f)
+        cluster = (
+            f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']})"
+            f" INTO {spec['n']} BUCKETS "
+            if spec.get("key")
+            else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE {self.path(name)} ({spec['ddl']})"
+            f" USING parquet {cluster}LOCATION '{loc}'"
+        )
+        return True
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite",
               bucket_by: str | None = None, num_buckets: int = 0) -> None:
-        w = df.write.mode(mode).format("parquet")
+        import json
+        import shutil as _sh
+
+        ident = self.path(name)
+        loc = self._loc(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        _sh.rmtree(loc, ignore_errors=True)
         key = bucket_by or ("doc_id" if "doc_id" in df.columns else None)
+        n = num_buckets or self.default_buckets
+        w = df.write.mode(mode).format("parquet")
         if key:
-            w = w.bucketBy(num_buckets or self.default_buckets, key).sortBy(
-                key
-            )
-        w.saveAsTable(self.path(name))
+            w = w.bucketBy(n, key).sortBy(key)
+        w.option("path", loc).saveAsTable(ident)
+        ddl = df._jdf.schema().toDDL()
+        with open(os.path.join(loc, "_bucketspec.json"), "w") as f:
+            json.dump({"ddl": ddl, "key": key, "n": n}, f)
 
     def read(self, name: str) -> DataFrame:
         return self.spark.table(self.path(name))
 
     def drop(self, name: str) -> None:
+        import shutil as _sh
+
         self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+        _sh.rmtree(self._loc(name), ignore_errors=True)
 
 
 class IcebergCatalog:
@@ -185,12 +232,16 @@ class IcebergCatalog:
 
 def get_catalog(
     spark: SparkSession, root: str
-) -> ParquetCatalog | IcebergCatalog:
+) -> ParquetCatalog | BucketedCatalog | IcebergCatalog:
     """Dispatch on the session config: a ``root`` of the form
     ``catalog.db`` whose catalog has a ``spark.sql.catalog.<catalog>``
-    implementation configured gets the Iceberg catalog; filesystem
-    paths (or unconfigured names) fall back to parquet directories with
-    the identical API."""
+    implementation configured gets the Iceberg catalog; a
+    ``bucketed:/path`` root gets the true-bucketing session-catalog
+    backend (shuffle-free doc_id joins between stage tables);
+    filesystem paths (or unconfigured names) fall back to parquet
+    directories with the identical API."""
+    if root.startswith("bucketed:"):
+        return BucketedCatalog(spark, root.split(":", 1)[1])
     if "/" not in root and not root.startswith("."):
         cat = root.split(".", 1)[0]
         impl = spark.conf.get(f"spark.sql.catalog.{cat}", None)

@@ -269,3 +269,35 @@ def test_bucketed_catalog_backs_stage_runner(spark, tmp_path):
         assert r2.run()["doubled"].count() == 10
     finally:
         cat.drop("doubled")
+
+
+def test_bucketed_catalog_cross_session_reregister(spark, tmp_path):
+    """Orphaned bucketed stage tables (the in-memory catalog forgot
+    them — a new session) re-register from the _bucketspec sidecar
+    with bucketing intact: joins still plan with zero Exchange."""
+    from renard_spark.io.catalog import BucketedCatalog
+
+    root = str(tmp_path / "bfs")
+    cat = BucketedCatalog(spark, root, default_buckets=4)
+    a = spark.range(200).selectExpr("cast(id as string) doc_id", "id*2 v")
+    b = spark.range(200).selectExpr("cast(id as string) doc_id", "id*3 w")
+    try:
+        cat.write("ra", a)
+        cat.write("rb", b)
+        # simulate a fresh session: metadata gone, files remain
+        spark.sql(f"DROP TABLE {cat.path('ra')}")
+        spark.sql(f"DROP TABLE {cat.path('rb')}")
+        assert not spark.catalog.tableExists(cat.path("ra"))
+        assert cat.exists("ra") and cat.exists("rb")  # re-registered
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        try:
+            j = cat.read("ra").join(cat.read("rb"), "doc_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert j.count() == 200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        cat.drop("ra")
+        cat.drop("rb")
