@@ -695,6 +695,24 @@ def q_dynamic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity spans of dynamic edges
+    (operators/triples.edge_validity): first/last active window,
+    active-snapshot count, and peak-weight window (ties → earliest)
+    per KG edge — the temporal companion of cumulative_edges and
+    graph_diff, one aggregation over the dynamic edge table."""
+    ev = triples.edge_validity(_dynamic_edges(spark, sf_dir))
+    return _long_doc_id(
+        ev.select(
+            "doc_id", "src", "dst",
+            F.col("first_w").cast("long").alias("first_w"),
+            F.col("last_w").cast("long").alias("last_w"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("peak_w").cast("long").alias("peak_w"),
+        )
+    )
+
+
 def q_cumulative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative dynamic graph: per-edge running weight across
     snapshots (reference graph_utils.py:11-42)."""
@@ -3101,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
+        "edge_spans": q_edge_spans,
         "cumulative_edges": q_cumulative_edges,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -4034,6 +4053,22 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
             )
             SELECT doc_id, window_id, src, dst, cw::BIGINT AS weight
             FROM cum WHERE cw > 0
+        """,
+        "edge_spans": _BASE_CTES + _DYN_CTES + """
+            , espan AS (
+              SELECT doc_id, src, dst, window_id, weight,
+                     row_number() OVER (PARTITION BY doc_id, src, dst
+                                        ORDER BY weight DESC,
+                                                 window_id ASC) AS rn
+              FROM dyn_edges
+            )
+            SELECT doc_id, src, dst,
+                   min(window_id)::BIGINT AS first_w,
+                   max(window_id)::BIGINT AS last_w,
+                   count(*)::BIGINT AS n_windows,
+                   min(CASE WHEN rn = 1 THEN window_id END)::BIGINT
+                     AS peak_w
+            FROM espan GROUP BY doc_id, src, dst
         """,
         "quality_scores": _ORACLE_QUALITY,
         "language_id": _ORACLE_LANGID,

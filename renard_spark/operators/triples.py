@@ -101,3 +101,23 @@ def graph_diff(
         F.coalesce("w_new", F.lit(0)).alias("w_new"),
         status.alias("status"),
     )
+
+
+def edge_validity(dyn_edges: DataFrame) -> DataFrame:
+    """Temporal validity spans of dynamic-graph edges:
+    (doc_id, src, dst, first_w, last_w, n_windows, peak_w) — when each
+    KG edge appears, disappears, how many snapshots it is active in,
+    and its strongest window (ties → earliest). The temporal-KG
+    companion of ``cumulative_edges`` (running weight) and
+    ``graph_diff`` (snapshot deltas), from ONE map-side-combined
+    aggregation over the dynamic edge table.
+    """
+    return dyn_edges.groupBy("doc_id", "src", "dst").agg(
+        F.min("window_id").alias("first_w"),
+        F.max("window_id").alias("last_w"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max_by(
+            "window_id",
+            F.struct(F.col("weight"), -F.col("window_id")),
+        ).alias("peak_w"),
+    )

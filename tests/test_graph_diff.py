@@ -31,3 +31,19 @@ def test_graph_diff_empty_old_is_all_added(spark):
     assert [(r.src, r.dst, r.w_old, r.w_new, r.status) for r in rows] == [
         ("x", "y", 0, 7, "added")
     ]
+
+
+def test_edge_validity_spans_and_peak_tie(spark):
+    dyn = spark.createDataFrame(
+        [
+            ("d", 0, "a", "b", 2), ("d", 1, "a", "b", 5),
+            ("d", 3, "a", "b", 5), ("d", 2, "a", "c", 1),
+        ],
+        "doc_id string, window_id int, src string, dst string, weight long",
+    )
+    got = {
+        (r.src, r.dst): (r.first_w, r.last_w, r.n_windows, r.peak_w)
+        for r in triples.edge_validity(dyn).collect()
+    }
+    # peak tie (w=5 at windows 1 and 3) -> earliest window
+    assert got == {("a", "b"): (0, 3, 3, 1), ("a", "c"): (2, 2, 1, 2)}
