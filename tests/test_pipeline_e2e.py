@@ -68,3 +68,63 @@ def test_distributed_generator_matches_driver_side(spark):
         for r in dist
     }
     assert got == want
+
+
+def test_pipeline_edge_case_documents(spark, tmp_path):
+    """Degenerate inputs through the FULL staged pipeline: empty text,
+    media-only spans, no-mention docs, and a normal doc — no stage may
+    crash, and the normal doc still yields triples."""
+    from renard_spark.run import build_runner
+
+    def spans(*items):
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in items
+        ]
+
+    rows = [
+        ("empty", spans(("text", "", None, 0))),
+        ("media_only", spans(("image", None, "img://m/0", 0))),
+        ("no_mentions", spans(("text", "nothing to see here.", None, 0))),
+        (
+            "normal",
+            spans(
+                ("text", "Elizabeth Bennet talked with Jane Bennet. ", None, 0),
+                ("image", None, "img://n/0", 42),
+                ("text", "Elizabeth Bennet danced with Jane Bennet.", None, 42),
+            ),
+        ),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType(), True),
+                            T.StructField("media_ref", T.StringType(), True),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    docs = spark.createDataFrame(rows, schema)
+    runner = build_runner(spark, docs, str(tmp_path / "edge_kg"))
+    out = runner.run()
+
+    trip = out["triples"].collect()
+    assert {r.doc_id for r in trip} == {"normal"}
+    assert len(trip) > 0
+    # media grounding: the normal doc's image links to a mention; the
+    # media-only doc (no mentions) drops out
+    ml = {r.doc_id for r in out["media_links"].collect()}
+    assert ml == {"normal"}
+    # lineage preserves every input row, including the degenerate ones
+    assert out["lineage"].count() == 4
