@@ -24,8 +24,9 @@ STOPWORDS = [
 # closed-class words, chosen to minimize cross-language collisions)
 STOPWORDS_BY_LANG: dict[str, list[str]] = {
     "en": STOPWORDS,
-    # ASCII-only entries: TOKEN_RE splits non-ASCII letters, so accented
-    # function words (être, für, él) can never match a token anyway
+    # ASCII-heavy entries by frequency; TOKEN_RE is unicode-aware, so
+    # accented function words WOULD match — these lists simply lead
+    # with the highest-frequency unaccented forms
     "fr": [
         "le", "la", "les", "un", "une", "des", "et", "ou", "de", "du",
         "dans", "sur", "est", "sont", "il", "elle", "nous", "vous",

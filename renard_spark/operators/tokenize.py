@@ -24,10 +24,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# word characters (incl. apostrophes) run, else any single non-space char.
+# word characters (incl. apostrophes) run, else any single non-space
+# char. UNICODE-aware (\p{L}\p{N}) so accented / non-Latin text
+# tokenizes like the reference's NLTK path ("José" is ONE token, not
+# "Jos"+"é") — required for the reference's lang="fra" support.
 # RE2-compatible (no lookaround) so the DuckDB oracle can run the same
-# pattern via regexp_extract_all.
-TOKEN_RE = r"[A-Za-z0-9_']+|[^A-Za-z0-9_'\s]"
+# pattern via regexp_extract_all; Python's `re` lacks \p{} classes, so
+# the driver-side twin uses TOKEN_RE_PY (\w is unicode in Python) —
+# tri-engine equality is pinned by test_token_re_dialects_agree.
+TOKEN_RE = r"[\p{L}\p{N}_']+|[^\p{L}\p{N}_'\s]"
+TOKEN_RE_PY = r"[\w']+|[^\w'\s]"
 # sentence boundary: after terminal punctuation, before whitespace.
 # Java-regex lookbehind (Spark side); test-oracle replicates in pandas.
 SENT_SPLIT_RE = r"(?<=[.!?])\s+"
@@ -154,7 +160,7 @@ def doc_tokens(tokens_df: DataFrame) -> DataFrame:
     )
 
 
-_TOKEN_PAT = re.compile(TOKEN_RE)
+_TOKEN_PAT = re.compile(TOKEN_RE_PY)
 _SENT_PAT = re.compile(SENT_SPLIT_RE)
 
 

@@ -263,3 +263,41 @@ def test_broadcast_dimension_joins(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_re_dialects_agree(spark):
+    """TOKEN_RE (Java/RE2 dialect) and TOKEN_RE_PY (Python dialect)
+    tokenize unicode text identically across Spark, Python re, and
+    DuckDB — the tri-engine contract behind every gated query."""
+    import re
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from renard_spark.operators.tokenize import TOKEN_RE, TOKEN_RE_PY
+
+    samples = [
+        "José parlait avec Hélène à l'époque.",
+        "Überraschung! Ça va? naïve café №5",
+        "日本語のテキスト and English mixed 123",
+        "don't — em—dash …ellipsis 'quoted'",
+        "é combining, ß, Ørsted, Łukasz",
+        "plain ascii text with_underscores and 42 numbers",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, s string"
+    )
+    jvm = {
+        r["i"]: list(r["t"])
+        for r in df.select(
+            "i", F.regexp_extract_all("s", F.lit(TOKEN_RE), 0).alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        py = re.findall(TOKEN_RE_PY, s)
+        dd = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, TOKEN_RE]
+        ).fetchone()[0]
+        assert py == jvm[i] == dd, s

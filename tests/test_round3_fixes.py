@@ -597,7 +597,7 @@ def test_span_candidates_match_pure_helpers(spark):
     """DataFrame span enumeration == the pure-parity spans/spans_indexs
     helpers (reference utils.py:9-36), incl. the one-token no-span and
     len<=max_len quirks."""
-    from renard_spark.operators.tokenize import TOKEN_RE
+    from renard_spark.operators.tokenize import TOKEN_RE_PY
     from renard_spark.operators.utils import (
         span_candidates, spans, spans_indexs,
     )
@@ -612,9 +612,42 @@ def test_span_candidates_match_pure_helpers(spark):
             (r["start_idx"], r["end_idx"], r["span_text"])
         )
     for doc_id, text in rows:
-        toks = re.findall(TOKEN_RE, text)
+        toks = re.findall(TOKEN_RE_PY, text)
         want = [
             (i0, i1, " ".join(s))
             for (i0, i1), s in zip(spans_indexs(toks, 3), spans(toks, 3))
         ]
         assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
+
+
+def test_unicode_corpus_through_kg_chain(spark):
+    """Accented text tokenizes like the reference's NLTK path ("José"
+    is ONE token) and flows through mention detection → unification →
+    co-occurrence edges — the lang="fra" parity the old ASCII TOKEN_RE
+    broke."""
+    from renard_spark.operators import cooccur, ner, tokenize, unify
+    from renard_spark.sources import ingest
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "Hélène parlait avec José. José souriait à Hélène."),
+            ("2", "Hélène et José dansaient ensemble à l'époque."),
+        ],
+        "doc_id string, text string",
+    )
+    toks = tokenize.tokens(ingest.normalize_documents(docs))
+    got = [r.token for r in toks.filter("doc_id='1'").orderBy("tok_idx").collect()]
+    assert got == [
+        "Hélène", "parlait", "avec", "José", ".",
+        "José", "souriait", "à", "Hélène", ".",
+    ]
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, ["Hélène", "José"])
+    )
+    edges = cooccur.cooccurrence_edges(
+        unified.select("doc_id", "char_id", "start_idx", "end_idx"),
+        3, "tokens",
+    )
+    assert sorted(map(tuple, edges.collect())) == [
+        ("1", "Hélène", "José", 4), ("2", "Hélène", "José", 1),
+    ]
