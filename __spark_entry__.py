@@ -609,6 +609,30 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KG_NEG_K = 2
+
+
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling over the flagship
+    triple table (operators/triples.negative_samples): per distinct
+    corpus-level positive, KG_NEG_K md5-slotted corruption candidates
+    joined against the two-phase-ranked entity vocabulary, minus
+    true-positive and self collisions — the training-pair generator a
+    KG-embedding pipeline (TransE-family) needs downstream of the KG
+    build. Hash-slot arithmetic is the engines' shared md5 idiom, so
+    the survivor set is bit-identical under the oracle."""
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    trip = triples.edges_to_triples(edges)
+    neg = triples.negative_samples(trip, k=KG_NEG_K)
+    return neg.select(
+        "subj", "pred", "obj",
+        F.col("neg_i").cast("long").alias("neg_i"),
+        "neg_obj",
+    )
+
+
 DIFF_OLD_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
 DIFF_NEW_SOURCES = ["src5", "src6", "src7", "src8", "src9"]
 
@@ -1595,6 +1619,30 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cands",
         )
     )
+
+
+def q_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-form prior distillation (operators/linking.alias_priors)
+    over this corpus's link decisions: P(entity | alias) + abstention
+    counts per alias — the bootstrap table the NEXT linking round's
+    ``prior`` column comes from. Reuses the entity_links chain, so the
+    gate covers link → distill end to end."""
+    from renard_spark.operators import linking
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    kb = spark.createDataFrame(
+        KB_ENTITIES,
+        "entity_id string, aliases array<string>,"
+        " context array<string>, prior double",
+    )
+    vocab = {a for _, als, _, _ in KB_ENTITIES for a in als} | {
+        c for _, _, ctx, _ in KB_ENTITIES for c in ctx
+    }
+    toks = _toks_ckpt(tokenize.tokens(docs), vocab)
+    links = linking.link_entities(
+        toks, kb, prior_weight=LINK_PRIOR_W, min_margin=LINK_MARGIN
+    )
+    return linking.alias_priors(links)
 
 
 def q_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3116,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_characters": q_scale_characters,
         "cooccur_edges": q_cooccur_edges,
         "triples": q_triples,
+        "kg_negatives": q_kg_negatives,
+        "alias_priors": q_alias_priors,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -3950,6 +4000,52 @@ FROM c GROUP BY doc_id
                    count(*)::BIGINT AS weight
             FROM pairs WHERE t1 <> t2
             GROUP BY doc_id, least(t1, t2), greatest(t1, t2)
+        """,
+        "kg_negatives": edges_ctes
+        + f""",
+trip AS (
+  SELECT DISTINCT least(t1, t2) AS subj, 'interacts_with' AS pred,
+         greatest(t1, t2) AS obj
+  FROM pairs WHERE t1 <> t2
+), ents AS (
+  SELECT subj AS entity FROM trip UNION SELECT obj FROM trip
+), eidx AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+  FROM ents
+), cand AS (
+  SELECT t.subj, t.pred, t.obj, i.i AS neg_i,
+         ('0x' || substr(md5('neg:' || i.i::VARCHAR || '|' || t.subj
+                          || '|' || t.pred || '|' || t.obj), 1, 8))::BIGINT
+           % (SELECT count(*) FROM ents) AS slot
+  FROM trip t, (SELECT unnest(range({KG_NEG_K})) AS i) i
+)
+SELECT c.subj, c.pred, c.obj, c.neg_i::BIGINT AS neg_i,
+       e.entity AS neg_obj
+FROM cand c JOIN eidx e ON e.idx = c.slot
+WHERE e.entity <> c.subj
+  AND NOT EXISTS (SELECT 1 FROM trip p
+                  WHERE p.subj = c.subj AND p.pred = c.pred
+                    AND p.obj = e.entity)
+        """,
+        "alias_priors": _BASE_CTES + ", " + _LINK_CTES + """,
+pa AS (
+  SELECT lower(surface) AS alias,
+         CASE WHEN entity_id = 'NIL' THEN NULL ELSE entity_id END
+           AS entity_id,
+         count(*)::BIGINT AS n
+  FROM linked GROUP BY 1, 2
+), pt AS (
+  SELECT alias,
+         sum(CASE WHEN entity_id IS NOT NULL THEN n ELSE 0 END)::BIGINT
+           AS n_linked,
+         sum(CASE WHEN entity_id IS NULL THEN n ELSE 0 END)::BIGINT
+           AS n_nil
+  FROM pa GROUP BY alias
+)
+SELECT pa.alias, pa.entity_id, pa.n,
+       round(pa.n * 1.0 / pt.n_linked, 6) AS prior, pt.n_nil
+FROM pa JOIN pt ON pt.alias = pa.alias
+WHERE pa.entity_id IS NOT NULL
         """,
         "graph_diff": "WITH verbs(verb, rel) AS (VALUES "
         + ", ".join(f"('{v}', '{r}')" for v, r in REL_VERBS.items())

@@ -252,3 +252,43 @@ def link_media_to_mentions(
         )
         .filter(F.col("character").isNotNull())
     )
+
+
+def alias_priors(links_df: DataFrame) -> DataFrame:
+    """Distill a surface-form prior table from mention-level link
+    decisions — the Wikipedia-anchor-style P(entity | alias) dictionary
+    a KB bootstraps its NEXT linking round's ``prior`` column from
+    (engine addition; generalizes the static per-entity prior the
+    reference's identify_character has no learned analog of).
+
+    ``links_df``: (surface, entity_id nullable, ...) — the output of
+    ``link_entities`` (NIL abstentions are NULL). → one row per
+    (alias, entity_id) with entity_id non-null: mention count ``n``,
+    ``prior`` = n / Σ n over the alias's linked mentions (round 6),
+    and the alias's abstention count ``n_nil``.
+
+    Two map-side-combined aggregations + one alias-keyed window — the
+    same shape as ``canonicalize_links``; no driver state, no UDF.
+    """
+    per = links_df.groupBy(
+        F.lower(F.col("surface")).alias("alias"), "entity_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("alias")
+    linked = F.sum(
+        F.when(F.col("entity_id").isNotNull(), F.col("n")).otherwise(F.lit(0))
+    ).over(w)
+    nil = F.sum(
+        F.when(F.col("entity_id").isNull(), F.col("n")).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        per.withColumn("_linked", linked)
+        .withColumn("n_nil", nil.cast("long"))
+        .filter(F.col("entity_id").isNotNull())
+        .select(
+            "alias",
+            "entity_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("_linked"), 6).alias("prior"),
+            "n_nil",
+        )
+    )

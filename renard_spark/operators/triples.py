@@ -121,3 +121,92 @@ def edge_validity(dyn_edges: DataFrame) -> DataFrame:
             F.struct(F.col("weight"), -F.col("window_id")),
         ).alias("peak_w"),
     )
+
+
+def negative_samples(
+    triples_df: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding
+    training (TransE-style object corruption): for each distinct
+    positive triple and i in [0, k), replace the object with the
+    entity at dense index md5("neg:<i>|subj|pred|obj") mod V, then
+    DROP candidates that collide with a true positive or with the
+    subject ("filtered" sampling — drop, don't resample, so the op is
+    one deterministic pass with no RNG state; the expected survivor
+    count is k·(1 − d/V) with d the mean out-degree).
+
+    The entity vocabulary is distinct subjects ∪ objects with a dense
+    index from the two-phase global rank (entity order) — never a
+    single-partition window; the index table is joined equi on the
+    hash slot, not broadcast (a 100M-entity vocabulary is itself a
+    corpus). Driver-side scalars: one count (V).
+
+    → (subj, pred, obj, neg_i, neg_obj), one row per SURVIVING
+    candidate. Engine addition (training-data op); the reference has
+    no analog.
+    """
+    from renard_spark.operators.utils import global_running_total
+
+    pos = triples_df.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    # two consumers (entity vocab, candidate generation) + the range
+    # partitioner's sampling pass — truncate the upstream lineage once
+    pos = pos.localCheckpoint(eager=True)
+
+    ents = (
+        pos.select(F.col("subj").alias("entity"))
+        .unionByName(pos.select(F.col("obj").alias("entity")))
+        .distinct()
+        .withColumn("_one", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n_entities = ents.count()
+    eidx = global_running_total(ents, "_one", ["entity"], out_col="idx").select(
+        "entity", F.col("idx").cast("long").alias("idx")
+    )
+
+    cand = pos.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_i"),
+    ).withColumn(
+        "_slot",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.concat(F.lit("neg:"), F.col("neg_i")),
+                            "subj",
+                            "pred",
+                            "obj",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_entities),
+        ),
+    )
+    neg = (
+        cand.join(eidx, cand["_slot"] == eidx["idx"])
+        .drop("_slot", "idx")
+        .withColumnRenamed("entity", "neg_obj")
+        .filter(F.col("neg_obj") != F.col("subj"))
+    )
+    true_objs = pos.select("subj", "pred", F.col("obj").alias("neg_obj"))
+    return neg.join(true_objs, ["subj", "pred", "neg_obj"], "left_anti").select(
+        "subj", "pred", "obj", "neg_i", "neg_obj"
+    )

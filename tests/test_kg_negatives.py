@@ -1,0 +1,57 @@
+"""Deterministic filtered negative sampling (operators/triples.
+negative_samples) — the KG-embedding training-pair generator."""
+
+import hashlib
+
+from renard_spark.operators.triples import negative_samples
+
+
+def _spark_triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+TRIPLES = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("carol", "likes", "dave"),
+    ("dave", "knows", "erin"),
+]
+
+
+def _expected(rows, k):
+    """Pure-python twin of the sampling contract."""
+    pos = sorted(set(rows))
+    ents = sorted({s for s, _, _ in pos} | {o for _, _, o in pos})
+    out = []
+    for s, p, o in pos:
+        for i in range(k):
+            key = f"neg:{i}|{s}|{p}|{o}"
+            slot = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % len(ents)
+            cand = ents[slot]
+            if cand == s or (s, p, cand) in set(pos):
+                continue
+            out.append((s, p, o, i, cand))
+    return sorted(out)
+
+
+def test_negative_samples_match_pure_twin(spark):
+    got = sorted(
+        tuple(r)
+        for r in negative_samples(_spark_triples(spark, TRIPLES), k=3).collect()
+    )
+    assert got == _expected(TRIPLES, 3)
+    # filtered semantics: no survivor collides with a positive or self
+    pos = set(TRIPLES)
+    for s, p, _o, _i, cand in got:
+        assert cand != s and (s, p, cand) not in pos
+
+
+def test_negative_samples_partition_invariant(spark):
+    """Same survivors regardless of input partitioning / duplication —
+    the determinism a task retry or AQE re-plan must not break."""
+    df1 = _spark_triples(spark, TRIPLES).repartition(1)
+    df7 = _spark_triples(spark, TRIPLES * 3).repartition(7)  # dups collapse
+    a = sorted(tuple(r) for r in negative_samples(df1, k=2).collect())
+    b = sorted(tuple(r) for r in negative_samples(df7, k=2).collect())
+    assert a == b and len(a) > 0

@@ -301,3 +301,30 @@ def test_token_re_dialects_agree(spark):
             "SELECT regexp_extract_all(?, ?)", [s, TOKEN_RE]
         ).fetchone()[0]
         assert py == jvm[i] == dd, s
+
+
+def test_alias_priors_distillation(spark):
+    """Hand-built link decisions → P(entity|alias) with abstention
+    counts: priors sum to 1 per alias, NILs excluded from the
+    numerator but reported."""
+    from renard_spark.operators.linking import alias_priors
+
+    links = spark.createDataFrame(
+        [
+            ("Paris", "ent_paris_fr"),
+            ("paris", "ent_paris_fr"),
+            ("Paris", "ent_paris_tx"),
+            ("Paris", None),          # NIL abstention
+            ("Lyon", "ent_lyon"),
+        ],
+        "surface string, entity_id string",
+    )
+    got = {
+        (r["alias"], r["entity_id"]): (r["n"], r["prior"], r["n_nil"])
+        for r in alias_priors(links).collect()
+    }
+    assert got == {
+        ("paris", "ent_paris_fr"): (2, 0.666667, 1),
+        ("paris", "ent_paris_tx"): (1, 0.333333, 1),
+        ("lyon", "ent_lyon"): (1, 1.0, 0),
+    }
