@@ -1621,6 +1621,37 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed 2-hop composition over the relational edges
+    (operators/relations.relation_paths): the path-evidence table for
+    KG-completion rules (a -rel1-> m -rel2-> b with midpoint count and
+    bottleneck support), downstream of the full relation chain."""
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(
+        resolved, min_rel_occurrences=REL_MIN_OCC
+    )
+    # the edge table feeds BOTH sides of the composition self-join —
+    # truncate so the relation chain executes once, not twice
+    edges = _long_doc_id(edges).localCheckpoint(eager=False)
+    return relations.relation_paths(edges).select(
+        "doc_id", "subj", "rel1", "rel2", "obj",
+        F.col("n_mids").cast("long").alias("n_mids"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
 def q_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-form prior distillation (operators/linking.alias_priors)
     over this corpus's link decisions: P(entity | alias) + abstention
@@ -3166,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": q_triples,
         "kg_negatives": q_kg_negatives,
         "alias_priors": q_alias_priors,
+        "relation_paths": q_relation_paths,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -3293,6 +3325,38 @@ pairs AS (
 )
 """
     )
+    # the relation-extraction chain as a reusable CTE block ending in
+    # re(doc_id, subj_char, rel, obj_char, n) — shared by
+    # relation_edges and relation_paths
+    rel_ctes = _BASE_CTES + f"""
+            , rk AS (
+              SELECT doc_id, tok_idx, token,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tok_idx) AS r
+              FROM m
+            ), adj AS (
+              SELECT a.doc_id, a.tok_idx AS ai, a.token AS subj,
+                     b.tok_idx AS bi, b.token AS obj
+              FROM rk a JOIN rk b
+                ON a.doc_id = b.doc_id AND b.r = a.r + 1
+            ), verbs(verb, rel) AS (
+              VALUES {", ".join(f"('{v}', '{r}')" for v, r in REL_VERBS.items())}
+            ), vt AS (
+              SELECT t.doc_id, t.tok_idx, v.rel
+              FROM toks t JOIN verbs v ON lower(t.token) = v.verb
+            ), hits AS (
+              SELECT adj.doc_id, adj.subj, adj.obj, vt.rel,
+                     row_number() OVER (PARTITION BY adj.doc_id, adj.ai
+                                        ORDER BY vt.tok_idx) AS rn
+              FROM adj JOIN vt ON vt.doc_id = adj.doc_id
+                AND vt.tok_idx >= adj.ai + 1 AND vt.tok_idx < adj.bi
+            ), re AS (
+              SELECT doc_id, subj AS subj_char, rel, obj AS obj_char,
+                     count(*)::BIGINT AS n
+              FROM hits WHERE rn = 1 AND subj <> obj
+              GROUP BY doc_id, subj, rel, obj
+              HAVING count(*) >= {REL_MIN_OCC}
+            )"""
     # corpus-global character graph + the PageRank rounds unrolled as
     # chained CTEs (DuckDB recursive CTEs cannot aggregate over the
     # recursive reference, so fixed iterations are generated here —
@@ -4370,34 +4434,18 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
             JOIN nn ON nn.doc_id = m.doc_id AND nn.char_id = c.char_id
             GROUP BY m.doc_id, c.char_id, nn.n_names, 3
         """,
-        "relation_edges": _BASE_CTES + f"""
-            , rk AS (
-              SELECT doc_id, tok_idx, token,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY tok_idx) AS r
-              FROM m
-            ), adj AS (
-              SELECT a.doc_id, a.tok_idx AS ai, a.token AS subj,
-                     b.tok_idx AS bi, b.token AS obj
-              FROM rk a JOIN rk b
-                ON a.doc_id = b.doc_id AND b.r = a.r + 1
-            ), verbs(verb, rel) AS (
-              VALUES {", ".join(f"('{v}', '{r}')" for v, r in REL_VERBS.items())}
-            ), vt AS (
-              SELECT t.doc_id, t.tok_idx, v.rel
-              FROM toks t JOIN verbs v ON lower(t.token) = v.verb
-            ), hits AS (
-              SELECT adj.doc_id, adj.subj, adj.obj, vt.rel,
-                     row_number() OVER (PARTITION BY adj.doc_id, adj.ai
-                                        ORDER BY vt.tok_idx) AS rn
-              FROM adj JOIN vt ON vt.doc_id = adj.doc_id
-                AND vt.tok_idx >= adj.ai + 1 AND vt.tok_idx < adj.bi
-            )
-            SELECT doc_id, subj AS subj_char, rel, obj AS obj_char,
-                   count(*)::BIGINT AS n
-            FROM hits WHERE rn = 1 AND subj <> obj
-            GROUP BY doc_id, subj, rel, obj
-            HAVING count(*) >= {REL_MIN_OCC}
+        "relation_edges": rel_ctes + """
+            SELECT doc_id, subj_char, rel, obj_char, n FROM re
+        """,
+        "relation_paths": rel_ctes + """
+            SELECT a.doc_id, a.subj_char AS subj, a.rel AS rel1,
+                   b.rel AS rel2, b.obj_char AS obj,
+                   count(*)::BIGINT AS n_mids,
+                   sum(least(a.n, b.n))::BIGINT AS support
+            FROM re a JOIN re b ON b.doc_id = a.doc_id
+                              AND b.subj_char = a.obj_char
+            WHERE b.obj_char <> a.subj_char
+            GROUP BY 1, 2, 3, 4, 5
         """,
         "entity_links": _BASE_CTES + ", " + _LINK_CTES + """
             SELECT doc_id, tok_idx, surface, entity_id, score, n_cands

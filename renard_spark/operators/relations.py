@@ -222,3 +222,41 @@ def relational_edges(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_rel_occurrences)
     )
+
+
+def relation_paths(rel_edges: DataFrame) -> DataFrame:
+    """Typed 2-hop relation composition over the relational edge table
+    — the path-evidence table a KG-completion rule miner consumes
+    (engine addition; downstream of the reference's relational graph):
+    for every a -rel1-> m -rel2-> b within a document, one row per
+    (doc, a, rel1, rel2, b) with the distinct-midpoint count and the
+    bottleneck support Σ min(n₁, n₂).
+
+    ONE equi-join on (doc_id, midpoint) + one map-side-combined
+    aggregation; per-doc relation graphs are sparse, so fanout is
+    bounded by midpoint degree (hub skew is AQE's skew-join case).
+    Self-paths (b == a) are excluded.
+    """
+    a = rel_edges.select(
+        "doc_id",
+        F.col("subj_char").alias("subj"),
+        F.col("rel").alias("rel1"),
+        F.col("obj_char").alias("_mid"),
+        F.col("n").alias("_n1"),
+    )
+    b = rel_edges.select(
+        "doc_id",
+        F.col("subj_char").alias("_mid"),
+        F.col("rel").alias("rel2"),
+        F.col("obj_char").alias("obj"),
+        F.col("n").alias("_n2"),
+    )
+    return (
+        a.join(b, ["doc_id", "_mid"])
+        .filter(F.col("obj") != F.col("subj"))
+        .groupBy("doc_id", "subj", "rel1", "rel2", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_mids"),
+            F.sum(F.least("_n1", "_n2")).alias("support"),
+        )
+    )

@@ -55,3 +55,31 @@ def test_negative_samples_partition_invariant(spark):
     a = sorted(tuple(r) for r in negative_samples(df1, k=2).collect())
     b = sorted(tuple(r) for r in negative_samples(df7, k=2).collect())
     assert a == b and len(a) > 0
+
+
+def test_relation_paths_composition(spark):
+    """Hand-built typed edges → 2-hop paths with midpoint count and
+    bottleneck support; self-paths excluded."""
+    from renard_spark.operators.relations import relation_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("d", "a", "knows", "m1", 3),
+            ("d", "a", "knows", "m2", 1),
+            ("d", "m1", "likes", "b", 2),
+            ("d", "m2", "likes", "b", 5),
+            ("d", "m1", "likes", "a", 9),   # would be a self-path a->..->a
+            ("e", "a", "knows", "m1", 1),   # other doc: no second hop
+        ],
+        "doc_id string, subj_char string, rel string, obj_char string, n long",
+    )
+    got = sorted(tuple(r) for r in relation_paths(edges).collect())
+    # a-knows->m1-likes->b (min(3,2)=2) and a-knows->m2-likes->b
+    # (min(1,5)=1): one grouped row, 2 midpoints, support 3.
+    # m1-likes->a has no outgoing edge from a EXCEPT a->m1/m2 (knows):
+    # m1 -likes-> a -knows-> m1 is a self-path (obj==subj) → excluded
+    # for m1, but m1 -likes-> a -knows-> m2 survives.
+    assert got == [
+        ("d", "a", "knows", "likes", "b", 2, 3),
+        ("d", "m1", "likes", "knows", "m2", 1, 1),
+    ]
