@@ -883,10 +883,15 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via the blocked-GEMM path (similarity.
+    cosine_topk_blocked) — bit-identical to the sequential-fold
+    cosine_topk/DuckDB oracle (GEMM selects, a vectorized element-order
+    fold recomputes survivor cosines), with n·n_blocks·(k+4) candidate
+    rows through the final window instead of n² join rows."""
     from renard_spark.functions import similarity
 
     emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
-    t = similarity.cosine_topk(emb, k=3)
+    t = similarity.cosine_topk_blocked(emb, k=3)
     return t.select(
         "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )

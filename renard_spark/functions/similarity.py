@@ -76,6 +76,123 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    emb: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 4096,
+    cushion: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine via BLOCK-MATRIX GEMM — same results as
+    ``cosine_topk`` (pytest-pinned frame equality), built for the
+    scale shape: instead of materializing n² scored pair ROWS through
+    a join, vectors are grouped into ⌈n/block_rows⌉ blocks (one
+    groupBy), every block PAIR flows through one Arrow batch where
+    BLAS computes the m×m cosine tile, and only each row's local
+    top-(k+cushion) survives — n·n_blocks·(k+cushion) candidate rows
+    into the global top-k window instead of n².
+
+    Bit-compatibility with the sequential-fold oracle: the GEMM only
+    SELECTS candidates; the emitted cosines are recomputed with a
+    64-step element-order double fold (vectorized across pairs), so
+    values, ties, and ranks match ``cosine_topk``/DuckDB exactly
+    unless GEMM-vs-sequential rounding (~1 ulp) crosses the local
+    selection boundary — that is what ``cushion`` absorbs.
+
+    Like ``cosine_topk`` this is the per-bucket re-rank primitive at
+    corpus scale (see module docstring); the block-pair cross join is
+    n_blocks² rows of block structs, never row-level. Driver-side
+    scalar: one count (n). Sibling ``cosine_topk_arrow`` trades the
+    bit-exactness and the no-driver-collect property for a simpler
+    broadcast-matrix design (≤1e-9 value drift) — this one can sit
+    behind the value-hash gate."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks)).alias(
+            "_bid"
+        ),
+    )
+    # one row per block; feeds BOTH sides of the pair join
+    blocks = (
+        v.groupBy("_bid")
+        .agg(F.collect_list("vid").alias("ids"), F.collect_list("vec").alias("vecs"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = blocks.select(
+        F.col("ids").alias("a_ids"), F.col("vecs").alias("a_vecs")
+    ).crossJoin(
+        F.broadcast(
+            blocks.select(F.col("ids").alias("b_ids"), F.col("vecs").alias("b_vecs"))
+        )
+    )
+
+    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # element-order sequential fold in doubles, vectorized across
+        # PAIRS: bit-identical to the zip_with/aggregate fold and the
+        # DuckDB list fold (row count varies, order of += does not)
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
+    def run(batches):
+        take = k + cushion
+        for pdf in batches:
+            rows = []
+            for r in range(len(pdf)):
+                a_ids = np.asarray(pdf["a_ids"].iloc[r], dtype=np.int64)
+                b_ids = np.asarray(pdf["b_ids"].iloc[r], dtype=np.int64)
+                A = np.array(list(pdf["a_vecs"].iloc[r]), dtype=np.float64)
+                B = np.array(list(pdf["b_vecs"].iloc[r]), dtype=np.float64)
+                na = np.sqrt(_seq_dot(A, A))
+                nb = np.sqrt(_seq_dot(B, B))
+                G = (A @ B.T) / np.outer(na, nb)  # selection only
+                G[a_ids[:, None] == b_ids[None, :]] = -np.inf  # self
+                m = min(take, G.shape[1])
+                top = np.argpartition(-G, m - 1, axis=1)[:, :m]
+                ai = np.repeat(np.arange(G.shape[0]), m)
+                bi = top.ravel()
+                keep = G[ai, bi] > -np.inf
+                ai, bi = ai[keep], bi[keep]
+                # exact sequential recompute for the survivors
+                cos = _seq_dot(A[ai], B[bi]) / (na[ai] * nb[bi])
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": a_ids[ai],
+                            "neighbor_id": b_ids[bi],
+                            "cosine": cos,
+                        }
+                    )
+                )
+            yield pd.concat(rows) if rows else pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+
+    cand = pairs.mapInPandas(
+        run, schema="vec_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ------------------------------------------------------------------ IVF
 # Inverted-file ANN: a coarse quantizer partitions vectors into
 # n_centroids cells; queries probe their nprobe nearest cells and

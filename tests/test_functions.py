@@ -698,3 +698,31 @@ def test_normalize_text_rules(spark):
     assert got == '"Hello" world - ok'
     low = normalize_text(df, lowercase=True).first()["norm_text"]
     assert low == '"hello" world - ok'
+
+
+def test_cosine_topk_blocked_bit_exact(spark):
+    """The blocked-GEMM path must equal the JVM fold BIT-EXACTLY
+    (values, ties, ranks) — that is its contract vs cosine_topk_arrow
+    (which allows ulp drift). Multiple blocks exercised."""
+    import random
+
+    from renard_spark.functions.similarity import (
+        cosine_topk, cosine_topk_blocked,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(90)
+    ]
+    # duplicate vectors → exact cosine ties → id tie-break must agree
+    rows += [(90 + i, rows[i][1]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    jvm = sorted(
+        (r.vec_id, r.rank, r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, k=4).collect()
+    )
+    blk = sorted(
+        (r.vec_id, r.rank, r.neighbor_id, r.cosine)
+        for r in cosine_topk_blocked(emb, k=4, block_rows=32).collect()
+    )
+    assert jvm == blk
