@@ -1626,6 +1626,36 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MENTION_CTX_W = 5
+
+
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision example extraction (operators/utils.
+    mention_contexts): ±W-token snippets around every cast mention —
+    the op that turns KG mentions into NER/linking training examples.
+    One tokenize pass feeds both the mention tagger and the per-doc
+    token arrays (lazy localCheckpoint); the snippet is sliced inside
+    the join projection so whole documents never cross a shuffle."""
+    from renard_spark.operators import utils as op_utils
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).localCheckpoint(eager=False)
+    ments = ner.dictionary_ner(toks, CAST_TOKENS).select(
+        "doc_id", "start_idx", "end_idx", "mention_str"
+    )
+    dt = tokenize.doc_tokens(toks)
+    out = op_utils.mention_contexts(ments, dt, w=MENTION_CTX_W)
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            F.col("start_idx").cast("long").alias("start_idx"),
+            "mention_str",
+            F.col("ctx_start").cast("long").alias("ctx_start"),
+            "snippet",
+        )
+    )
+
+
 def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed 2-hop composition over the relational edges
     (operators/relations.relation_paths): the path-evidence table for
@@ -3203,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "alias_priors": q_alias_priors,
         "relation_paths": q_relation_paths,
+        "mention_contexts": q_mention_contexts,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -4441,6 +4472,21 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
         """,
         "relation_edges": rel_ctes + """
             SELECT doc_id, subj_char, rel, obj_char, n FROM re
+        """,
+        "mention_contexts": _BASE_CTES + f""",
+            dt AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+              FROM documents
+            )
+            SELECT m.doc_id, m.tok_idx AS start_idx,
+                   m.token AS mention_str,
+                   greatest(m.tok_idx - {MENTION_CTX_W}, 0) AS ctx_start,
+                   array_to_string(
+                     dt.tl[greatest(m.tok_idx - {MENTION_CTX_W}, 0) + 1
+                           : least(m.tok_idx + 1 + {MENTION_CTX_W},
+                                   len(dt.tl))], ' ') AS snippet
+            FROM m JOIN dt USING (doc_id)
         """,
         "relation_paths": rel_ctes + """
             SELECT a.doc_id, a.subj_char AS subj, a.rel AS rel1,

@@ -286,3 +286,34 @@ def span_candidates(
         .select("doc_id", F.explode(F.expr(body)).alias("s"))
         .select("doc_id", "s.start_idx", "s.end_idx", "s.span_text")
     )
+
+
+def mention_contexts(
+    mentions_df: DataFrame,
+    doc_tokens_df: DataFrame,
+    w: int = 5,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """±w-token context snippets around each mention — the
+    distant-supervision example extractor (engine addition; the
+    training-data op that turns KG mentions into NER/linking training
+    examples at corpus scale).
+
+    ``mentions_df``: (doc_id, start_idx, end_idx, ...passthrough).
+    ``doc_tokens_df``: (doc_id, ``tokens_col`` array<string>) — e.g.
+    ``tokenize.doc_tokens``. ONE doc-equi join; the snippet is sliced
+    in the SAME projection, so only ≤(mention+2w)-token snippets (not
+    whole documents) survive past the join into any later shuffle.
+    → input mention columns + (ctx_start, snippet)."""
+    left = F.greatest(F.col("start_idx") - w, F.lit(0))
+    right = F.least(F.col("end_idx") + w, F.size(tokens_col))
+    j = mentions_df.join(
+        doc_tokens_df.select("doc_id", tokens_col), "doc_id"
+    )
+    return j.select(
+        *mentions_df.columns,
+        left.alias("ctx_start"),
+        F.array_join(
+            F.slice(F.col(tokens_col), left + 1, right - left), " "
+        ).alias("snippet"),
+    )

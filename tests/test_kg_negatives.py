@@ -83,3 +83,29 @@ def test_relation_paths_composition(spark):
         ("d", "a", "knows", "likes", "b", 2, 3),
         ("d", "m1", "likes", "knows", "m2", 1, 1),
     ]
+
+
+def test_mention_contexts_clamped_snippets(spark):
+    """±w snippets clamp at document bounds; mention columns pass
+    through; snippet is the exact token window."""
+    from renard_spark.operators.tokenize import doc_tokens, tokens
+    from renard_spark.operators.utils import mention_contexts
+    from renard_spark.sources.ingest import normalize_documents
+
+    docs = spark.createDataFrame(
+        [("1", "a b c d e f g h")], "doc_id string, text string"
+    )
+    toks = tokens(normalize_documents(docs))
+    ments = spark.createDataFrame(
+        [("1", 0, 1, "a"), ("1", 4, 5, "e"), ("1", 7, 8, "h")],
+        "doc_id string, start_idx int, end_idx int, mention_str string",
+    )
+    got = {
+        r["mention_str"]: (r["ctx_start"], r["snippet"])
+        for r in mention_contexts(ments, doc_tokens(toks), w=2).collect()
+    }
+    assert got == {
+        "a": (0, "a b c"),
+        "e": (2, "c d e f g"),
+        "h": (5, "f g h"),
+    }
