@@ -1802,6 +1802,31 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup-index maintenance behind the hash gate
+    (streaming/dedup.run_incremental_dedup): the (fp → min keep_id,
+    count) state merged across three micro-batches with a commutative
+    monoid, so the final state version must equal the BATCH dedup of
+    the whole corpus regardless of the batch split — checked against
+    the same GROUP BY md5(text) oracle shape as exact_dedup."""
+    import os
+    import tempfile
+
+    from renard_spark.streaming import dedup as sdedup
+
+    out_dir = tempfile.mkdtemp(prefix="renard_stream_dedup_")
+    in_dir = os.path.join(out_dir, "in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.parquet(in_dir)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    final = sdedup.run_incremental_dedup(spark, sdf, out_dir)
+    return final.select("fp", "keep_id", F.col("n").cast("long").alias("n"))
+
+
 def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL entity linking behind the hash gate: the KB-linking
     stage (alias candidates → context/prior disambiguation → NIL on
@@ -3276,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tokens": q_stream_tokens,
         "stream_triples": q_stream_triples,
         "stream_links": q_stream_links,
+        "stream_dedup": q_stream_dedup,
         "relation_edges": q_relation_edges,
         "entity_links": q_entity_links,
         "media_links": q_media_links,
@@ -4504,6 +4530,13 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
         """,
         # incremental linking == batch linking (doc-local context), so
         # the streaming run shares the entity_links oracle
+        # the monoid state's fixpoint == the batch dedup, so the
+        # streaming run shares exact_dedup's oracle shape
+        "stream_dedup": """
+            SELECT md5(text) AS fp, min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY md5(text)
+        """,
         "stream_links": _BASE_CTES + ", " + _LINK_CTES + """
             SELECT doc_id, tok_idx, surface, entity_id, score, n_cands
             FROM linked

@@ -147,3 +147,61 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     # dup '4' both dropped
     assert doc_ids == {"1", "3", "5"}
     assert len(got) == 3
+
+
+def test_incremental_dedup_state_is_order_independent(spark):
+    """The (min keep_id, sum n) merge is a commutative monoid: any
+    batch split/order reaches the same fixpoint — the property that
+    lets stream_dedup share the batch oracle."""
+    from renard_spark.streaming.dedup import (
+        batch_fingerprints, merge_dedup_state,
+    )
+
+    rows = [
+        (7, "xx"), (3, "xx"), (5, "yy"), (1, "xx"), (9, "zz"), (2, "yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches_a = [df.filter(f"doc_id in ({ids})") for ids in ("7,3", "5,1", "9,2")]
+    batches_b = [df.filter(f"doc_id in ({ids})") for ids in ("9,1", "2,7", "5,3")]
+
+    def fold(batches):
+        state = None
+        for b in batches:
+            state = merge_dedup_state(state, batch_fingerprints(b))
+        return sorted(tuple(r) for r in state.collect())
+
+    want = sorted(
+        tuple(r)
+        for r in batch_fingerprints(df).collect()
+    )
+    assert fold(batches_a) == fold(batches_b) == want
+
+
+def test_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """Re-running the stream over the same input + checkpoint leaves
+    the final state identical (versions are overwrite+skip)."""
+    from renard_spark.streaming.dedup import run_incremental_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 4}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(in_dir)
+    work = str(tmp_path / "work")
+
+    def run():
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return sorted(
+            tuple(r)
+            for r in run_incremental_dedup(spark, sdf, work).collect()
+        )
+
+    first = run()
+    second = run()  # no new files: state untouched, same final version
+    assert first == second
+    assert len(first) == 4 and sum(n for _, _, n in first) == 12
