@@ -1626,6 +1626,27 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_N = 10
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (functions/sampling.
+    priority_sample — Duffield/Lund/Thorup priority sampling): top-N
+    token-length-weighted docs per source, priorities w/u from a
+    md5-keyed uniform. Only exact double ops (power-of-two division +
+    one IEEE division, no ln/pow), so priorities are bit-identical
+    across engines and sit behind the value hash unrounded."""
+    from renard_spark.functions import sampling
+
+    docs = _spread(_documents(spark, sf_dir)).select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("w"),
+    )
+    out = sampling.priority_sample(docs, "w", PRIORITY_N, group_col="source")
+    return out.select("doc_id", "source", "priority")
+
+
 MENTION_CTX_W = 5
 
 
@@ -3259,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_priors": q_alias_priors,
         "relation_paths": q_relation_paths,
         "mention_contexts": q_mention_contexts,
+        "priority_sample": q_priority_sample,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -4498,6 +4520,24 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
         """,
         "relation_edges": rel_ctes + """
             SELECT doc_id, subj_char, rel, obj_char, n FROM re
+        """,
+        "priority_sample": f"""
+            WITH wt AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))::DOUBLE
+                       AS w,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       + 1.0) / 4294967296.0 AS u
+              FROM documents
+            ), pr AS (
+              SELECT doc_id, source, w / u AS priority,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY w / u DESC, doc_id ASC)
+                       AS r
+              FROM wt
+            )
+            SELECT doc_id, source, priority FROM pr
+            WHERE r <= {PRIORITY_N}
         """,
         "mention_contexts": _BASE_CTES + f""",
             dt AS (

@@ -137,3 +137,52 @@ def apply_mixture(
         .filter(h < bound)
         .drop(rate_col)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — priority
+    sampling (Duffield, Lund, Thorup, JACM 2007): each row draws a
+    md5-keyed uniform u ∈ (0,1] and gets priority w/u; the top-n
+    priorities (per ``group_col`` when given) are the sample.
+    Heavy rows are near-certain picks (w ≥ threshold ⇒ kept),
+    light rows enter with probability ∝ w — the standard primitive
+    for quality- or length-weighted corpus subsetting with unbiased
+    subset-sum estimates.
+
+    Exactness contract: u = (h+1)/2³² with h the 8-hex md5 prefix —
+    both the sum and the power-of-two division are EXACT in doubles —
+    and priority = w/u is ONE correctly-rounded IEEE division, so
+    priorities are bit-identical in Spark, Python, and DuckDB (no
+    ln/pow, whose libm implementations differ in final ulps). Ties
+    (only possible via md5-prefix collisions) break by the key.
+    Grouped: one shuffle on ``group_col``. Ungrouped: TakeOrdered
+    (per-partition top-n, merged at the driver — n rows, never a
+    single-partition global window).
+
+    → input rows + ``priority``, at most n per group (or n total).
+    """
+    u = (
+        F.conv(_key_hash(key_col, salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**HEX_W))
+    scored = df.withColumn(
+        "priority", F.col(weight_col).cast("double") / u
+    )
+    if group_col is None:
+        return scored.orderBy(
+            F.col("priority").desc(), F.col(key_col).asc()
+        ).limit(n)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_r")
+    )

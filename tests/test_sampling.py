@@ -243,3 +243,67 @@ def test_apply_mixture_rates_and_invariance(spark):
     )
     z = apply_mixture(docs, zero, salt="t:").collect()
     assert all(r.source == "tail" for r in z)
+
+
+def test_priority_sample_pure_twin_and_invariance(spark):
+    """Priorities equal the pure-python w/u twin BIT-EXACTLY, the
+    grouped top-n matches, and the pick is partition-layout
+    invariant."""
+    import hashlib
+
+    from renard_spark.functions.sampling import priority_sample
+
+    rows = [(i, "g" + str(i % 2), float(1 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    def twin():
+        scored = []
+        for i, g, w in rows:
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            u = (h + 1.0) / 4294967296.0
+            scored.append((g, w / u, i))
+        out = {}
+        for g in {r[0] for r in scored}:
+            grp = sorted(
+                [s for s in scored if s[0] == g],
+                key=lambda s: (-s[1], s[2]),
+            )[:5]
+            out.update({(g, i): p for g, p, i in grp})
+        return out
+
+    for parts in (1, 7):
+        got = {
+            (r["grp"], r["doc_id"]): r["priority"]
+            for r in priority_sample(
+                df.repartition(parts), "w", 5, group_col="grp"
+            ).collect()
+        }
+        assert got == twin()  # exact float equality — bit-exact contract
+
+    # ungrouped TakeOrdered path: same top-5 overall
+    flat = sorted(twin().items(), key=lambda kv: -kv[1])[:5]
+    got = [
+        (r["grp"], r["doc_id"])
+        for r in priority_sample(df, "w", 5, group_col=None).collect()
+    ]
+    assert sorted(got) == sorted(k for k, _ in flat)
+
+
+def test_priority_sample_weight_bias(spark):
+    """Across many salts, a 10x-weight row is picked far more often —
+    the weighted semantics (not just determinism)."""
+    from renard_spark.functions.sampling import priority_sample
+
+    rows = [(i, 10.0 if i == 0 else 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = light = 0
+    for s in range(30):
+        picked = {
+            r["doc_id"]
+            for r in priority_sample(
+                df, "w", 3, group_col=None, salt=str(s)
+            ).collect()
+        }
+        heavy += 0 in picked
+        light += 7 in picked
+    assert heavy > 20 and heavy > 3 * light
