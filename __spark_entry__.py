@@ -1626,6 +1626,29 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_MAX_DIST = 150
+
+
+def q_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by EDIT DISTANCE (functions/dedup.
+    edit_distance_verify): LSH band candidates verified with the
+    thresholded banded-DP levenshtein (JVM built-in, O(len·max_dist)
+    per pair, -1 early exit) — the edit-level complement of the
+    Jaccard verifier, catching char-level mutations that shingle bags
+    dilute. Candidate volume is bounded by the same banding as
+    near_dup_pairs."""
+    from renard_spark.functions import dedup
+
+    docs = _documents(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    sh = dedup.shingles(docs.repartition(par), 3).localCheckpoint(
+        eager=True
+    )
+    sigs = dedup.minhash_signatures(sh, 8)
+    cands = dedup.lsh_candidates(dedup.lsh_band_keys(sigs, 4, 8))
+    return dedup.edit_distance_verify(cands, docs, EDIT_MAX_DIST)
+
+
 PRIORITY_N = 10
 
 
@@ -3281,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_paths": q_relation_paths,
         "mention_contexts": q_mention_contexts,
         "priority_sample": q_priority_sample,
+        "edit_near_dups": q_edit_near_dups,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -4353,6 +4377,24 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
                    round(inter::DOUBLE / greatest(union_, 1), 6) AS jaccard
             FROM fullp
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
+        """,
+        "edit_near_dups": _MINHASH_CTES + f"""
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(da.text, db.text)::BIGINT AS dist,
+                   round(levenshtein(da.text, db.text)::DOUBLE
+                         / greatest(greatest(length(da.text),
+                                             length(db.text)), 1),
+                         6) AS ratio
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE levenshtein(da.text, db.text) <= {EDIT_MAX_DIST}
         """,
         "simhash_groups": _ORACLE_SIMHASH,
         "winnow_dups": rf"""

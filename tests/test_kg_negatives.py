@@ -109,3 +109,26 @@ def test_mention_contexts_clamped_snippets(spark):
         "e": (2, "c d e f g"),
         "h": (5, "f g h"),
     }
+
+
+def test_edit_distance_verify_threshold_and_ratio(spark):
+    """Thresholded verification: pairs past max_dist drop (the -1
+    early exit), ratio is dist over the longer text."""
+    from renard_spark.functions.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghiX"),   # dist 1 from doc 1
+            (3, "zzzzzzzzzz"),   # dist 10 from doc 1
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dist"], r["ratio"])
+        for r in edit_distance_verify(cands, docs, max_dist=5).collect()
+    }
+    assert got == {(1, 2): (1, 0.1)}
