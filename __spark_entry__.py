@@ -1731,6 +1731,35 @@ def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RULE_MIN_SUPPORT = 1
+
+
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining (operators/relations.mine_rules)
+    over the corpus KG the relation chain materializes: for every
+    rel1∧rel2⇒rel3 rule, distinct-pair support, body size, PCA
+    denominator, and the two confidences. The KG-completion loop's
+    rule-discovery stage, fed by the same gated relation chain as
+    relation_paths."""
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(
+        resolved, min_rel_occurrences=REL_MIN_OCC
+    )
+    return relations.mine_rules(edges, min_support=RULE_MIN_SUPPORT)
+
+
 def q_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-form prior distillation (operators/linking.alias_priors)
     over this corpus's link decisions: P(entity | alias) + abstention
@@ -3302,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "alias_priors": q_alias_priors,
         "relation_paths": q_relation_paths,
+        "kg_rules": q_kg_rules,
         "mention_contexts": q_mention_contexts,
         "priority_sample": q_priority_sample,
         "edit_near_dups": q_edit_near_dups,
@@ -4605,6 +4635,40 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
                               AND b.subj_char = a.obj_char
             WHERE b.obj_char <> a.subj_char
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "kg_rules": rel_ctes + f"""
+            , kg AS (
+              SELECT DISTINCT subj_char AS subj, rel, obj_char AS obj
+              FROM re
+            ), paths AS (
+              SELECT DISTINCT a.subj, a.rel AS rel1, b.rel AS rel2,
+                              b.obj
+              FROM kg a JOIN kg b ON b.subj = a.obj
+              WHERE b.obj <> a.subj
+            ), body AS (
+              SELECT rel1, rel2, count(*)::BIGINT AS n_body
+              FROM paths GROUP BY 1, 2
+            ), supp AS (
+              SELECT p.rel1, p.rel2, h.rel AS rel3,
+                     count(*)::BIGINT AS support
+              FROM paths p JOIN kg h
+                ON h.subj = p.subj AND h.obj = p.obj
+              GROUP BY 1, 2, 3
+            ), sr3 AS (
+              SELECT DISTINCT subj, rel AS rel3 FROM kg
+            ), pca AS (
+              SELECT p.rel1, p.rel2, s.rel3, count(*)::BIGINT AS n_pca
+              FROM paths p JOIN sr3 s ON s.subj = p.subj
+              GROUP BY 1, 2, 3
+            )
+            SELECT s.rel1, s.rel2, s.rel3, s.support, b.n_body,
+                   c.n_pca,
+                   s.support::DOUBLE / b.n_body AS conf,
+                   s.support::DOUBLE / c.n_pca AS pca_conf
+            FROM supp s
+            JOIN body b USING (rel1, rel2)
+            JOIN pca c USING (rel1, rel2, rel3)
+            WHERE s.support >= {RULE_MIN_SUPPORT}
         """,
         "entity_links": _BASE_CTES + ", " + _LINK_CTES + """
             SELECT doc_id, tok_idx, surface, entity_id, score, n_cands

@@ -260,3 +260,79 @@ def relation_paths(rel_edges: DataFrame) -> DataFrame:
             F.sum(F.least("_n1", "_n2")).alias("support"),
         )
     )
+
+
+def mine_rules(rel_edges: DataFrame, min_support: int = 1) -> DataFrame:
+    """AMIE-style horn-rule mining over the materialized corpus KG
+    (engine addition; the rule-mining stage a KG-completion loop runs
+    downstream of the reference's relational graph,
+    graph_extraction.py:716-762): for every rule
+    ``rel1(a, m) AND rel2(m, b) => rel3(a, b)`` report
+
+    - ``support``  = #distinct body pairs (a, b) the head closes,
+    - ``n_body``   = #distinct body pairs (a, b) overall,
+    - ``n_pca``    = #distinct body pairs whose subject has ANY rel3
+      edge (the partial-completeness denominator of Galárraga et al.,
+      AMIE, WWW'13 — public algorithm),
+    - ``conf`` = support/n_body and ``pca_conf`` = support/n_pca
+      (single IEEE divisions — bit-identical cross-engine).
+
+    Facts are corpus-level: ``distinct (subj, rel, obj)`` over the
+    per-document relational edges, i.e. mining runs on the graph the
+    pipeline materializes, not on per-doc multiplicity. Shapes at
+    scale: one distinct (map-side combined), a midpoint equi-join
+    whose hub skew is AQE's skew-join case, a (subj, obj) head
+    equi-join, and a subject×relation existence join whose fanout is
+    bounded by the relation vocabulary — no cross join, no UDF, no
+    driver loop.
+    """
+    kg = (
+        rel_edges.select(
+            F.col("subj_char").alias("subj"),
+            "rel",
+            F.col("obj_char").alias("obj"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = kg.select(
+        "subj", F.col("rel").alias("rel1"), F.col("obj").alias("_mid")
+    )
+    b = kg.select(
+        F.col("subj").alias("_mid"), F.col("rel").alias("rel2"), "obj"
+    )
+    paths = (
+        a.join(b, "_mid")
+        .filter(F.col("obj") != F.col("subj"))
+        .select("subj", "rel1", "rel2", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    body = paths.groupBy("rel1", "rel2").agg(
+        F.count(F.lit(1)).alias("n_body")
+    )
+    heads = kg.select("subj", F.col("rel").alias("rel3"), "obj")
+    supp = (
+        paths.join(heads, ["subj", "obj"])
+        .groupBy("rel1", "rel2", "rel3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    subj_r3 = kg.select("subj", F.col("rel").alias("rel3")).distinct()
+    pca = (
+        paths.join(subj_r3, "subj")
+        .groupBy("rel1", "rel2", "rel3")
+        .agg(F.count(F.lit(1)).alias("n_pca"))
+    )
+    return (
+        supp.join(body, ["rel1", "rel2"])
+        .join(pca, ["rel1", "rel2", "rel3"])
+        .filter(F.col("support") >= min_support)
+        .select(
+            "rel1", "rel2", "rel3",
+            F.col("support").cast("long").alias("support"),
+            F.col("n_body").cast("long").alias("n_body"),
+            F.col("n_pca").cast("long").alias("n_pca"),
+            (F.col("support") / F.col("n_body")).alias("conf"),
+            (F.col("support") / F.col("n_pca")).alias("pca_conf"),
+        )
+    )

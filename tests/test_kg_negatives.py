@@ -132,3 +132,44 @@ def test_edit_distance_verify_threshold_and_ratio(spark):
         for r in edit_distance_verify(cands, docs, max_dist=5).collect()
     }
     assert got == {(1, 2): (1, 0.1)}
+
+
+def test_mine_rules_amie_golden(spark):
+    """Hand-computed AMIE support/body/PCA on a 5-fact KG.
+
+    Facts: knows(a,b), knows(b,c), likes(a,c), knows(a,c), likes(c,d).
+    Paths (x -r1-> m -r2-> y, y != x), distinct:
+      a-knows-b, b-knows-c  -> (a, knows, knows, c)
+      a-knows-c? via m=c: c has likes(c,d): (a, knows, likes, d) [from
+        knows(a,c)] and (b, knows, likes, d) [from knows(b,c)] and
+        (a, likes, likes, d) [from likes(a,c)]
+    Rule (knows, knows => knows): body {(a,c)}, closed by knows(a,c)
+      -> support 1, n_body 1, conf 1.0; PCA: a has knows edges
+      -> n_pca 1, pca_conf 1.0.
+    Rule (knows, knows => likes): likes(a,c) also closes (a,c)
+      -> support 1; PCA: a has likes -> n_pca 1.
+    Rule (knows, likes => ?): body {(a,d), (b,d)} n_body 2, no head
+      facts close them -> no support rows (min_support=1 drops them).
+    """
+    from renard_spark.operators.relations import mine_rules
+
+    edges = spark.createDataFrame(
+        [
+            (1, "a", "knows", "b", 1),
+            (1, "b", "knows", "c", 2),
+            (2, "a", "likes", "c", 1),
+            (2, "a", "knows", "c", 1),
+            (1, "c", "likes", "d", 1),
+        ],
+        "doc_id long, subj_char string, rel string, obj_char string, n long",
+    )
+    got = {
+        (r["rel1"], r["rel2"], r["rel3"]): (
+            r["support"], r["n_body"], r["n_pca"], r["conf"], r["pca_conf"]
+        )
+        for r in mine_rules(edges).collect()
+    }
+    assert got == {
+        ("knows", "knows", "knows"): (1, 1, 1, 1.0, 1.0),
+        ("knows", "knows", "likes"): (1, 1, 1, 1.0, 1.0),
+    }
