@@ -555,6 +555,26 @@ def q_naive_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document entity salience (operators/unify.
+    character_salience): frequency damped by first-appearance lateness
+    over the unified mentions — head-entity selection for the KG
+    build. Doc lengths come straight off the text scan (one narrow
+    regexp count, no second tokenize-explode pass)."""
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    dl = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+    )
+    unified = unify.naive_unify(ner.dictionary_ner(toks, CAST_TOKENS))
+    return _long_doc_id(unify.character_salience(unified, dl))
+
+
 def q_graph_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphRulesCharacterUnifier PARITY path (per-doc alias graph in
     applyInPandas) on the driver corpus. Cast tokens are distinct
@@ -3332,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_priors": q_alias_priors,
         "relation_paths": q_relation_paths,
         "kg_rules": q_kg_rules,
+        "char_salience": q_char_salience,
         "mention_contexts": q_mention_contexts,
         "priority_sample": q_priority_sample,
         "edit_near_dups": q_edit_near_dups,
@@ -4635,6 +4656,24 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
                               AND b.subj_char = a.obj_char
             WHERE b.obj_char <> a.subj_char
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "char_salience": _BASE_CTES + """
+            , dl AS (
+              SELECT doc_id, count(*)::BIGINT AS n_toks
+              FROM toks GROUP BY doc_id
+            ), pc AS (
+              SELECT doc_id, token AS char_id,
+                     count(*)::BIGINT AS n_mentions,
+                     min(tok_idx)::BIGINT AS first_idx,
+                     max(tok_idx)::BIGINT AS last_idx
+              FROM m GROUP BY doc_id, token
+            )
+            SELECT pc.doc_id, pc.char_id, pc.n_mentions, pc.first_idx,
+                   (pc.last_idx - pc.first_idx)::BIGINT AS spread,
+                   (pc.n_mentions::DOUBLE / dl.n_toks)
+                     * (1.0 - pc.first_idx::DOUBLE / dl.n_toks)
+                     AS salience
+            FROM pc JOIN dl USING (doc_id)
         """,
         "kg_rules": rel_ctes + f"""
             , kg AS (

@@ -171,3 +171,32 @@ def test_dynamic_gexf_two_window_golden(spark, tmp_path):
         "0", [("2.0", "0", "1"), ("5.0", "1", "2")]
     )
     assert edges[("b", "c")] == ("1", [("1.0", "1", "2")])
+
+
+def test_character_salience_hand_values(spark):
+    """Hand-computed salience on one 10-token doc with two characters:
+    alice at positions 0, 4, 9 (n=3, first=0, spread=9,
+    salience=(3/10)*(1-0/10)=0.3) and bob at position 5 (n=1, first=5,
+    spread=0, salience=(1/10)*(1-5/10)=0.05)."""
+    from renard_spark.operators.unify import character_salience
+
+    ments = spark.createDataFrame(
+        [
+            ("d1", "alice", 0),
+            ("d1", "alice", 4),
+            ("d1", "alice", 9),
+            ("d1", "bob", 5),
+        ],
+        "doc_id string, char_id string, start_idx int",
+    )
+    dl = spark.createDataFrame([("d1", 10)], "doc_id string, n_toks long")
+    got = {
+        r["char_id"]: (
+            r["n_mentions"], r["first_idx"], r["spread"], r["salience"]
+        )
+        for r in character_salience(ments, dl).collect()
+    }
+    assert got == {
+        "alice": (3, 0, 9, 0.3),
+        "bob": (1, 5, 0, 0.05),
+    }
