@@ -1646,6 +1646,22 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPJOIN_T = 0.5
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering
+    (functions/dedup.prefix_jaccard_pairs, SSJoin/PPJoin): every pair
+    with token-set Jaccard ≥ 0.5, no false negatives — the auditable
+    complement of the MinHash-LSH candidate path. Candidates come from
+    an equi-join on rare-first prefix tokens only; the token-df table
+    is equi-joined (never broadcast)."""
+    from renard_spark.functions import dedup
+
+    docs = _spread(_documents(spark, sf_dir))
+    return dedup.prefix_jaccard_pairs(docs, PPJOIN_T)
+
+
 EDIT_MAX_DIST = 150
 
 
@@ -3356,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_contexts": q_mention_contexts,
         "priority_sample": q_priority_sample,
         "edit_near_dups": q_edit_near_dups,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -4428,6 +4445,46 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
                    round(inter::DOUBLE / greatest(union_, 1), 6) AS jaccard
             FROM fullp
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
+        """,
+        "ppjoin_pairs": f"""
+            WITH tk AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                       x -> lower(x)))) AS token
+              FROM documents
+            ), dfq AS (
+              SELECT token, count(*)::BIGINT AS df FROM tk GROUP BY token
+            ), sets AS (
+              SELECT doc_id, count(*)::BIGINT AS s FROM tk GROUP BY doc_id
+            ), rk AS (
+              SELECT t.doc_id, t.token,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY d.df, t.token) AS r
+              FROM tk t JOIN dfq d USING (token)
+            ), pref AS (
+              SELECT rk.doc_id, rk.token, s.s
+              FROM rk JOIN sets s USING (doc_id)
+              WHERE rk.r <= s.s - ceil({PPJOIN_T} * s.s) + 1
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.s AS sa, b.s AS sb
+              FROM pref a JOIN pref b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              WHERE least(a.s, b.s) >= {PPJOIN_T} * greatest(a.s, b.s)
+            ), iv AS (
+              SELECT c.doc_a, c.doc_b, c.sa, c.sb,
+                     count(*)::BIGINT AS i
+              FROM cand c
+              JOIN tk ta ON ta.doc_id = c.doc_a
+              JOIN tk tb ON tb.doc_id = c.doc_b
+                        AND tb.token = ta.token
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b, i AS inter,
+                   (sa + sb - i)::BIGINT AS union_,
+                   i::DOUBLE / (sa + sb - i) AS jaccard
+            FROM iv
+            WHERE i::DOUBLE / (sa + sb - i) >= {PPJOIN_T}
         """,
         "edit_near_dups": _MINHASH_CTES + f"""
             , cand AS (

@@ -726,3 +726,42 @@ def test_cosine_topk_blocked_bit_exact(spark):
         for r in cosine_topk_blocked(emb, k=4, block_rows=32).collect()
     )
     assert jvm == blk
+
+
+def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
+    """prefix_jaccard_pairs is an EXACT similarity join: its output
+    must equal brute-force all-pairs token-set Jaccard — no false
+    negatives from the prefix filter, none from the size filter."""
+    import itertools
+    import re as _re
+
+    docs_rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog"),
+        ("d1", "the quick brown fox jumps over the lazy cat"),
+        ("d2", "the quick brown fox leaps over the lazy dog"),
+        ("d3", "completely different content about spark engines"),
+        ("d4", "content about spark engines completely different"),
+        ("d5", "the quick brown fox"),
+        ("d6", "one two three four five six seven eight"),
+        ("d7", "one two three four five nine ten eleven"),
+    ]
+    t = 0.5
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.inter, r.union_, round(r.jaccard, 9))
+        for r in dedup.prefix_jaccard_pairs(docs, t).collect()
+    )
+
+    def toks(s):
+        return set(_re.findall(r"[a-z0-9_']+", s.lower()))
+
+    want = []
+    for (ia, ta), (ib, tb) in itertools.combinations(docs_rows, 2):
+        a, b = toks(ta), toks(tb)
+        i, u = len(a & b), len(a | b)
+        if i / u >= t:
+            lo, hi = sorted((ia, ib))
+            want.append((lo, hi, i, u, round(i / u, 9)))
+    assert got == sorted(want)
+    assert any(j == 1.0 for *_x, j in got)  # d3/d4 permuted duplicate
+    assert len(got) >= 4
