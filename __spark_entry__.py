@@ -1647,19 +1647,37 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPJOIN_T = 0.5
+PPJOIN_W = 3  # 3-token shingles — same item universe as the MinHash path
 
 
 def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering
     (functions/dedup.prefix_jaccard_pairs, SSJoin/PPJoin): every pair
-    with token-set Jaccard ≥ 0.5, no false negatives — the auditable
-    complement of the MinHash-LSH candidate path. Candidates come from
-    an equi-join on rare-first prefix tokens only; the token-df table
-    is equi-joined (never broadcast)."""
+    with 3-shingle-set Jaccard ≥ 0.5, no false negatives — the
+    auditable complement of the MinHash-LSH candidate path, over the
+    same shingle universe. Candidates come from an equi-join on
+    rare-first prefix shingles only; the shingle-df table is
+    equi-joined (never broadcast)."""
     from renard_spark.functions import dedup
 
     docs = _spread(_documents(spark, sf_dir))
-    return dedup.prefix_jaccard_pairs(docs, PPJOIN_T)
+    return dedup.prefix_jaccard_pairs(docs, PPJOIN_T, w=PPJOIN_W)
+
+
+SHARED_SPAN_N = 8
+
+
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup (functions/dedup.shared_spans, Lee et al.
+    2022 semantics): maximal token spans whose every 8-gram occurs in
+    ≥2 distinct documents — the spans a curation pipeline cuts from
+    every copy. Gram document-frequency is one corpus-token shuffle;
+    duplicated positions come back via one gram equi-join; run-merging
+    is a per-doc window. Nothing quadratic, no UDF."""
+    from renard_spark.functions import dedup
+
+    docs = _spread(_documents(spark, sf_dir))
+    return _long_doc_id(dedup.shared_spans(docs, n=SHARED_SPAN_N))
 
 
 EDIT_MAX_DIST = 150
@@ -3373,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "edit_near_dups": q_edit_near_dups,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "shared_spans": q_shared_spans,
         "graph_diff": q_graph_diff,
         "exact_dedup": q_exact_dedup,
         "dynamic_edges": q_dynamic_edges,
@@ -4447,11 +4466,19 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
             WHERE inter::DOUBLE / greatest(union_, 1) >= 0.2
         """,
         "ppjoin_pairs": f"""
-            WITH tk AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                       regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
-                       x -> lower(x)))) AS token
+            WITH t0 AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
               FROM documents
+            ), sh0 AS (
+              SELECT doc_id, CASE WHEN len(tk) >= {PPJOIN_W}
+                THEN list_transform(range(1, len(tk) - {PPJOIN_W} + 2),
+                       i -> array_to_string(
+                              list_slice(tk, i, i + {PPJOIN_W} - 1), ' '))
+                ELSE [array_to_string(tk, ' ')] END AS shs
+              FROM t0
+            ), tk AS (
+              SELECT DISTINCT doc_id, unnest(shs) AS token FROM sh0
             ), dfq AS (
               SELECT token, count(*)::BIGINT AS df FROM tk GROUP BY token
             ), sets AS (
@@ -4485,6 +4512,39 @@ e{tag} AS (SELECT subj, rel, obj, sum(n)::BIGINT AS w
                    i::DOUBLE / (sa + sb - i) AS jaccard
             FROM iv
             WHERE i::DOUBLE / (sa + sb - i) >= {PPJOIN_T}
+        """,
+        "shared_spans": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(
+                       list_slice(toks, i, i + {SHARED_SPAN_N} - 1), ' ')
+                       AS gram
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                         1, len(toks) - {SHARED_SPAN_N} + 1)) AS i
+                FROM tk WHERE len(toks) >= {SHARED_SPAN_N}
+              )
+            ), df AS (
+              SELECT gram
+              FROM (SELECT DISTINCT doc_id, gram FROM g)
+              GROUP BY gram HAVING count(*) >= 2
+            ), dup AS (
+              SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)
+            ), runs AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM dup
+            )
+            SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                   (max(pos) + {SHARED_SPAN_N})::BIGINT AS end_tok,
+                   (max(pos) + {SHARED_SPAN_N} - min(pos))::BIGINT AS n_toks
+            FROM runs GROUP BY doc_id, grp
         """,
         "edit_near_dups": _MINHASH_CTES + f"""
             , cand AS (

@@ -16,7 +16,7 @@ functions involved).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from renard_spark.operators.tokenize import TOKEN_RE
@@ -588,24 +588,31 @@ def edit_distance_verify(
 def prefix_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
+    w: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """EXACT token-set Jaccard similarity join by prefix filtering
+    """EXACT set-Jaccard similarity join by prefix filtering
     (SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
     WWW'08; public algorithms): every pair with Jaccard ≥ threshold is
     returned, no false negatives — the exactness complement of the
     MinHash-LSH candidate path, for when the dedup decision must be
     auditable.
 
-    Prefix-filter theorem: order each doc's distinct tokens by global
-    rarity (ascending document frequency, ties by token); if
-    |A∩B|/|A∪B| ≥ t then A and B must share a token within their first
-    ``s − ⌈t·s⌉ + 1`` tokens. So candidates come from an equi-join on
-    PREFIX tokens only — rare-first ordering keeps prefix posting
+    Items are the doc's distinct lowercased tokens (``w=1``) or its
+    distinct w-token shingles (``w≥2``, same construction as the
+    MinHash family incl. the whole-text fallback under w tokens) —
+    shingles keep the join selective on vocabulary-dense corpora where
+    token SETS converge.
+
+    Prefix-filter theorem: order each doc's distinct items by global
+    rarity (ascending document frequency, ties by item); if
+    |A∩B|/|A∪B| ≥ t then A and B must share an item within their first
+    ``s − ⌈t·s⌉ + 1`` items. So candidates come from an equi-join on
+    PREFIX items only — rare-first ordering keeps prefix posting
     lists short, and the size filter ``min(sa,sb) ≥ t·max(sa,sb)``
-    prunes before verification. Scale shapes: the token-df table is
-    EQUI-joined back (a 100M-token vocabulary is itself a corpus —
+    prunes before verification. Scale shapes: the item-df table is
+    EQUI-joined back (a 100M-item vocabulary is itself a corpus —
     never broadcast), per-doc sort is inside one map-side
     collect_list+array_sort, and verification is one array_intersect
     per surviving candidate. No UDF, no cross join.
@@ -613,17 +620,20 @@ def prefix_jaccard_pairs(
     → (doc_a, doc_b, inter, union_, jaccard) with jaccard ≥ threshold;
     the division is a single IEEE op (bit-identical cross-engine).
     """
-    tok = docs.select(
+    toked = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0),
-                    lambda x: F.lower(x),
-                )
-            )
-        ).alias("token"),
+        F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0).alias("_rawtoks"),
     )
+    if w <= 1:
+        items = F.array_distinct(
+            F.transform(F.col("_rawtoks"), lambda x: F.lower(x))
+        )
+    else:
+        items = shingle_array_from_tokens(F.col("_rawtoks"), w)
+    # explode the expression, not a bound alias (InferFiltersFromGenerate
+    # would re-inline the shingle work below the caller's repartition —
+    # see shingles())
+    tok = toked.select("_id", F.explode(items).alias("token"))
     dfq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     sets = (
         tok.join(dfq, "token")
@@ -688,4 +698,78 @@ def prefix_jaccard_pairs(
     return scored.select(
         "doc_a", "doc_b", "inter",
         F.col("union_").cast("long").alias("union_"), "jaccard",
+    )
+
+
+def shared_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — exact substring
+    deduplication in the sense of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"; public algorithm),
+    with the suffix-array pass re-expressed as n-gram-run detection:
+    a token position is *duplicated* when the n-gram starting there
+    occurs in ≥ ``min_docs`` distinct documents, and maximal runs of
+    consecutive duplicated positions are merged into one span of
+    ``run + n − 1`` tokens. These are exactly the substrings ≥ n tokens
+    that appear (token-aligned) in ≥ min_docs docs, reported maximal —
+    the spans a training-data pipeline cuts out of every copy.
+
+    Scale shape: gram document-frequency is ONE corpus-token shuffle
+    (map-side partial count over per-doc-distinct grams); duplicated
+    positions come back via ONE gram equi-join (the shared-gram table
+    is corpus-sized vocabulary — never broadcast); run-merging is a
+    per-document window (gaps-and-islands), no self-join, nothing
+    quadratic anywhere. No UDF.
+
+    → (doc_id, start_tok, end_tok, n_toks): token-index spans
+    [start_tok, end_tok) with n_toks = end_tok − start_tok ≥ n.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0).alias("_toks"),
+    )
+    # (doc, pos, gram) for every n-gram start position — the explode
+    # child is the expression (not a bound alias): see shingles() /
+    # the InferFiltersFromGenerate note above.
+    grams = toked.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - n + 1),
+                    lambda i: F.array_join(F.slice("_toks", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    dfreq = (
+        grams.select("_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+    )
+    dup_pos = grams.join(dfreq, "gram").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + n).cast("long").alias("end_tok"),
+        )
+        .select(
+            F.col("_id").alias("doc_id"),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok")).alias("n_toks"),
+        )
     )

@@ -765,3 +765,94 @@ def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
     assert got == sorted(want)
     assert any(j == 1.0 for *_x, j in got)  # d3/d4 permuted duplicate
     assert len(got) >= 4
+
+
+def test_shared_spans_matches_brute_force(spark):
+    """shared_spans == brute-force: positions whose n-gram occurs in
+    >=2 docs, merged into maximal runs spanning run+n-1 tokens."""
+    import re as _re
+
+    n = 3
+    docs_rows = [
+        ("d0", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("d1", "prefix alpha beta gamma delta suffix words here"),
+        ("d2", "zeta eta theta alpha beta gamma unrelated tail"),
+        ("d3", "nothing in common with the others at all"),
+        ("d4", "alpha beta gamma delta epsilon zeta eta theta"),  # full dup of d0
+        ("d5", "short doc"),  # < n tokens
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    got = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_toks)
+        for r in dedup.shared_spans(docs, n=n).collect()
+    )
+
+    tok = {d: _re.findall(r"[\w']+|[^\w'\s]", t) for d, t in docs_rows}
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, toks in tok.items():
+        for i in range(len(toks) - n + 1):
+            gram_docs[tuple(toks[i : i + n])].add(d)
+    want = []
+    for d, toks in tok.items():
+        dup = [
+            i
+            for i in range(len(toks) - n + 1)
+            if len(gram_docs[tuple(toks[i : i + n])]) >= 2
+        ]
+        run = []
+        for i in dup:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] + n, run[-1] + n - run[0]))
+                run = [i]
+        if run:
+            want.append((d, run[0], run[-1] + n, run[-1] + n - run[0]))
+    assert got == sorted(want)
+    # d0/d4 are identical 8-token docs: one maximal span covering all 8
+    assert ("d0", 0, 8, 8) in got and ("d4", 0, 8, 8) in got
+    # d3 and d5 contribute nothing
+    assert not [r for r in got if r[0] in ("d3", "d5")]
+
+
+def test_prefix_jaccard_pairs_shingles_exact(spark):
+    """w=3 (shingle items): output equals brute-force all-pairs
+    3-shingle-set Jaccard, including the whole-text fallback for docs
+    shorter than 3 tokens."""
+    import itertools
+    import re as _re
+
+    docs_rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog today"),
+        ("d1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("d2", "a completely different sentence with other words here"),
+        ("d3", "a completely different sentence with other words there"),
+        ("d4", "tiny doc"),
+        ("d5", "tiny doc"),
+    ]
+    t = 0.5
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.inter, r.union_, round(r.jaccard, 9))
+        for r in dedup.prefix_jaccard_pairs(docs, t, w=3).collect()
+    )
+
+    def shs(s):
+        tk = _re.findall(r"[\w']+|[^\w'\s]", s)
+        if len(tk) >= 3:
+            return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        return {" ".join(tk)}
+
+    want = []
+    for (ia, ta), (ib, tb) in itertools.combinations(docs_rows, 2):
+        a, b = shs(ta), shs(tb)
+        i, u = len(a & b), len(a | b)
+        if i / u >= t:
+            lo, hi = sorted((ia, ib))
+            want.append((lo, hi, i, u, round(i / u, 9)))
+    assert got == sorted(want)
+    assert ("d4", "d5", 1, 1, 1.0) in got  # fallback items match exactly
+    assert len(got) >= 3
