@@ -36,6 +36,7 @@ COOCCUR_DIST = 3
 DYN_WINDOW, DYN_OVERLAP = 20, 10
 SRP_TABLES = 2
 IVF_CENTROIDS, IVF_NPROBE = 16, 2
+PQ_M, PQ_KSUB, PQ_SD = 8, 16, 8  # 64-dim vectors → 8 subspaces of 8 dims
 
 _SQL_TOKEN_RE = TOKEN_RE.replace("'", "''")
 _CAST_SQL = ", ".join(f"'{t}'" for t in CAST_TOKENS)
@@ -394,6 +395,101 @@ WITH cents AS (
 )
 SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
 FROM r WHERE rank <= 3
+"""
+
+
+# IVFADC: coarse IVF cells exactly as _ORACLE_IVF, then PQ codes from
+# the md5-ranked seed slices and ADC = per-query LUT sum in pinned
+# sub_id order (list_sum over an ORDER BY sub_id list — the same
+# left-to-right fold the Spark side pins).
+_ORACLE_PQ = f"""
+WITH cb0 AS (
+  SELECT embedding AS cv,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS code
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {PQ_KSUB}
+), books AS (
+  SELECT s.s::INT AS sub_id, code,
+         list_transform(
+           list_slice(cv, s.s * {PQ_SD} + 1, (s.s + 1) * {PQ_SD}),
+           x -> x::DOUBLE) AS cvec
+  FROM cb0, range(0, {PQ_M}) s(s)
+), subs AS (
+  SELECT vec_id, s.s::INT AS sub_id,
+         list_transform(
+           list_slice(embedding, s.s * {PQ_SD} + 1, (s.s + 1) * {PQ_SD}),
+           x -> x::DOUBLE) AS sv
+  FROM embeddings, range(0, {PQ_M}) s(s)
+), lut AS (
+  SELECT subs.vec_id, subs.sub_id, b.code,
+         list_sum(list_transform(list_zip(sv, cvec),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM subs JOIN books b ON b.sub_id = subs.sub_id
+), ncodes AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub_id, code,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d2, code) AS rn
+    FROM lut
+  ) WHERE rn = 1
+), cents AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS centroid_id
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+), cn AS (
+  SELECT centroid_id, cvec,
+         sqrt(list_sum(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE)))
+           AS cnrm
+  FROM cents
+), probes AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, centroid_id ASC)
+           AS probe_rank
+  FROM (
+    SELECT v.vec_id, c.centroid_id,
+           list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                    x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (v.nrm * c.cnrm)
+             AS cos_c
+    FROM n v CROSS JOIN cn c
+  )
+), assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM probes WHERE probe_rank = 1
+), cand AS (
+  SELECT DISTINCT p.vec_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE p.probe_rank <= {IVF_NPROBE} AND p.vec_id <> a.neighbor_id
+), adc AS (
+  SELECT c.vec_id, c.neighbor_id,
+         list_sum(list(l.d2 ORDER BY nc.sub_id)) AS adc_dist
+  FROM cand c
+  JOIN ncodes nc ON nc.vec_id = c.neighbor_id
+  JOIN lut l ON l.vec_id = c.vec_id AND l.sub_id = nc.sub_id
+            AND l.code = nc.code
+  GROUP BY c.vec_id, c.neighbor_id
+), r AS (
+  SELECT vec_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT r.vec_id, r.neighbor_id, round(r.adc_dist, 6) AS adc_dist,
+       round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+               x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (na.nrm * nb.nrm), 6)
+         AS cosine,
+       rank::INT AS rank
+FROM r
+JOIN n na ON na.vec_id = r.vec_id
+JOIN n nb ON nb.vec_id = r.neighbor_id
+WHERE rank <= 3
 """
 
 
@@ -1080,6 +1176,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN (functions/similarity.pq_adc_topk, Jégou et al.
+    product quantization): vectors compress to 8 one-byte-scale codes,
+    queries probe 2 IVF cells, candidates are scored by 8 LUT lookups
+    (never the full vector) and the survivors get an exact-cosine
+    re-rank column. The billion-vector index layout."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    return similarity.pq_adc_topk(
+        emb, k=3, m=PQ_M, ksub=PQ_KSUB,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
     )
 
 
@@ -3416,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bio_entities": q_bio_entities,
         "srp_multi_topk": q_srp_multi_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "capped_near_dups": q_capped_near_dups,
         "dedup_groups": q_dedup_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -5370,6 +5482,7 @@ FROM events GROUP BY 2, 3
         "bio_entities": _ORACLE_BIO.format(base=_BASE_CTES),
         "srp_multi_topk": _ORACLE_SRP_MULTI,
         "ivf_topk": _ORACLE_IVF,
+        "pq_topk": _ORACLE_PQ,
         "capped_near_dups": _MINHASH_CTES + """
             , ranked AS (
               SELECT doc_id, band, band_key,

@@ -695,3 +695,211 @@ def semantic_dedup(
             F.coalesce("dup_of", "vec_id").alias("canon"),
         )
     )
+
+
+# -- Product quantization (Jégou et al. TPAMI'11, public algorithm) ---
+# The 100 TB ANN memory trick: each vector compresses to m small codes
+# (one per subspace), and query-candidate distance is approximated by
+# m lookups into a per-query table — candidates are never re-read as
+# full vectors until the final re-rank. Composed with the IVF coarse
+# quantizer below (IVFADC), this is the standard billion-vector index
+# layout.
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 8, ksub: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(sub_id, code, cvec): per-subspace codebooks. Codeword ``code``
+    of subspace ``sub_id`` is that sub-slice of the ``code``-th
+    md5-ranked training vector — the same deterministic, RNG-free
+    seeding as ``ivf_centroids``, so the DuckDB oracle reproduces the
+    codebook bit-for-bit. (A Lloyd-trained variant plugs in behind the
+    same schema, exactly like ``ivf_kmeans_centroids``.) Codewords are
+    DOUBLE so all distance math downstream is double-precision."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(ksub)
+        .collect()
+    )
+    out = []
+    for code, r in enumerate(rows):
+        v = [float(x) for x in r["v"]]
+        sd = len(v) // m
+        for sub in range(m):
+            out.append((sub, code, v[sub * sd : (sub + 1) * sd]))
+    return emb.sparkSession.createDataFrame(
+        out, "sub_id int, code int, cvec array<double>"
+    )
+
+
+def _sub_vectors(
+    emb: DataFrame, m: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(vec_id, sub_id, sv): each vector cut into m double sub-slices —
+    one narrow explode, no shuffle."""
+    sd = (F.size(vec_col) / m).cast("int")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(vec_col, s * sd + 1, sd),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def _l2sq(a, b):
+    """Ordered left-to-right fold of the squared L2 distance — the
+    summation order is pinned so the DuckDB oracle is bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_lut(
+    emb: DataFrame, codebooks: DataFrame, m: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, sub_id, code, d2): every query's asymmetric-distance
+    lookup table — squared L2 from its sub-vectors to every codeword.
+    |Q|·m·ksub rows (128 per query at the defaults); the codebook is
+    the broadcast side."""
+    return _sub_vectors(emb, m, vec_col, id_col).join(
+        F.broadcast(codebooks), "sub_id"
+    ).select(
+        "vec_id", "sub_id", "code",
+        _l2sq(F.col("sv"), F.col("cvec")).alias("d2"),
+    )
+
+
+def pq_codes(
+    emb: DataFrame, codebooks: DataFrame, m: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes array<int>): PQ encoding — per subspace, the
+    L2-nearest codeword (ties → smaller code). One broadcast join +
+    one groupBy; the struct-min is the deterministic argmin."""
+    lut = pq_lut(emb, codebooks, m, vec_col, id_col)
+    best = lut.groupBy("vec_id", "sub_id").agg(
+        F.min(F.struct("d2", "code")).getField("code").alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
+    n_centroids: int = 16, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    codebooks: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC approximate top-k (IVF coarse cells + PQ asymmetric
+    distance): queries probe their ``nprobe`` nearest coarse cells,
+    candidates are the vectors ASSIGNED to those cells, and each
+    candidate is scored by m LUT lookups on its codes — the full
+    candidate vector is only touched for the exact-cosine re-rank
+    column of the k survivors. Everything is an equi-join (cell ids,
+    code ids); per-query ADC cost is m doubles per candidate, summed
+    in pinned sub_id order (bit-identical cross-engine).
+
+    → (vec_id, neighbor_id, adc_dist, cosine, rank): rank by ADC
+    distance asc (ties → neighbor_id), cosine = exact re-rank score of
+    the survivors."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, vec_col, id_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, m, ksub, vec_col, id_col)
+    )
+    probes = ivf_assignments(emb, cents, nprobe, vec_col, id_col)
+    assign = probes.filter(F.col("probe_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("_ac"),
+    )
+    cand = (
+        probes.select("vec_id", "centroid_id")
+        .join(assign, F.col("centroid_id") == F.col("_ac"))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    # ONE LUT pass feeds both consumers (code assignment + ADC
+    # scoring) — without the checkpoint the sub-vector slicing and
+    # ksub·m distance folds would execute twice per vector.
+    lut = pq_lut(emb, books, m, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    best = lut.groupBy("vec_id", "sub_id").agg(
+        F.min(F.struct("d2", "code")).getField("code").alias("code")
+    )
+    codes = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    ).select(F.col("vec_id").alias("neighbor_id"), "codes")
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .select(
+            "vec_id", "neighbor_id",
+            F.posexplode("codes").alias("sub_id", "code"),
+        )
+        .join(lut, ["vec_id", "sub_id", "code"])
+        .groupBy("vec_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub_id", "d2"))),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["d2"],
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    e = with_norm(emb, vec_col)
+    ea = e.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    eb = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    return (
+        top.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "vec_id", "neighbor_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+            "rank",
+        )
+    )

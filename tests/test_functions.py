@@ -856,3 +856,87 @@ def test_prefix_jaccard_pairs_shingles_exact(spark):
     assert got == sorted(want)
     assert ("d4", "d5", 1, 1, 1.0) in got  # fallback items match exactly
     assert len(got) >= 3
+
+
+def test_pq_codes_and_adc_match_brute_force(spark):
+    """PQ encoding and IVFADC scoring vs a numpy reference: codebooks
+    are the md5-ranked seed slices, codes are per-subspace L2 argmins
+    (ties -> smaller code), ADC distance of every returned pair equals
+    the sum of its m LUT entries, and ranking is (adc, neighbor_id)."""
+    import random
+
+    import numpy as np
+
+    from renard_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks, pq_codes,
+    )
+
+    rng = random.Random(11)
+    n, d, m, ksub = 50, 16, 4, 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vecs = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+
+    order = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    seeds = vecs[order[:ksub]]
+    sd = d // m
+    books = {
+        (sub, code): seeds[code, sub * sd : (sub + 1) * sd]
+        for code in range(ksub)
+        for sub in range(m)
+    }
+
+    got_books = {
+        (r.sub_id, r.code): list(r.cvec)
+        for r in pq_codebooks(emb, m=m, ksub=ksub).collect()
+    }
+    assert set(got_books) == set(books)
+    for key, cv in books.items():
+        assert np.allclose(got_books[key], cv)
+
+    def encode(v):
+        out = []
+        for sub in range(m):
+            sv = v[sub * sd : (sub + 1) * sd]
+            d2 = [
+                (float(((sv - books[(sub, c)]) ** 2).sum()), c)
+                for c in range(ksub)
+            ]
+            out.append(min(d2)[1])
+        return out
+
+    want_codes = {i: encode(vecs[i]) for i in range(n)}
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_codes(emb, pq_codebooks(emb, m=m, ksub=ksub), m=m).collect()
+    }
+    assert got_codes == want_codes
+
+    got = pq_adc_topk(emb, k=3, m=m, ksub=ksub, n_centroids=8, nprobe=2).collect()
+    assert got
+    for r in got:
+        q, nb = vecs[r.vec_id], want_codes[r.neighbor_id]
+        adc = 0.0
+        for sub in range(m):
+            sv = q[sub * sd : (sub + 1) * sd]
+            adc += float(((sv - books[(sub, nb[sub])]) ** 2).sum())
+        assert abs(r.adc_dist - round(adc, 6)) < 2e-6, (r.vec_id, r.neighbor_id)
+        cos = float(
+            vecs[r.vec_id] @ vecs[r.neighbor_id]
+            / (np.linalg.norm(vecs[r.vec_id]) * np.linalg.norm(vecs[r.neighbor_id]))
+        )
+        assert abs(r.cosine - cos) < 1e-5
+    # per-query ranks are 1..k' without gaps and ordered by (adc, id)
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in got:
+        per_q[r.vec_id].append((r.rank, r.adc_dist, r.neighbor_id))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert lst == sorted(lst, key=lambda x: (x[1], x[2]))
