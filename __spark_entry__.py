@@ -3160,6 +3160,32 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RELATED_T = 0.05      # rounded-cosine inclusion threshold
+RELATED_MAXDF = 100   # absolute posting-list cap (see tfidf_related)
+RELATED_W = 3         # shingle width
+
+
+def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexically related document pairs by shingle TF-IDF cosine
+    (functions/text.tfidf_related) — the sparse inverted-index
+    complement of the embedding similarity family. The df cap is
+    ABSOLUTE so boilerplate shingles can't go quadratic at corpus
+    scale. Threshold and value-hash share one consistency point: both
+    engines filter on the ROUNDED cosine."""
+    from renard_spark.functions import text as ftext
+
+    out = ftext.tfidf_related(
+        _spread(_documents(spark, sf_dir)),
+        threshold=0.0, max_df=RELATED_MAXDF, shingle_w=RELATED_W,
+    )
+    cos6 = F.round("cosine", 6)
+    return out.filter(cos6 >= F.lit(RELATED_T)).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        cos6.alias("cosine"),
+    )
+
+
 def q_char_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality on the sparsified character network
     (functions/graph.harmonic_centrality): exact multi-source BFS —
@@ -3586,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
+        "related_docs": q_related_docs,
         "lm_scores": q_lm_scores,
         "char_harmonic": q_char_harmonic,
         "doc_chunks": q_doc_chunks,
@@ -5081,6 +5108,43 @@ sc AS (
 )
 SELECT doc_id, term, round(score, 6) AS score, rank::INT AS rank
 FROM rk WHERE rank <= 5
+""",
+        "related_docs": f"""
+WITH t0 AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                        t -> lower(t)) AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= {RELATED_W}
+           THEN list_transform(range(1, len(tk) - {RELATED_W} + 2),
+                  i -> array_to_string(
+                         list_slice(tk, i, i + {RELATED_W} - 1), ' '))
+           ELSE []::VARCHAR[] END) AS term
+  FROM t0
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+  HAVING count(*) <= {RELATED_MAXDF}
+), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dft.df) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_a
+JOIN nrm nb ON nb.doc_id = d.doc_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {RELATED_T}
 """,
         "lm_scores": f"""
 WITH tk AS (

@@ -776,3 +776,111 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return docs.withColumn(out_col, c)
+
+
+def tfidf_related(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    max_df: int = 100,
+    shingle_w: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexically related document pairs → (doc_a, doc_b, cosine): every
+    pair whose TF-IDF cosine similarity is >= ``threshold``, doc_a <
+    doc_b.
+
+    The sparse complement of the embedding-based similarity family
+    (similarity.py): no vectors needed — the inverted index IS the
+    join key. Terms are ``shingle_w``-gram token shingles (lowercased,
+    space-joined; w=1 degenerates to plain word terms) — shingles keep
+    the index selective even on vocabulary-dense corpora, the same
+    reason PPJoin (dedup.prefix_jaccard_pairs) shingles first. Weights
+    tf·ln(N/df) are computed over the KEPT vocabulary (df-pruned
+    first), norms over the same kept weights, so a pair's cosine is
+    exactly the classic df-capped TF-IDF cosine.
+
+    Scale shape: shingling is narrow; one (doc, term) count shuffle; a
+    vocabulary-sized df aggregation prunes every term with df >
+    ``max_df`` BEFORE the self-join — the posting-list cap that keeps
+    the term self-join from going quadratic on boilerplate shingles.
+    The cap is ABSOLUTE, not a corpus fraction: each surviving term
+    contributes <= max_df² candidate pairs and bounds join skew by the
+    same constant REGARDLESS of corpus size, so the candidate volume
+    stays O(vocab · max_df²) — a fractional cap would let a 0.1%-df
+    boilerplate shingle alone produce 10¹⁰ pairs at 10⁸ docs. (Pruning
+    ultra-common shingles also loses nothing: their idf ≈ 0.) The
+    weight table is lineage-truncated (three consumers: norms + both
+    join sides). No broadcast of corpus-sized tables, no Python.
+    """
+    wsize = int(shingle_w)
+    tl = docs.select(
+        "doc_id",
+        F.transform(_toks(text_col), lambda t: F.lower(t)).alias("tl"),
+    )
+    tf = (
+        tl.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tl") >= wsize,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tl") - wsize),
+                        lambda i: F.array_join(
+                            F.slice("tl", i + 1, wsize), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.count()
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= F.lit(int(max_df)))
+    )
+    w = (
+        tf.join(dft, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

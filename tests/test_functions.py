@@ -940,3 +940,95 @@ def test_pq_codes_and_adc_match_brute_force(spark):
         lst.sort()
         assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
         assert lst == sorted(lst, key=lambda x: (x[1], x[2]))
+
+
+def _ref_tfidf_related(texts, max_df, w):
+    """Brute-force TF-IDF shingle cosine over a dict corpus."""
+    import math
+    import re
+
+    from renard_spark.operators.tokenize import TOKEN_RE_PY
+
+    shing = {}
+    for k, t in texts.items():
+        toks = [x.lower() for x in re.findall(TOKEN_RE_PY, t)]
+        shing[k] = [
+            " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+        ]
+    n = len(texts)
+    df: dict = {}
+    for sh in shing.values():
+        for term in set(sh):
+            df[term] = df.get(term, 0) + 1
+    kept = {t for t, d in df.items() if d <= max_df}
+    vecs = {}
+    for k, sh in shing.items():
+        tf: dict = {}
+        for term in sh:
+            if term in kept:
+                tf[term] = tf.get(term, 0) + 1
+        vecs[k] = {t: c * math.log(n / df[t]) for t, c in tf.items()}
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][t] * vecs[b][t] for t in shared)
+            na = math.sqrt(sum(v * v for v in vecs[a].values()))
+            nb = math.sqrt(sum(v * v for v in vecs[b].values()))
+            out[(a, b)] = dot / (na * nb)
+    return out
+
+
+def test_tfidf_related_matches_brute_force(spark):
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog near the river bank",
+        "b": "the quick brown fox jumps over the sleepy dog near the river bend",
+        "c": "spark shuffles partition data across executors during wide joins",
+        "d": "spark shuffles partition data across workers during wide joins",
+        "e": "completely unrelated text about cooking pasta with fresh basil",
+        "f": "the quick brown fox jumps over the lazy dog near the river bank",
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in text.tfidf_related(
+            _docs(spark, texts), threshold=0.0, max_df=100, shingle_w=3
+        ).collect()
+    }
+    want = _ref_tfidf_related(texts, max_df=100, w=3)
+    assert set(got) == set(want)
+    for pair, cos in want.items():
+        assert abs(got[pair] - cos) < 1e-9, pair
+    assert got[("a", "f")] == pytest.approx(1.0)  # exact dup
+    assert 0.2 < got[("a", "b")] < 1.0             # near dup
+    assert 0.2 < got[("c", "d")] < 1.0
+    assert not any("e" in p for p in got)
+
+
+def test_tfidf_related_df_cap_prunes_boilerplate(spark):
+    # a shingle present in every doc is pruned by the absolute df cap,
+    # so docs sharing ONLY boilerplate produce no pair
+    boiler = "copyright notice all rights reserved"
+    texts = {
+        "a": boiler + " alpha beta gamma delta epsilon zeta",
+        "b": boiler + " totally different words here entirely now",
+        "c": boiler + " alpha beta gamma delta epsilon eta",
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in text.tfidf_related(
+            _docs(spark, texts), threshold=0.0, max_df=2, shingle_w=3
+        ).collect()
+    }
+    assert ("a", "b") not in got and ("b", "c") not in got
+    assert ("a", "c") in got
+    # with the cap lifted the boilerplate-only pairs appear
+    got_all = {
+        (r.doc_a, r.doc_b)
+        for r in text.tfidf_related(
+            _docs(spark, texts), threshold=0.0, max_df=3, shingle_w=3
+        ).collect()
+    }
+    assert ("a", "b") in got_all
