@@ -3160,6 +3160,37 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES_N = 12  # training budget at gate scale (prod: 30k+)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (functions/text.
+    learn_bpe_merges): Sennrich merge learning over the corpus word-
+    frequency table — one corpus token shuffle, then every round is a
+    vocabulary-sized pair count + argmax + narrow merge fold. Returns
+    the learned merge table (merge_idx, left, right, pair_freq).
+
+    No oracle_sql: the training loop's per-round argmax feeds the next
+    round's input — a genuinely iterative, non-SQL-expressible op
+    (driver records the rows-only check). Bit-exactness is pytest-
+    pinned instead against an independent sequential reference
+    implementation (test_learn_bpe_matches_sequential_reference).
+
+    Bench note: each merge round is ONE Spark job, so at test scale
+    the query is driver-latency-bound (~0.8s/round regardless of
+    data); at production vocabulary sizes (100M+ words) the identical
+    loop is compute-bound — the right trade for a training op."""
+    from renard_spark.functions import text as ftext
+
+    merges = ftext.learn_bpe_merges(
+        _spread(_documents(spark, sf_dir)), n_merges=BPE_MERGES_N
+    )
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, pair_freq long",
+    )
+
+
 RELATED_T = 0.05      # rounded-cosine inclusion threshold
 RELATED_MAXDF = 100   # absolute posting-list cap (see tfidf_related)
 RELATED_W = 3         # shingle width
@@ -3613,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
         "related_docs": q_related_docs,
+        "bpe_merges": q_bpe_merges,
         "lm_scores": q_lm_scores,
         "char_harmonic": q_char_harmonic,
         "doc_chunks": q_doc_chunks,

@@ -744,7 +744,10 @@ def learn_bpe_merges(
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("syms"),
             "freq",
-        ).localCheckpoint(eager=True)
+            # lazy: materializes inside the NEXT round's pair-count job
+            # (one job per round instead of two — the loop is driver-
+            # latency-bound, the data is vocabulary-sized)
+        ).localCheckpoint(eager=False)
     return merges
 
 
