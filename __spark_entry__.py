@@ -3160,6 +3160,22 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CCNET_K = 3  # head / middle / tail
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (functions/text.ccnet_buckets):
+    per-language head/middle/tail split by corpus-LM nll. The per-lang
+    rank comes from the two-phase global rank (never a per-language
+    single-partition window); the oracle uses plain SQL ntile — the
+    floor-rank allocation is pinned equal to ntile semantics."""
+    from renard_spark.functions import text as ftext
+
+    return ftext.ccnet_buckets(
+        _spread(_documents(spark, sf_dir)), n_buckets=CCNET_K
+    )
+
+
 BPE_MERGES_N = 12  # training budget at gate scale (prod: 30k+)
 
 
@@ -3645,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "related_docs": q_related_docs,
         "bpe_merges": q_bpe_merges,
+        "ccnet_buckets": q_ccnet_buckets,
         "lm_scores": q_lm_scores,
         "char_harmonic": q_char_harmonic,
         "doc_chunks": q_doc_chunks,
@@ -5202,6 +5219,36 @@ SELECT dbg.doc_id, sum(dbg.m)::BIGINT AS n_bigrams,
          AS bigram_nll
 FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY dbg.doc_id
+""",
+        "ccnet_buckets": f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                        t -> lower(t)) AS tl
+  FROM documents
+), bg AS (
+  SELECT doc_id, tl[g.i] AS w1, tl[g.i + 1] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tl))) AS i) g
+  WHERE len(tl) >= 2
+), dbg AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY doc_id, w1, w2
+), c2 AS (SELECT w1, w2, sum(m)::BIGINT AS c2 FROM dbg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(m)::BIGINT AS c1 FROM dbg GROUP BY w1),
+v AS (
+  SELECT count(*)::DOUBLE AS v FROM (
+    SELECT w1 AS w FROM dbg UNION SELECT w2 AS w FROM dbg
+  )
+), nll AS (
+  SELECT dbg.doc_id,
+         round(sum(dbg.m * (ln(c1.c1 + v.v) - ln(c2.c2 + 1)))
+               / sum(dbg.m), 6) AS nll6
+  FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY dbg.doc_id
+)
+SELECT n.doc_id, d.lang, n.nll6 AS bigram_nll,
+       ntile({CCNET_K}) OVER (PARTITION BY d.lang
+                              ORDER BY n.nll6, n.doc_id)::INT AS bucket_id
+FROM nll n JOIN documents d USING (doc_id)
 """,
         "doc_chunks": f"""
 WITH tk AS (

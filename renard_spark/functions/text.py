@@ -887,3 +887,66 @@ def tfidf_related(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020): within each language, documents sort by the
+    corpus-trained bigram-LM nll (``bigram_lm_scores``) and split into
+    ``n_buckets`` equal buckets — bucket 1 = head (most fluent), last =
+    tail. → (doc_id, lang, bigram_nll, bucket_id); docs too short to
+    score (< 2 tokens) are dropped, as CCNet drops unscorable docs.
+
+    Scale shape: per-language ntile needs a per-language TOTAL ORDER —
+    a ``Window.partitionBy(lang)`` funnels each language (terabytes at
+    production scale) through one task, so the rank comes from the
+    two-phase global rank instead (``global_running_total`` over
+    (lang, nll, doc_id): range repartition → per-partition window →
+    broadcast offsets). bucket_id = floor(rank·k/n)+1, which allocates
+    identically to SQL ntile (first n%k buckets one larger) — pinned
+    by test_ccnet_buckets_matches_ntile. The sort key uses the ROUNDED
+    nll with doc_id tie-break so boundaries are reproducible
+    cross-engine. Per-language offsets/counts are one tiny broadcast.
+    """
+    from renard_spark.operators.utils import global_running_total
+
+    scores = bigram_lm_scores(docs, text_col)
+    d = (
+        docs.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(scores, "doc_id")
+        .select(
+            "doc_id", "lang", F.round("bigram_nll", 6).alias("nll6")
+        )
+        .withColumn("_one", F.lit(1))
+        # deep lineage (LM training) — the range partitioner samples
+        # its input, so truncate before ranking
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_running_total(
+        d, "_one", ["lang", "nll6", "doc_id"], out_col="_grk"
+    )
+    base = ranked.groupBy("lang").agg(
+        F.min("_grk").alias("_base"), F.count("*").alias("_n")
+    )
+    return (
+        ranked.join(F.broadcast(base), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("nll6").alias("bigram_nll"),
+            (
+                F.floor(
+                    (F.col("_grk") - F.col("_base"))
+                    * F.lit(int(n_buckets))
+                    / F.col("_n")
+                )
+                + 1
+            ).cast("int").alias("bucket_id"),
+        )
+    )

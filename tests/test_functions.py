@@ -1032,3 +1032,42 @@ def test_tfidf_related_df_cap_prunes_boilerplate(spark):
         ).collect()
     }
     assert ("a", "b") in got_all
+
+
+def test_ccnet_buckets_matches_ntile(spark):
+    # floor(rank*k/n)+1 must allocate exactly like SQL ntile for
+    # awkward group sizes (n % k != 0), per language
+    import itertools
+
+    rows = []
+    did = 0
+    for lang, n in [("en", 7), ("fr", 5), ("de", 4), ("es", 9)]:
+        for i in range(n):
+            # vary fluency: repeat a fluent bigram i times
+            body = "the cat sat on the mat " * (i + 2) + "xk qz " * (n - i)
+            rows.append((did, body.strip(), lang))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = text.ccnet_buckets(docs, n_buckets=3).toPandas()
+
+    from pyspark.sql import Window
+
+    scores = text.bigram_lm_scores(docs).select(
+        "doc_id", F.round("bigram_nll", 6).alias("nll6")
+    )
+    w = Window.partitionBy("lang").orderBy("nll6", "doc_id")
+    want = (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select("doc_id", "lang", F.ntile(3).over(w).alias("bucket_id"))
+        .toPandas()
+    )
+    g = got.set_index("doc_id")["bucket_id"].to_dict()
+    e = want.set_index("doc_id")["bucket_id"].to_dict()
+    assert g == e
+    # head bucket really is the most fluent (lowest nll) per lang
+    for lang in ["en", "fr", "de", "es"]:
+        sub = got[got.lang == lang].sort_values("bigram_nll")
+        assert list(sub.bucket_id) == sorted(sub.bucket_id)
