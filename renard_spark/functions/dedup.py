@@ -632,8 +632,12 @@ def prefix_jaccard_pairs(
         items = shingle_array_from_tokens(F.col("_rawtoks"), w)
     # explode the expression, not a bound alias (InferFiltersFromGenerate
     # would re-inline the shingle work below the caller's repartition —
-    # see shingles())
-    tok = toked.select("_id", F.explode(items).alias("token"))
+    # see shingles()). Checkpoint: tok feeds TWO consumers (the df
+    # aggregation and the sets build) — without it the corpus
+    # tokenize+shingle pass executes twice.
+    tok = toked.select("_id", F.explode(items).alias("token")).localCheckpoint(
+        eager=False
+    )
     dfq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     sets = (
         tok.join(dfq, "token")

@@ -859,20 +859,37 @@ def pq_adc_topk(
             lambda s: s["code"],
         ).alias("codes")
     ).select(F.col("vec_id").alias("neighbor_id"), "codes")
+    # per-QUERY flat LUT array indexed sub_id*ksub + code: ADC becomes
+    # ONE narrow m-step fold per candidate row instead of an m×-row
+    # explode joined back against the LUT table (the explode shape
+    # shuffles m·|candidates| rows; this shape shuffles none — the two
+    # equi-joins carry |candidates| rows total). Summation stays in
+    # pinned sub_id order, so adc_dist is bit-identical to the
+    # explode+sort+fold formulation and to the DuckDB oracle.
+    lut_arr = lut.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code", "d2"))),
+            lambda s: s["d2"],
+        ).alias("_lut")
+    )
     adc = (
         cand.join(codes, "neighbor_id")
+        .join(lut_arr, "vec_id")
         .select(
             "vec_id", "neighbor_id",
-            F.posexplode("codes").alias("sub_id", "code"),
-        )
-        .join(lut, ["vec_id", "sub_id", "code"])
-        .groupBy("vec_id", "neighbor_id")
-        .agg(
             F.aggregate(
-                F.array_sort(F.collect_list(F.struct("sub_id", "d2"))),
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
                 F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x["d2"],
-            ).alias("adc_dist")
+                lambda acc, s: acc
+                + F.element_at(
+                    "_lut",
+                    (
+                        s * F.lit(int(ksub))
+                        + F.element_at("codes", s + 1)
+                        + 1
+                    ).cast("int"),
+                ),
+            ).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
