@@ -91,8 +91,11 @@ def write_corpus_shards(
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
     spark = docs.sparkSession
     # manifest from the WRITTEN files (not the input plan): what
-    # landed is what gets checksummed
-    written = spark.read.parquet(path)
+    # landed is what gets checksummed. Explicit schema: an EMPTY
+    # corpus writes no shard dirs, and schema inference would fail
+    # on the bare _SUCCESS marker — an empty export is a valid export
+    # (empty manifest, verify passes vacuously).
+    written = spark.read.schema(sharded.schema).parquet(path)
     manifest = (
         written.groupBy("shard")
         .agg(
@@ -126,17 +129,24 @@ def verify_corpus_shards(
             F.col("content_xor").alias("content_xor_expected"),
         )
     )
-    actual = (
-        spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length(F.coalesce(text_col, F.lit("")))).cast(
-                "long"
-            ).alias("n_bytes"),
-            _content_xor(text_col).alias("content_xor"),
+    try:
+        actual = (
+            spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length(F.coalesce(text_col, F.lit("")))).cast(
+                    "long"
+                ).alias("n_bytes"),
+                _content_xor(text_col).alias("content_xor"),
+            )
         )
-    )
+    except Exception:
+        # an empty export wrote no shard dirs — nothing to aggregate;
+        # verification degenerates to "manifest must be empty too"
+        actual = spark.createDataFrame(
+            [], "shard int, n_docs long, n_bytes long, content_xor long"
+        )
     joined = actual.join(stored, "shard", "full_outer")
     ok = (
         (F.col("n_docs") == F.col("n_docs_expected"))

@@ -171,6 +171,12 @@ def main() -> None:
     ap.add_argument("--kb-version", default="v0",
                     help="bump when the --kb contents change so the "
                          "checkpointed entity_links stage recomputes")
+    ap.add_argument("--export-shards", default=None,
+                    help="curate mode: after curation, write the kept "
+                         "train-split documents as md5-bucket shards + "
+                         "checksummed manifest here, then verify them "
+                         "(nonzero exit on any bad shard)")
+    ap.add_argument("--n-shards", type=int, default=16)
     args = ap.parse_args()
 
     spark = get_spark("renard_spark_run", cpus=args.cpus)
@@ -209,6 +215,26 @@ def main() -> None:
         out["curated"].groupBy("keep", "split").count().orderBy(
             "keep", "split"
         ).show(10, truncate=False)
+        if args.export_shards:
+            from renard_spark.io import export as exportmod
+
+            kept = (
+                out["curated"]
+                .filter((F.col("keep") == 1) & (F.col("split") == "train"))
+                .select("doc_id")
+                .join(train, "doc_id")
+            )
+            exportmod.write_corpus_shards(
+                kept, args.export_shards, n_shards=args.n_shards
+            )
+            ver = exportmod.verify_corpus_shards(spark, args.export_shards)
+            ver.orderBy("shard").show(args.n_shards, truncate=False)
+            bad = ver.filter(~F.col("ok")).count()
+            if bad:
+                raise SystemExit(
+                    f"export verification FAILED for {bad} shard(s)"
+                )
+            print(f"export verified: {ver.count()} shards ok")
         return
     kb = spark.read.parquet(args.kb) if args.kb else None
     runner = build_runner(

@@ -90,3 +90,12 @@ def test_verify_catches_content_change(spark, tmp_path):
     ver = {r.shard: r for r in export.verify_corpus_shards(spark, path).collect()}
     bad = [s for s, r in ver.items() if not r.ok]
     assert len(bad) == 1  # exactly the shard holding doc 0
+
+
+def test_empty_corpus_export_is_valid(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    docs = _docs(spark).filter("doc_id < 0")
+    manifest = export.write_corpus_shards(docs, path, n_shards=4)
+    assert manifest.count() == 0
+    ver = export.verify_corpus_shards(spark, path)
+    assert ver.count() == 0  # vacuously verified
