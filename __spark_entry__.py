@@ -2634,6 +2634,27 @@ def q_char_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+WALKS_R = 2  # walks per node
+WALKS_L = 6  # walk length (nodes)
+
+
+def q_char_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk training corpus over the corpus-global character
+    network (functions/graph.random_walks): deterministic md5-choice
+    uniform walks, (walk_id, step, node) exploded. The oracle unrolls
+    the same L−1 steps as chained CTEs with the identical md5-mod-
+    degree pick into the sorted neighbor list."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return gmetrics.random_walks(
+        ge, walks_per_node=WALKS_R, walk_len=WALKS_L
+    )
+
+
 def q_char_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the PER-DOCUMENT character networks
     (functions/graph.link_prediction_scores, scope=doc_id):
@@ -3656,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ids": q_pack_ids,
         "char_hits": q_char_hits,
         "char_linkpred": q_char_linkpred,
+        "char_walks": q_char_walks,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
@@ -3770,6 +3792,35 @@ pr{i + 1} AS (
     pr_sql += f"""
 SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
 """
+    # deterministic DeepWalk corpus: the md5-mod-degree pick into the
+    # sorted neighbor list, unrolled one CTE per step (same math as
+    # functions/graph.random_walks)
+    walks_sql = edges_ctes + f""",
+e0 AS (
+  SELECT DISTINCT least(t1, t2) AS src, greatest(t1, t2) AS dst
+  FROM pairs WHERE t1 <> t2
+),
+symw AS (SELECT src AS u, dst AS v FROM e0
+         UNION SELECT dst, src FROM e0),
+adjw AS (SELECT u, list_sort(list(DISTINCT v)) AS nbrs
+         FROM symw GROUP BY u),
+w0 AS (
+  SELECT adjw.u || ':' || i.i::VARCHAR AS walk_id, adjw.u AS cur
+  FROM adjw CROSS JOIN range(0, {WALKS_R}) i(i)
+)"""
+    for t in range(1, WALKS_L):
+        walks_sql += f""",
+w{t} AS (
+  SELECT w.walk_id,
+         adjw.nbrs[((('0x' || substr(md5('walk:' || w.walk_id
+                                          || ':{t}'), 1, 8))::BIGINT
+                     % len(adjw.nbrs))::INT + 1)] AS cur
+  FROM w{t - 1} w JOIN adjw ON adjw.u = w.cur
+)"""
+    walks_sql += "\n" + "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS node FROM w{t}"
+        for t in range(WALKS_L)
+    )
     lp_sql = edges_ctes + """,
 e0 AS (
   SELECT DISTINCT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst
@@ -4243,6 +4294,7 @@ SELECT doc_id, node, count(*)::BIGINT AS degree,
 FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
+        "char_walks": walks_sql,
         "char_linkpred": lp_sql,
         "char_hits": hits_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then

@@ -956,3 +956,86 @@ def link_prediction_scores(
             F.col("aa").alias("adamic_adar"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 6,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style DETERMINISTIC uniform random walks over the
+    undirected graph (Perozzi et al. KDD'14 — the random-walk corpus
+    that skip-gram graph embeddings train on) → (walk_id, step, node),
+    ``walks_per_node`` walks of ``walk_len`` nodes from every
+    non-isolated node.
+
+    Determinism (the replayable-pipeline requirement): the step-t
+    choice is ``md5(seed:walk_id:t) mod degree`` into the SORTED
+    neighbor array — no RNG state, so reruns, resumes, and the DuckDB
+    oracle reproduce the walks bit-for-bit (same idiom as hash_split /
+    priority_sample).
+
+    Scale shape: the adjacency table (node, sorted neighbors) builds
+    in ONE groupBy; each step is ONE equi-join of the |V|·R frontier
+    onto it + a narrow md5 pick — walk_len−1 joins total, frontier
+    checkpointed per step (constant plan depth). Hub nodes mean a fat
+    adjacency ARRAY row, not join skew (the join key is the walking
+    node, uniformly loaded); at web scale cap the array like the LSH
+    hot-bucket caps. No walk ever crosses the driver.
+    """
+    sym = symmetrize(edges, src, dst, None)
+    adj = (
+        sym.select("u", "v")
+        .distinct()
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("_nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = adj.select(
+        F.col("u").alias("_start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+        ).alias("_widx"),
+    ).select(
+        F.concat_ws(":", "_start", "_widx").alias("walk_id"),
+        F.col("_start").alias("_cur"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("_cur").alias("node")
+    )
+    for t in range(1, int(walk_len)):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), "walk_id", F.lit(str(t))
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.size("_nbrs"),
+        ).cast("int")
+        frontier = (
+            frontier.join(adj, frontier["_cur"] == adj["u"])
+            .select(
+                "walk_id",
+                F.element_at("_nbrs", pick + 1).alias("_cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("_cur").alias("node"),
+            )
+        )
+    return out

@@ -561,3 +561,46 @@ def test_link_prediction_scoped_isolates_docs(spark):
     for r in out:
         assert r.common_neighbors == 1
         assert r.jaccard == pytest.approx(1.0)  # 1 / (1 + 1 - 1)
+
+
+def test_random_walks_match_python_twin(spark):
+    import hashlib
+
+    from renard_spark.functions.graph import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edges], "src string, dst string, weight double"
+    )
+    R, L, seed = 2, 5, "walk"
+    got = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, walks_per_node=R, walk_len=L, seed=seed).collect()
+    )
+
+    adjd: dict = {}
+    for a, b in edges:
+        adjd.setdefault(a, set()).add(b)
+        adjd.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adjd.items()}
+    want = []
+    for u in adj:
+        for i in range(R):
+            wid = f"{u}:{i}"
+            cur = u
+            want.append((wid, 0, u))
+            for t in range(1, L):
+                nb = adj[cur]
+                h = hashlib.md5(f"{seed}:{wid}:{t}".encode()).hexdigest()[:8]
+                cur = nb[int(h, 16) % len(nb)]
+                want.append((wid, t, cur))
+    assert got == sorted(want)
+    # every consecutive pair really is an edge
+    seq: dict = {}
+    for wid, t, node in got:
+        seq.setdefault(wid, {})[t] = node
+    und = {frozenset(e) for e in edges}
+    for wid, steps in seq.items():
+        assert len(steps) == L
+        for t in range(1, L):
+            assert frozenset((steps[t - 1], steps[t])) in und
