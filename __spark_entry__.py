@@ -2655,6 +2655,20 @@ def q_char_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKIPGRAM_W = 2
+
+
+def q_char_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs from the char_walks
+    corpus (functions/graph.skipgram_pairs) — one walk_id self-join
+    banded by |step diff| <= window + one count agg; the embedding-
+    training input that completes the DeepWalk chain."""
+    from renard_spark.functions import graph as gmetrics
+
+    walks = q_char_walks(spark, sf_dir)
+    return gmetrics.skipgram_pairs(walks, window=SKIPGRAM_W)
+
+
 def q_char_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the PER-DOCUMENT character networks
     (functions/graph.link_prediction_scores, scope=doc_id):
@@ -3678,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_hits": q_char_hits,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
+        "char_walk_pairs": q_char_walk_pairs,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
@@ -3817,10 +3832,22 @@ w{t} AS (
                      % len(adjw.nbrs))::INT + 1)] AS cur
   FROM w{t - 1} w JOIN adjw ON adjw.u = w.cur
 )"""
-    walks_sql += "\n" + "\nUNION ALL ".join(
+    walks_union = "\nUNION ALL ".join(
         f"SELECT walk_id, {t} AS step, cur AS node FROM w{t}"
         for t in range(WALKS_L)
     )
+    walks_sql_ctes = walks_sql + f""",
+allw AS (
+{walks_union}
+)"""
+    walks_sql = walks_sql_ctes + "\nSELECT walk_id, step, node FROM allw"
+    walk_pairs_sql = walks_sql_ctes + f"""
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n_pairs
+FROM allw a JOIN allw b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_W}
+GROUP BY a.node, b.node
+"""
     lp_sql = edges_ctes + """,
 e0 AS (
   SELECT DISTINCT doc_id, least(t1, t2) AS src, greatest(t1, t2) AS dst
@@ -4295,6 +4322,7 @@ FROM sym GROUP BY doc_id, node
         """,
         "char_pagerank": pr_sql,
         "char_walks": walks_sql,
+        "char_walk_pairs": walk_pairs_sql,
         "char_linkpred": lp_sql,
         "char_hits": hits_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then

@@ -1039,3 +1039,34 @@ def random_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2,
+) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus
+    (word2vec-over-walks, the DeepWalk §4 objective): for every walk
+    position, each neighbor within ``window`` steps becomes one
+    (center, context) example → (center, context, n_pairs) aggregated
+    over the whole corpus.
+
+    ONE self-equi-join on walk_id banded by |step difference| ≤ window
+    (walks are short, so the per-walk fanout is ≤ 2·window·L rows) +
+    one count aggregation — the pair corpus never materializes
+    per-walk lists.
+    """
+    a = walks.select(
+        "walk_id", F.col("step").alias("_sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("_sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("_sa") != F.col("_sb"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -604,3 +604,22 @@ def test_random_walks_match_python_twin(spark):
         assert len(steps) == L
         for t in range(1, L):
             assert frozenset((steps[t - 1], steps[t])) in und
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from renard_spark.functions.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w0", 0, "a"), ("w0", 1, "b"), ("w0", 2, "c"), ("w0", 3, "d"),
+         ("w1", 0, "a"), ("w1", 1, "b")],
+        "walk_id string, step int, node string",
+    )
+    got = {(r.center, r.context): r.n_pairs
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # window 2 on w0: a sees b,c; b sees a,c,d; etc. w1 adds (a,b),(b,a)
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "c")] == 1 and got[("c", "a")] == 1
+    assert ("a", "d") not in got          # distance 3 > window
+    assert all(c != x for c, x in got)    # no self pairs
+    # symmetric corpus: count(x,y) == count(y,x)
+    assert all(got[(y, x)] == n for (x, y), n in got.items())
