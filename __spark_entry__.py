@@ -2655,6 +2655,28 @@ def q_char_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N2V_P = 4.0  # return penalty (1/p = 0.25, exact dyadic)
+N2V_Q = 2.0  # in-out penalty (1/q = 0.5, exact dyadic)
+
+
+def q_char_n2v_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks over the character network
+    (functions/graph.node2vec_walks): step 1 uniform, then 1/p / 1 /
+    1/q biased picks via an exact-dyadic cumulative threshold — every
+    comparison is an exact binary rational, so the oracle (window
+    cumsum over the same sorted neighbor order) reproduces each pick
+    bit-for-bit."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return gmetrics.node2vec_walks(
+        ge, walks_per_node=WALKS_R, walk_len=WALKS_L, p=N2V_P, q=N2V_Q
+    )
+
+
 SKIPGRAM_W = 2
 
 
@@ -3693,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
         "char_walk_pairs": q_char_walk_pairs,
+        "char_n2v_walks": q_char_n2v_walks,
         "semantic_dedup": q_semantic_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "tfidf_terms": q_tfidf_terms,
@@ -3840,7 +3863,57 @@ w{t} AS (
 allw AS (
 {walks_union}
 )"""
+    walks_sql_base = walks_sql_ctes
     walks_sql = walks_sql_ctes + "\nSELECT walk_id, step, node FROM allw"
+    # node2vec: uniform step 1, then exact-dyadic biased picks — the
+    # window cumsum over (walk_id ORDER BY neighbor index) mirrors the
+    # Spark fold's left-to-right order exactly
+    inv_p, inv_q = 1.0 / N2V_P, 1.0 / N2V_Q
+    n2v_sql = walks_sql_base + f""",
+n1 AS (
+  SELECT w.walk_id,
+         adjw.nbrs[((('0x' || substr(md5('n2v:' || w.walk_id
+                                          || ':1'), 1, 8))::BIGINT
+                     % len(adjw.nbrs))::INT + 1)] AS cur,
+         w.cur AS prev
+  FROM w0 w JOIN adjw ON adjw.u = w.cur
+)"""
+    for t in range(2, WALKS_L):
+        n2v_sql += f""",
+z{t} AS (
+  SELECT y.walk_id, y.cur0, y.nb, y.i,
+         sum(CASE WHEN y.nb = y.prev THEN {inv_p}
+                  WHEN list_contains(y.pnbrs, y.nb) THEN 1.0
+                  ELSE {inv_q} END)
+           OVER (PARTITION BY y.walk_id ORDER BY y.i) AS cum,
+         sum(CASE WHEN y.nb = y.prev THEN {inv_p}
+                  WHEN list_contains(y.pnbrs, y.nb) THEN 1.0
+                  ELSE {inv_q} END)
+           OVER (PARTITION BY y.walk_id) AS total
+  FROM (
+    SELECT w.walk_id, w.cur AS cur0, w.prev AS prev,
+           a.nbrs[x.i::INT] AS nb, pn.nbrs AS pnbrs, x.i
+    FROM n{t - 1} w
+    JOIN adjw a ON a.u = w.cur
+    JOIN adjw pn ON pn.u = w.prev,
+    LATERAL (SELECT unnest(range(1, len(a.nbrs) + 1)) AS i) x
+  ) y
+),
+n{t} AS (
+  SELECT walk_id, arg_min(nb, i) AS cur, min(cur0) AS prev
+  FROM z{t}
+  WHERE cum > (('0x' || substr(md5('n2v:' || walk_id || ':{t}'),
+                               1, 8))::BIGINT::DOUBLE
+               / 4294967296.0) * total
+  GROUP BY walk_id
+)"""
+    n2v_sql += (
+        "\nSELECT walk_id, 0 AS step, cur AS node FROM w0\nUNION ALL "
+        + "\nUNION ALL ".join(
+            f"SELECT walk_id, {t} AS step, cur AS node FROM n{t}"
+            for t in range(1, WALKS_L)
+        )
+    )
     walk_pairs_sql = walks_sql_ctes + f"""
 SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n_pairs
 FROM allw a JOIN allw b
@@ -4323,6 +4396,7 @@ FROM sym GROUP BY doc_id, node
         "char_pagerank": pr_sql,
         "char_walks": walks_sql,
         "char_walk_pairs": walk_pairs_sql,
+        "char_n2v_walks": n2v_sql,
         "char_linkpred": lp_sql,
         "char_hits": hits_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then

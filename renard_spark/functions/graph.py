@@ -1070,3 +1070,137 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 6,
+    p: float = 4.0,
+    q: float = 2.0,
+    seed: str = "n2v",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (Grover & Leskovec KDD'16),
+    deterministic → (walk_id, step, node).
+
+    Step 1 is uniform (md5 mod degree, same rule as ``random_walks``);
+    from step 2 each neighbor x of the current node weights
+    1/p (x == previous node: return), 1 (x neighbors the previous
+    node: BFS-ish), 1/q (otherwise: DFS-ish), and the pick is the
+    first sorted neighbor whose cumulative weight exceeds
+    u·total, u = md5(seed:walk_id:t)/2³².
+
+    Bit-exact determinism: with DYADIC p and q (1/p, 1/q exactly
+    representable: 2, 4, 0.5, ...) every weight, cumulative sum,
+    total, and threshold is an exact binary rational, so the
+    cumulative comparison can never ulp-flip between engines — the
+    DuckDB oracle reproduces every pick with a window cumsum in the
+    same neighbor order.
+
+    Scale shape: per step ONE equi-join on the current node + ONE on
+    the previous node (for its neighbor list), then a narrow
+    struct-accumulator fold over the neighbor array — constant plan
+    depth via per-step checkpoints, walks never visit the driver.
+    The neighbor-of-previous test is an array_contains against the
+    previous node's SORTED list (binary-searchable; hub rows are fat
+    arrays, not skewed join keys).
+    """
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+    sym = symmetrize(edges, src, dst, None)
+    adj = (
+        sym.select("u", "v")
+        .distinct()
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("_nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = adj.select(
+        F.col("u").alias("_start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+        ).alias("_widx"),
+    ).select(
+        F.concat_ws(":", "_start", "_widx").alias("walk_id"),
+        F.col("_start").alias("_cur"),
+        F.lit(None).cast("string").alias("_prev"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("_cur").alias("node")
+    )
+    two32 = 4294967296.0
+    for t in range(1, int(walk_len)):
+        h32 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(seed), "walk_id", F.lit(str(t)))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        if t == 1:
+            nxt = F.element_at(
+                "_nbrs", F.pmod(h32, F.size("_nbrs")).cast("int") + 1
+            )
+            frontier = (
+                frontier.join(adj, frontier["_cur"] == adj["u"])
+                .select(
+                    "walk_id",
+                    nxt.alias("_cur"),
+                    frontier["_cur"].alias("_prev"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            padj = adj.select(
+                F.col("u").alias("_pu"), F.col("_nbrs").alias("_pnbrs")
+            )
+            weights = F.transform(
+                "_nbrs",
+                lambda x: F.when(x == F.col("_prev"), F.lit(inv_p))
+                .when(F.array_contains("_pnbrs", x), F.lit(1.0))
+                .otherwise(F.lit(inv_q)),
+            )
+            joined = (
+                frontier.join(adj, frontier["_cur"] == adj["u"])
+                .join(padj, frontier["_prev"] == F.col("_pu"))
+                .withColumn("_w", weights)
+            )
+            total = F.aggregate(
+                "_w", F.lit(0.0).cast("double"), lambda a, x: a + x
+            )
+            tgt = (h32.cast("double") / F.lit(two32)) * total
+            acc0 = F.struct(
+                F.lit(0.0).cast("double").alias("cum"),
+                F.lit(-1).alias("idx"),
+                F.lit(0).alias("pos"),
+            )
+            pick = F.aggregate(
+                "_w",
+                acc0,
+                lambda a, w: F.struct(
+                    (a["cum"] + w).alias("cum"),
+                    F.when(a["idx"] >= 0, a["idx"])
+                    .when(a["cum"] + w > tgt, a["pos"])
+                    .otherwise(F.lit(-1))
+                    .alias("idx"),
+                    (a["pos"] + 1).alias("pos"),
+                ),
+            )["idx"]
+            frontier = joined.select(
+                "walk_id",
+                F.element_at("_nbrs", pick + 1).alias("_cur"),
+                joined["_cur"].alias("_prev"),
+            ).localCheckpoint(eager=False)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("_cur").alias("node"),
+            )
+        )
+    return out

@@ -623,3 +623,60 @@ def test_skipgram_pairs_window_semantics(spark):
     assert all(c != x for c, x in got)    # no self pairs
     # symmetric corpus: count(x,y) == count(y,x)
     assert all(got[(y, x)] == n for (x, y), n in got.items())
+
+
+def test_node2vec_walks_match_python_twin(spark):
+    import hashlib
+
+    from renard_spark.functions.graph import node2vec_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("b", "d")]
+    df = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edges], "src string, dst string, weight double"
+    )
+    R, L, p, q, seed = 2, 6, 4.0, 2.0, "n2v"
+    got = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in node2vec_walks(
+            df, walks_per_node=R, walk_len=L, p=p, q=q, seed=seed
+        ).collect()
+    )
+
+    adjd: dict = {}
+    for a, b in edges:
+        adjd.setdefault(a, set()).add(b)
+        adjd.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adjd.items()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = []
+    for u in adj:
+        for i in range(R):
+            wid = f"{u}:{i}"
+            want.append((wid, 0, u))
+            nb = adj[u]
+            cur = nb[h32(f"{seed}:{wid}:1") % len(nb)]
+            prev = u
+            want.append((wid, 1, cur))
+            for t in range(2, L):
+                nbrs = adj[cur]
+                ws = [
+                    (1.0 / p) if x == prev
+                    else 1.0 if x in adjd[prev]
+                    else (1.0 / q)
+                    for x in nbrs
+                ]
+                total = sum(ws)
+                tgt = (h32(f"{seed}:{wid}:{t}") / 4294967296.0) * total
+                cum, idx = 0.0, len(nbrs) - 1
+                for j, w in enumerate(ws):
+                    cum += w
+                    if cum > tgt:
+                        idx = j
+                        break
+                prev, cur = cur, nbrs[idx]
+                want.append((wid, t, cur))
+    assert got == sorted(want)
