@@ -1099,12 +1099,13 @@ def node2vec_walks(
     DuckDB oracle reproduces every pick with a window cumsum in the
     same neighbor order.
 
-    Scale shape: per step ONE equi-join on the current node + ONE on
-    the previous node (for its neighbor list), then a narrow
-    struct-accumulator fold over the neighbor array — constant plan
-    depth via per-step checkpoints, walks never visit the driver.
-    The neighbor-of-previous test is an array_contains against the
-    previous node's SORTED list (binary-searchable; hub rows are fat
+    Scale shape: per step ONE equi-join on the current node, then a
+    narrow struct-accumulator fold over the neighbor array — the
+    PREVIOUS node's neighbor list is the array already joined at the
+    previous step, carried forward in the frontier instead of
+    re-joined. Constant plan depth via per-step checkpoints; walks
+    never visit the driver. The neighbor-of-previous test is an
+    array_contains against the carried SORTED list (hub rows are fat
     arrays, not skewed join keys).
     """
     inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
@@ -1152,24 +1153,22 @@ def node2vec_walks(
                     "walk_id",
                     nxt.alias("_cur"),
                     frontier["_cur"].alias("_prev"),
+                    # the start node's neighbor list IS the previous-
+                    # node adjacency the next step needs — carry it
+                    F.col("_nbrs").alias("_pnbrs"),
                 )
                 .localCheckpoint(eager=False)
             )
         else:
-            padj = adj.select(
-                F.col("u").alias("_pu"), F.col("_nbrs").alias("_pnbrs")
-            )
             weights = F.transform(
                 "_nbrs",
                 lambda x: F.when(x == F.col("_prev"), F.lit(inv_p))
                 .when(F.array_contains("_pnbrs", x), F.lit(1.0))
                 .otherwise(F.lit(inv_q)),
             )
-            joined = (
-                frontier.join(adj, frontier["_cur"] == adj["u"])
-                .join(padj, frontier["_prev"] == F.col("_pu"))
-                .withColumn("_w", weights)
-            )
+            joined = frontier.join(
+                adj, frontier["_cur"] == adj["u"]
+            ).withColumn("_w", weights)
             total = F.aggregate(
                 "_w", F.lit(0.0).cast("double"), lambda a, x: a + x
             )
@@ -1195,6 +1194,7 @@ def node2vec_walks(
                 "walk_id",
                 F.element_at("_nbrs", pick + 1).alias("_cur"),
                 joined["_cur"].alias("_prev"),
+                F.col("_nbrs").alias("_pnbrs"),
             ).localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select(
