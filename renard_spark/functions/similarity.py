@@ -334,7 +334,12 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(emb, n_centroids, vec_col, id_col)
     )
-    probes = ivf_assignments(emb, cents, nprobe, vec_col, id_col)
+    # checkpoint: probes feeds TWO consumers (the rank-1 assignment
+    # side and the probe side of the candidate join) — without it the
+    # vector×codebook scoring pass executes twice
+    probes = ivf_assignments(
+        emb, cents, nprobe, vec_col, id_col
+    ).localCheckpoint(eager=False)
     assign = probes.filter(F.col("probe_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("centroid_id").alias("_ac"),
