@@ -456,6 +456,9 @@ def simhash_near_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    # checkpoint: keys feeds both join sides — upstream `sim` is
+    # usually the full 64-bit vote pass and would execute twice
+    keys = keys.localCheckpoint(eager=False)
     a = keys.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"),
         "band", "band_key",

@@ -459,7 +459,11 @@ def srp_multi_topk(
     by n_tables·max_bucket even when boilerplate-heavy corpora put
     millions of vectors in one bucket.
     """
-    buckets = srp_multi_bucket_keys(emb, n_bits, n_tables, vec_col, id_col)
+    # checkpoint: buckets feeds both join sides (and the cap window) —
+    # the per-bit md5 hyperplane signing would execute once per consumer
+    buckets = srp_multi_bucket_keys(
+        emb, n_bits, n_tables, vec_col, id_col
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         wb = Window.partitionBy("table_id", "bucket").orderBy("vec_id")
         capped = (
@@ -519,12 +523,14 @@ def srp_lsh_topk(
     buckets = srp_bucket_keys(emb, n_bits, vec_col, id_col).withColumnRenamed(
         "vec_id", "_bid"
     )
+    # checkpoint: e feeds both join sides — norm + bucket signing
+    # would execute once per consumer
     e = with_norm(emb, vec_col).join(
         buckets, F.col(id_col) == F.col("_bid")
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col("_norm").alias("n"), "bucket",
-    )
+    ).localCheckpoint(eager=False)
     a = e.select(
         F.col("id").alias("vec_id"), F.col("v").alias("va"),
         F.col("n").alias("na"), "bucket",

@@ -262,9 +262,15 @@ def winnow_near_dups(
     """
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(docs, k, w, text_col).select(
-        "doc_id", "fp"
-    ).distinct()
+    # checkpoint: fps feeds BOTH join sides (and the cap window) — the
+    # char-k-gram winnowing pass is the heaviest map stage here and
+    # would otherwise execute once per consumer
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     left = fps
     if max_bucket is not None:
         wb = Window.partitionBy("fp").orderBy("doc_id")
