@@ -755,6 +755,9 @@ def shared_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
     )
+    # checkpoint: grams feeds the df aggregation AND the position
+    # join — the n-gram explode would execute twice otherwise
+    grams = grams.localCheckpoint(eager=False)
     dfreq = (
         grams.select("_id", "gram")
         .distinct()
