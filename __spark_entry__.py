@@ -3615,6 +3615,97 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEEDS_N = 2  # seed set = lexicographically first N characters
+EPOCH_ORDER_N = 2  # delivery epochs materialized by the gate query
+
+
+def q_char_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    corpus-global character network, seeded at the two
+    lexicographically-first characters — the per-entity KG
+    neighborhood-relevance primitive; oracle unrolls the same 10
+    restart rounds as chained CTEs."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = ge.localCheckpoint(eager=True)  # feeds the seed probe + the loop
+    seeds = [
+        r["node"]
+        for r in ge.select(F.col("src").alias("node"))
+        .union(ge.select("dst"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_SEEDS_N)
+        .collect()
+    ]
+    ppr = gmetrics.personalized_pagerank(
+        ge, seeds, damping=PAGERANK_DAMPING, iters=PAGERANK_ITERS
+    )
+    return ppr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on the materialized KG (operators/triples
+    .upsert_triples): the even-doc half of the corpus builds the base
+    triple table (version 0), the odd-doc half is the update batch
+    (version 1) with single-evidence edges (weight = 1) arriving as
+    retractions — last-writer-wins by version on (subj, pred, obj),
+    deletes drop the key. One shuffle on the triple key, map-side
+    combinable argmax (no window)."""
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    men = unified.select(
+        "doc_id", "char_id", "start_idx", "end_idx"
+    ).localCheckpoint(eager=True)  # one NER pass feeds both halves
+
+    def half_edges(parity: int) -> DataFrame:
+        m = men.filter(F.col("doc_id").cast("long") % 2 == parity)
+        e = cooccur.cooccurrence_edges(m, COOCCUR_DIST, "tokens")
+        return (
+            e.groupBy("src", "dst")
+            .agg(F.sum("weight").cast("long").alias("weight"))
+        )
+
+    base = triples.edges_to_triples(half_edges(0)).withColumn(
+        "version", F.lit(0)
+    )
+    updates = (
+        triples.edges_to_triples(half_edges(1))
+        .withColumn("version", F.lit(1))
+        .withColumn("deleted", F.col("weight") == 1)
+    )
+    out = triples.upsert_triples(base, updates)
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("version").cast("long").alias("version"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+def q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequencies table of the corpus vocabulary
+    (functions/text.token_spectrum): two map-side-combined groupBys
+    over one narrow tokenize pass."""
+    from renard_spark.functions.text import token_spectrum
+
+    return token_spectrum(_spread(_documents(spark, sf_dir)))
+
+
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training
+    delivery (functions/sampling.epoch_order): 2 epochs, each a full
+    md5-keyed permutation of the corpus, ranked by the two-phase
+    global rank (never a single-partition window)."""
+    from renard_spark.functions.sampling import epoch_order
+
+    docs = _spread(_documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return epoch_order(docs, epochs=EPOCH_ORDER_N)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -3737,6 +3828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_text": q_norm_text,
         "hll_tokens": q_hll_tokens,
         "bloom_seen": q_bloom_seen,
+        "char_ppr": q_char_ppr,
+        "kg_upsert": q_kg_upsert,
+        "token_spectrum": q_token_spectrum,
+        "epoch_order": q_epoch_order,
     }
 
 
@@ -3829,6 +3924,73 @@ pr{i + 1} AS (
 )"""
     pr_sql += f"""
 SELECT node, round(r, 6) AS rank FROM pr{PAGERANK_ITERS}
+"""
+    # personalized PageRank: same graph CTEs, restart mass on the two
+    # lexicographically-first nodes, left join keeps explicit 0.0 rows
+    # for nodes no mass has reached yet (mirrors the Spark loop)
+    ppr_seed = (
+        "CASE WHEN nd.node IN (SELECT node FROM sd) "
+        "THEN 1.0 / (SELECT c FROM sn) ELSE 0.0 END"
+    )
+    ppr_sql = edges_ctes + f""",
+e0 AS (
+  SELECT least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::DOUBLE AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+sym AS (SELECT src AS u, dst AS v, w FROM e0
+        UNION ALL SELECT dst, src, w FROM e0),
+ow AS (SELECT u, sum(w) AS sw FROM sym GROUP BY u),
+ep AS (SELECT s.u, s.v, s.w / o.sw AS p FROM sym s JOIN ow o ON o.u = s.u),
+nd AS (SELECT DISTINCT u AS node FROM sym),
+sd AS (SELECT node FROM nd ORDER BY node LIMIT {PPR_SEEDS_N}),
+sn AS (SELECT count(*)::DOUBLE AS c FROM sd),
+ppr0 AS (SELECT nd.node, {ppr_seed} AS r FROM nd)"""
+    for i in range(PAGERANK_ITERS):
+        ppr_sql += f""",
+ppr{i + 1} AS (
+  SELECT nd.node,
+         (1.0 - {PAGERANK_DAMPING}) * {ppr_seed}
+           + {PAGERANK_DAMPING} * coalesce(c.m, 0.0) AS r
+  FROM nd LEFT JOIN (
+    SELECT ep.v AS node, sum(ppr{i}.r * ep.p) AS m
+    FROM ep JOIN ppr{i} ON ppr{i}.node = ep.u
+    GROUP BY ep.v
+  ) c ON c.node = nd.node
+)"""
+    ppr_sql += f"""
+SELECT node, round(r, 6) AS rank FROM ppr{PAGERANK_ITERS}
+"""
+    # KG MERGE: per-parity corpus halves as base/update versions,
+    # last-writer-wins argmax per triple key, deletes retract
+    upsert_sql = edges_ctes + """,
+eb AS (
+  SELECT least(t1, t2) AS subj, greatest(t1, t2) AS obj,
+         count(*)::BIGINT AS w
+  FROM pairs WHERE t1 <> t2 AND doc_id % 2 = 0
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+eu AS (
+  SELECT least(t1, t2) AS subj, greatest(t1, t2) AS obj,
+         count(*)::BIGINT AS w
+  FROM pairs WHERE t1 <> t2 AND doc_id % 2 = 1
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+allr AS (
+  SELECT subj, 'interacts_with' AS pred, obj,
+         0::BIGINT AS version, w, FALSE AS deleted FROM eb
+  UNION ALL
+  SELECT subj, 'interacts_with', obj, 1::BIGINT, w, (w = 1) FROM eu
+),
+win AS (
+  SELECT subj, pred, obj,
+         max(version) AS version,
+         arg_max(w, version) AS weight,
+         arg_max(deleted, version) AS deleted
+  FROM allr GROUP BY subj, pred, obj
+)
+SELECT subj, pred, obj, version, weight FROM win WHERE NOT deleted
 """
     # deterministic DeepWalk corpus: the md5-mod-degree pick into the
     # sorted neighbor list, unrolled one CTE per step (same math as
@@ -5600,6 +5762,27 @@ seen AS (
 SELECT f.doc_id, m.in_bloom,
        (CASE WHEN s.key IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_seen
 FROM fps f JOIN mem m USING(key) LEFT JOIN seen s ON s.key = f.key
+""",
+        "char_ppr": ppr_sql,
+        "kg_upsert": upsert_sql,
+        "token_spectrum": f"""
+WITH tok AS (
+  SELECT lower(unnest(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))) AS t
+  FROM documents
+), fr AS (SELECT t, count(*)::BIGINT AS freq FROM tok GROUP BY t)
+SELECT freq, count(*)::BIGINT AS n_types FROM fr GROUP BY freq
+""",
+        "epoch_order": f"""
+WITH ep AS (
+  SELECT d.doc_id, i.i AS epoch,
+         substr(md5('ep:' || i.i::VARCHAR || ':' || d.doc_id::VARCHAR),
+                1, 8) AS h
+  FROM documents d CROSS JOIN range(0, {EPOCH_ORDER_N}) i(i)
+)
+SELECT doc_id, epoch::INT AS epoch,
+       (row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+        - 1)::BIGINT AS ord
+FROM ep
 """,
         "event_rollup": """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,

@@ -116,6 +116,68 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame, seeds: list[str], damping: float = 0.85,
+    iters: int = 10, src: str = "src", dst: str = "dst",
+    weight: str | None = "weight", checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank (random walk with restart
+    to a seed set) on the undirected character network → (node, rank).
+
+    r_{t+1}(v) = (1-d)·s(v) + d·Σ_{(u,v)} r_t(u)·w_uv/strength(u),
+    with s(v) = 1/|seeds| on the seed set and 0 elsewhere; r_0 = s.
+    The per-entity relevance primitive for KG neighborhoods ("which
+    characters matter *around Elizabeth*"), vs global ``pagerank``.
+
+    Same bulk-synchronous plan as ``pagerank`` — per round ONE
+    equi-join of the rank vector onto the checkpointed edge list + ONE
+    map-side-combined sum — plus a left join back onto the node table
+    so nodes receiving no mass this round keep an explicit 0.0 row
+    (the restart term is seed-only, so far-from-seed nodes really are
+    0 until mass reaches them; a missing row would silently drop them
+    from later rounds' left side). Seeds are a driver-side literal
+    list (bounded — a seed set is a query parameter, not a corpus);
+    for seed sets that are themselves tables, join a seed DataFrame
+    instead of the ``isin`` literal.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs >=1 seed node")
+    seeds = sorted(set(seeds))
+    sym = symmetrize(edges, src, dst, weight)
+    ow = sym.groupBy("u").agg(F.sum("w").alias("sw"))
+    e = (
+        sym.join(ow, "u")
+        .select("u", "v", (F.col("w") / F.col("sw")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s_mass = 1.0 / len(seeds)
+    seed_term = F.when(
+        F.col("node").isin(seeds), F.lit(s_mass)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("rank", seed_term)
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * seed_term
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def hits(
     edges: DataFrame, iters: int = 8,
     src: str = "src", dst: str = "dst", weight: str | None = "weight",

@@ -186,3 +186,64 @@ def priority_sample(
         .filter(F.col("_r") <= n)
         .drop("_r")
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epochs: int = 1,
+    key_col: str = "doc_id",
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training-data
+    delivery → (key_col, epoch, ord): epoch e ranks every row by the
+    md5 of (salt, e, key), giving an independent full permutation per
+    epoch with ord ∈ [0, n). Trainers replay the exact token stream of
+    any run (curriculum debugging, loss-spike forensics) because the
+    order is a pure function of (salt, epoch, key) — identical on any
+    cluster size, partition layout, or engine.
+
+    Scale shape: a global permutation needs a TOTAL ORDER, which must
+    not mean a single-partition window — the rank rides the two-phase
+    global rank (range repartition by (epoch, hash) → per-partition
+    window → broadcast per-partition offsets), so every data-sized
+    stage is parallel and epochs stay in distinct key ranges of ONE
+    ranking pass instead of ``epochs`` separate jobs. The fixed-width
+    hex hash prefix compares lexicographically as its numeric value
+    (same contract as ``sample_by_hash``).
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    from renard_spark.operators.utils import global_running_total
+
+    n = df.count()
+    keyed = (
+        df.select(key_col)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(epochs - 1)))
+        )
+        .withColumn(
+            "_h",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("epoch").cast("string"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1, HEX_W,
+            ),
+        )
+        .withColumn("_one", F.lit(1))
+        # the range partitioner samples its input — truncate lineage
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_running_total(
+        keyed, "_one", ["epoch", "_h", key_col], out_col="_grk"
+    )
+    return ranked.select(
+        key_col,
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("_grk") - F.col("epoch") * F.lit(n)).cast("long").alias("ord"),
+    )

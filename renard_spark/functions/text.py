@@ -956,3 +956,26 @@ def ccnet_buckets(
             ).cast("int").alias("bucket_id"),
         )
     )
+
+
+def token_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf frequency spectrum of the corpus vocabulary →
+    (freq, n_types): for each corpus frequency f, how many distinct
+    (lowercased) token types occur exactly f times. The
+    frequency-of-frequencies table behind Good-Turing smoothing,
+    tokenizer-vocab sizing ("how many types clear a min-count
+    threshold"), and corpus-health checks (a boilerplate-heavy crawl
+    bends the spectrum's tail visibly).
+
+    Scale shape: two map-side-combined aggregations — token → count,
+    then count → type count — over one narrow tokenize pass. No
+    windows, no joins; the second groupBy's key space is tiny
+    (O(distinct frequencies) ≈ thousands even at 10^12 docs).
+    """
+    tok = docs.select(
+        F.explode(_toks(text_col)).alias("t")
+    ).select(F.lower("t").alias("t"))
+    freqs = tok.groupBy("t").agg(F.count(F.lit(1)).alias("freq"))
+    return freqs.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )

@@ -123,6 +123,64 @@ def edge_validity(dyn_edges: DataFrame) -> DataFrame:
     )
 
 
+def upsert_triples(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+    version_col: str = "version",
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """MERGE INTO semantics for periodically rebuilt KG tables:
+    last-writer-wins by ``version_col`` on the triple key, with update
+    rows flagged ``delete_col`` retracting the key entirely — the
+    engine-side form of Iceberg's ``MERGE INTO kg USING updates`` for
+    the (subj, pred, obj) graph tables the north rule materializes.
+
+    ONE shuffle on the triple key: both sides normalize to
+    (keys, version, deleted, payload-struct), union, and a
+    map-side-combinable ``max_by`` picks the winning row per key
+    (highest version; equal versions break toward the updates side, so
+    a same-version re-run is idempotent). Deleted winners drop out
+    with a filter. No window function — the per-key argmax combines
+    partially on the map side, which a row_number window cannot.
+
+    ``updates`` may omit ``delete_col`` (treated as all-False);
+    ``base`` rows never delete. Payload columns are every non-key,
+    non-version, non-delete column of ``base`` and must exist in
+    ``updates`` too.
+    """
+    payload = [
+        c
+        for c in base.columns
+        if c not in keys and c not in (version_col, delete_col)
+    ]
+
+    def norm(df: DataFrame, source_rank: int) -> DataFrame:
+        deleted = (
+            F.col(delete_col).cast("boolean")
+            if delete_col in df.columns
+            else F.lit(False)
+        )
+        return df.select(
+            *keys,
+            F.col(version_col).cast("long").alias("_v"),
+            F.lit(source_rank).alias("_sr"),
+            F.coalesce(deleted, F.lit(False)).alias("_del"),
+            F.struct(*payload).alias("_p"),
+        )
+
+    merged = norm(base, 0).unionByName(norm(updates, 1))
+    won = merged.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col("_del"), F.col("_v"), F.col("_p")),
+            F.struct(F.col("_v"), F.col("_sr")),
+        ).alias("w")
+    )
+    return won.filter(~F.col("w._del")).select(
+        *keys, F.col("w._v").alias(version_col), "w._p.*"
+    )
+
+
 def negative_samples(
     triples_df: DataFrame,
     k: int = 2,
