@@ -3706,6 +3706,48 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_order(docs, epochs=EPOCH_ORDER_N)
 
 
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured JSON payload column
+    (functions/events.typed_props, JVM from_json — no Python in the
+    parse path), then per-type aggregates of the typed field."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    typed = fevents.typed_props(ev, {"k": "long"})
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_k"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps in exact integer microseconds
+    (functions/events.event_gaps): one user-keyed lag window."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.event_gaps(ev)
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index cell-population stats (functions/similarity
+    .cluster_stats): codebook-cell sizes + cosine spread, the IVF
+    health table. min/max spreads are summation-order-independent, so
+    the table value-hashes identically cross-engine."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    s = similarity.cluster_stats(emb, n_centroids=IVF_CENTROIDS)
+    return s.select(
+        "centroid_id", "n_vecs",
+        F.round("min_cos", 6).alias("min_cos"),
+        F.round("max_cos", 6).alias("max_cos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -3832,6 +3874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_upsert": q_kg_upsert,
         "token_spectrum": q_token_spectrum,
         "epoch_order": q_epoch_order,
+        "event_props": q_event_props,
+        "event_gaps": q_event_gaps,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -5783,6 +5828,58 @@ SELECT doc_id, epoch::INT AS epoch,
        (row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
         - 1)::BIGINT AS ord
 FROM ep
+""",
+        "event_props": """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(CAST(props->>'k' AS BIGINT))::BIGINT AS n_k,
+       min(CAST(props->>'k' AS BIGINT))::BIGINT AS k_min,
+       max(CAST(props->>'k' AS BIGINT))::BIGINT AS k_max,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS k_sum
+FROM events GROUP BY event_type
+""",
+        "event_gaps": """
+SELECT user_id, event_id,
+       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS gap_us
+FROM events
+""",
+        "embedding_clusters": f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS centroid_id
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_CENTROIDS}
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM embeddings
+), cn AS (
+  SELECT centroid_id, cvec,
+         sqrt(list_sum(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE)))
+           AS cnrm
+  FROM cents
+), scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (v.nrm * c.cnrm)
+           AS cos_c
+  FROM n v CROSS JOIN cn c
+), probes AS (
+  SELECT vec_id, centroid_id, cos_c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, centroid_id ASC)
+           AS probe_rank
+  FROM scored
+), assign AS (
+  SELECT vec_id, centroid_id, cos_c FROM probes WHERE probe_rank = 1
+)
+SELECT centroid_id, count(*)::BIGINT AS n_vecs,
+       round(min(cos_c), 6) AS min_cos,
+       round(max(cos_c), 6) AS max_cos
+FROM assign GROUP BY centroid_id
 """,
         "event_rollup": """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,

@@ -286,3 +286,64 @@ def rolling_features(
         F.max(val_col).over(w).alias("roll_max"),
         (F.col(val_col) - F.lag(val_col).over(wlag)).alias("delta_prev"),
     )
+
+
+def typed_props(
+    events: DataFrame,
+    fields: dict[str, str],
+    props_col: str = "props",
+) -> DataFrame:
+    """Schema-on-read for the semi-structured JSON payload column:
+    parse ``props_col`` with an explicit field→type schema
+    (``from_json``, JVM-side — never a Python json.loads) and surface
+    each field as a typed top-level column. Unparseable rows and
+    missing keys yield NULLs (standard permissive semantics), so a
+    malformed payload can be quarantined with one IS NULL filter
+    rather than killing the job. Narrow: pipelines into the scan.
+
+    At 100 TB the payload column is where event tables hide most of
+    their bytes; an explicit schema keeps parsing vectorized and lets
+    column pruning drop the raw JSON string immediately after this
+    projection.
+    """
+    schema = ", ".join(f"{k} {t}" for k, t in fields.items())
+    parsed = events.withColumn("_p", F.from_json(F.col(props_col), schema))
+    keep = [c for c in events.columns if c != props_col]
+    return parsed.select(
+        *keep, *[F.col(f"_p.{k}").alias(k) for k in fields]
+    )
+
+
+def event_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival time per user → (user_col, id_col, gap_us): exact
+    integer microseconds since the same user's previous event (NULL on
+    the user's first event) — the dwell-time / activity-cadence
+    primitive behind sessionization thresholds and bot detection.
+
+    ONE window partitioned by the user key (millions of small
+    partitions — the scalable kind, unlike an empty partitionBy), with
+    (ts, event_id) ordering so simultaneous events break ties
+    deterministically. Microsecond integers (``unix_micros``) keep the
+    arithmetic exact and engine-portable — double epoch seconds lose
+    sub-microsecond bits at 2^52. TIMESTAMP_NTZ columns are cast to
+    TIMESTAMP first (the engine pins the session timezone to UTC in
+    session.py, so the cast is a linear epoch mapping).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    us = F.unix_micros(ts)
+    return events.select(
+        user_col, id_col,
+        (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+    )

@@ -931,3 +931,47 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def cluster_stats(
+    emb: DataFrame, centroids: DataFrame | None = None,
+    n_centroids: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell population statistics of the vector index →
+    (centroid_id, n_vecs, min_cos, max_cos): how many vectors each
+    codebook cell holds and the cosine range to its centroid — the
+    index-health table behind IVF tuning (a hot cell is a skewed probe
+    partition; a wide cosine range is a cell that needs splitting).
+
+    Same narrow shape as ``ivf_assignments``: broadcast cross join
+    against the ≤n_centroids codebook, window argmin per vector, then
+    ONE map-side-combined aggregation per cell. min/max (not mean) are
+    the reported spread stats deliberately: they are
+    summation-order-independent, so the table is bit-reproducible
+    across partition layouts and engines (a float mean is not).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, vec_col, id_col)
+    c = centroids.withColumn("_cn", _norm(F.col("cvec")))
+    e = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "centroid_id",
+        (_dot(F.col("v"), F.col("cvec")) / (F.col("n") * F.col("_cn"))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    assign = scored.withColumn(
+        "_r", F.row_number().over(w)
+    ).filter(F.col("_r") == 1)
+    return assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("_cos").alias("min_cos"),
+        F.max("_cos").alias("max_cos"),
+    )

@@ -200,3 +200,77 @@ def test_epoch_order_matches_md5_rank_and_layout_invariance(spark):
         for r in epoch_order(docs.repartition(7), epochs=2).collect()
     }
     assert got2 == got
+
+
+def test_typed_props_parses_and_quarantines(spark):
+    from renard_spark.functions.events import typed_props
+
+    ev = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "a"}'),
+            (2, '{"k": null}'),
+            (3, "not json"),
+            (4, '{"tag": "b"}'),
+        ],
+        "event_id long, props string",
+    )
+    got = {
+        r["event_id"]: (r["k"], r["tag"])
+        for r in typed_props(ev, {"k": "long", "tag": "string"}).collect()
+    }
+    assert got == {1: (5, "a"), 2: (None, None), 3: (None, None), 4: (None, "b")}
+
+
+def test_event_gaps_exact_microseconds(spark):
+    from datetime import datetime
+
+    from renard_spark.functions.events import event_gaps
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0, 500)),
+        (2, 10, datetime(2024, 1, 1, 0, 0, 1, 250)),
+        (3, 10, datetime(2024, 1, 1, 0, 0, 1, 250)),  # tie → event_id order
+        (4, 20, datetime(2024, 1, 1, 0, 0, 9, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["gap_us"] for r in event_gaps(ev).collect()}
+    assert got == {1: None, 2: 999750, 3: 0, 4: None}
+
+
+def test_cluster_stats_matches_numpy(spark):
+    import numpy as np
+
+    from renard_spark.functions.similarity import cluster_stats, ivf_centroids
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).tolist()
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, n_centroids=4)
+    got = {
+        r["centroid_id"]: (r["n_vecs"], r["min_cos"], r["max_cos"])
+        for r in cluster_stats(emb, centroids=cents).collect()
+    }
+    cmat = {r["centroid_id"]: np.array(r["cvec"]) for r in cents.collect()}
+    assign = {}
+    for i, v in enumerate(vecs):
+        v = np.array(v)
+        best = max(
+            sorted(cmat),
+            key=lambda c: (
+                float(v @ cmat[c] / (np.linalg.norm(v) * np.linalg.norm(cmat[c]))),
+                -c,
+            ),
+        )
+        cos = float(
+            v @ cmat[best] / (np.linalg.norm(v) * np.linalg.norm(cmat[best]))
+        )
+        assign.setdefault(best, []).append(cos)
+    assert set(got) == set(assign)
+    for c, coss in assign.items():
+        n, mn, mx = got[c]
+        assert n == len(coss)
+        assert mn == pytest.approx(min(coss), abs=1e-9)
+        assert mx == pytest.approx(max(coss), abs=1e-9)
