@@ -3748,6 +3748,111 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_S = 7200
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window funnel (functions/events.funnel_levels — the ClickHouse
+    windowFunnel analytic): deepest view→click→purchase chain per user
+    inside a 2 h span. One user-keyed groupBy + a pure-JVM aggregate
+    fold over the sorted (ts, step) array; greedy-max chain starts make
+    the fold exact for the ∃-chain semantics, which the oracle states
+    directly as per-level EXISTS joins."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.funnel_levels(ev, FUNNEL_STEPS, FUNNEL_WINDOW_S)
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (functions/events.retention_cohorts): users
+    bucketed by first-activity week, counted at each week offset they
+    returned. One distinct + one min-agg + one user-key join + one
+    count — no windows."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = fevents.retention_cohorts(ev, period="week")
+    # gate renders the cohort date as its ISO string: Spark DATE and
+    # DuckDB DATE round-trip through pandas as different objects
+    return r.select(
+        F.col("cohort").cast("string").alias("cohort"), "offset", "n_users"
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (functions/profile.profile_table): per-column
+    n / nulls / exact distincts / min / max for the documents table in
+    ONE aggregation pass (multi-distinct compiles to Spark's Expand),
+    unpivoted via stack. Profiled columns here are integral/string so
+    the stringified min/max are engine-stable."""
+    from renard_spark.functions.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF interchange sink (io/ntriples.triples_to_ntriples): the
+    corpus interaction KG serialized as N-Triples lines — blank-node
+    ids from md5(name), escaped rdfs:label literals per node. Narrow
+    string assembly on top of the same triple table q_triples emits;
+    every part file of the text sink is independently valid .nt."""
+    from renard_spark.io.ntriples import triples_to_ntriples
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    return triples_to_ntriples(triples.edges_to_triples(edges))
+
+
+ANOMALY_TRAILING = 24
+
+
+def q_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense gap-filled hourly series + LOCF (functions/events
+    .gapfill_locf — the TimescaleDB time_bucket_gapfill/locf pair):
+    spine = |keys| × |buckets| from a 1-row scalar bound, carried
+    metric is order-independent max."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.gapfill_locf(ev, bucket="hour")
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user
+    (functions/events.activity_streaks): gaps-and-islands on the
+    engine-portable integer day-rank difference."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.activity_streaks(ev)
+
+
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(source, lang) corpus composition (functions/text
+    .corpus_cube): one Expand pass, integral sums, subtotal cells
+    labelled '(all)'."""
+    from renard_spark.functions.text import corpus_cube
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_cube(docs)
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rate anomaly z-scores per event type
+    (functions/events.rate_anomalies): moments from exact integer
+    Σn/Σn² window sums so the float score is engine-reproducible."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.rate_anomalies(ev, trailing=ANOMALY_TRAILING)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -3877,6 +3982,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props": q_event_props,
         "event_gaps": q_event_gaps,
         "embedding_clusters": q_embedding_clusters,
+        "event_funnel": q_event_funnel,
+        "retention": q_retention,
+        "table_profile": q_table_profile,
+        "kg_ntriples": q_kg_ntriples,
+        "event_gapfill": q_event_gapfill,
+        "user_streaks": q_user_streaks,
+        "corpus_cube": q_corpus_cube,
+        "event_anomalies": q_event_anomalies,
     }
 
 
@@ -6294,6 +6407,171 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
                    sum(off)::BIGINT AS sum_offset
             FROM med GROUP BY kind
         """,
+        # windowFunnel ∃-chain semantics stated directly: level l iff a
+        # non-decreasing chain of the first l steps fits the window
+        "event_funnel": f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS et
+  FROM events
+  WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}',
+                       '{FUNNEL_STEPS[2]}')
+), u AS (SELECT DISTINCT user_id FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE et = '{FUNNEL_STEPS[0]}'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON b.user_id = a.user_id
+  WHERE a.et = '{FUNNEL_STEPS[0]}' AND b.et = '{FUNNEL_STEPS[1]}'
+    AND b.t >= a.t AND b.t - a.t <= {FUNNEL_WINDOW_S * 1_000_000}
+),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id
+  JOIN e c ON c.user_id = a.user_id
+  WHERE a.et = '{FUNNEL_STEPS[0]}' AND b.et = '{FUNNEL_STEPS[1]}'
+    AND c.et = '{FUNNEL_STEPS[2]}' AND b.t >= a.t AND c.t >= b.t
+    AND c.t - a.t <= {FUNNEL_WINDOW_S * 1_000_000}
+)
+SELECT u.user_id,
+       (CASE WHEN l3.user_id IS NOT NULL THEN 3
+             WHEN l2.user_id IS NOT NULL THEN 2
+             WHEN l1.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::INT AS level
+FROM u LEFT JOIN l1 ON l1.user_id = u.user_id
+       LEFT JOIN l2 ON l2.user_id = u.user_id
+       LEFT JOIN l3 ON l3.user_id = u.user_id
+""",
+        "retention": """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS p
+  FROM events
+), fst AS (SELECT u, min(p) AS cohort FROM act GROUP BY u)
+SELECT fst.cohort::VARCHAR AS cohort,
+       (date_diff('day', fst.cohort, act.p) // 7)::INT AS "offset",
+       count(*)::BIGINT AS n_users
+FROM act JOIN fst ON act.u = fst.u
+GROUP BY 1, 2
+""",
+        "table_profile": """
+SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count(doc_id))::BIGINT AS n_null,
+       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+       min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val
+FROM documents
+UNION ALL
+SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+       count(DISTINCT text)::BIGINT, min(text), max(text)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+       count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+FROM documents
+UNION ALL
+SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+       count(DISTINCT source)::BIGINT, min(source), max(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+       count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR,
+       max(n_chars)::VARCHAR
+FROM documents
+""",
+        "kg_ntriples": edges_ctes + """,
+trip AS (
+  SELECT DISTINCT least(t1, t2) AS subj, 'interacts_with' AS pred,
+         greatest(t1, t2) AS obj
+  FROM pairs WHERE t1 <> t2
+), nodes AS (
+  SELECT subj AS name FROM trip UNION SELECT obj FROM trip
+), esc AS (
+  SELECT name,
+         replace(replace(replace(replace(replace(name,
+           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+           chr(9), '\\t') AS ename
+  FROM nodes
+)
+SELECT '_:b' || md5(subj) || ' <http://example.org/kg/' || pred
+       || '> _:b' || md5(obj) || ' .' AS line
+FROM trip
+UNION ALL
+SELECT '_:b' || md5(name)
+       || ' <http://www.w3.org/2000/01/rdf-schema#label> "'
+       || ename || '" .'
+FROM esc
+""",
+        "event_gapfill": """
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         count(*)::BIGINT AS n, max(value) AS vmax
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events
+), keys AS (SELECT DISTINCT event_type AS key FROM events),
+spine AS (
+  SELECT k.key,
+         unnest(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR))
+           AS bucket_start
+  FROM keys k, bounds bo
+)
+SELECT s.key, s.bucket_start,
+       coalesce(a.n, 0)::BIGINT AS n,
+       a.vmax AS vmax,
+       last_value(a.vmax IGNORE NULLS) OVER (
+         PARTITION BY s.key ORDER BY s.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_locf
+FROM spine s
+LEFT JOIN agg a ON a.key = s.key AND a.bucket_start = s.bucket_start
+""",
+        "user_streaks": """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts)::DATE AS d
+  FROM events
+), isl AS (
+  SELECT u, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY u ORDER BY d) AS isl
+  FROM act
+), runs AS (
+  SELECT u, isl, count(*)::BIGINT AS run FROM isl GROUP BY 1, 2
+)
+SELECT u AS user_id, sum(run)::BIGINT AS n_active_days,
+       max(run)::BIGINT AS longest_streak
+FROM runs GROUP BY u
+""",
+        "corpus_cube": """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)
+""",
+        "event_anomalies": f"""
+WITH agg AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), wstats AS (
+  SELECT key, bucket_start, n,
+         count(*) OVER w AS cnt,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM agg
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_start
+               ROWS BETWEEN {ANOMALY_TRAILING} PRECEDING
+                        AND 1 PRECEDING)
+)
+SELECT key, bucket_start, n,
+       round(CASE WHEN cnt = {ANOMALY_TRAILING}
+                   AND (s2::DOUBLE - s1::DOUBLE * s1 / cnt)
+                       / (cnt - 1) > 0
+                  THEN (n - s1::DOUBLE / cnt)
+                       / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / cnt)
+                              / (cnt - 1))
+             END, 6) AS z
+FROM wstats
+""",
     }
     # The curation composite reuses the ngram_overlap decontamination
     # SQL verbatim as a subquery (same train/bench convention) and the

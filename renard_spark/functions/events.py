@@ -9,7 +9,7 @@ tables at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -346,4 +346,258 @@ def event_gaps(
     return events.select(
         user_col, id_col,
         (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+    )
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Window funnel (the ClickHouse ``windowFunnel`` analytic) →
+    (user_col, level): the deepest prefix of ``steps`` each user
+    completed as a time-ordered chain whose total span fits inside
+    ``window_seconds``. Chain semantics: timestamps non-decreasing
+    (t1 ≤ … ≤ tl, tl − t1 ≤ window), ``steps`` must be distinct.
+
+    Distributed shape: filter to funnel types (narrow — non-funnel
+    events never shuffle), ONE groupBy(user) collecting the (ts, step)
+    list, then a pure-JVM ``aggregate`` fold over the sorted array.
+    The fold keeps, per level, the MAXIMUM chain-start time over all
+    chains reaching that level — a later start strictly dominates
+    (more window slack for every deeper step), so greedy-max is exact
+    for the ∃-chain semantics, unlike the earliest-start greedy.
+    Sorting by (ts, step) makes equal-timestamp chains well-defined:
+    lower steps fold first, so a same-instant s1→s2 chain is counted.
+    Per-user state is k longs — millions of users cost nothing; a
+    single user's event list is bounded by their funnel-type events
+    only.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    window_us = int(window_seconds) * 1_000_000
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    step = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(type_col)
+    )
+    ev = (
+        events.select(
+            F.col(user_col),
+            F.unix_micros(ts).alias("_us"),
+            step.cast("int").alias("_step"),
+        )
+        .filter(F.col("_step") > 0)
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("_us", "_step"))).alias("_evs")
+    )
+
+    def fold(acc, x):
+        # slot i (0-based) = best (max) chain-start time among chains
+        # reaching level i+1; element_at is 1-based, so element_at(acc, i)
+        # is the previous level's slot (guarded: only reached when i >= 1).
+        return F.transform(
+            acc,
+            lambda v, i: F.when(x["_step"] != i + 1, v).otherwise(
+                F.when(i == F.lit(0), F.greatest(v, x["_us"])).otherwise(
+                    F.when(
+                        F.element_at(acc, i).isNotNull()
+                        & (
+                            (x["_us"] - F.element_at(acc, i))
+                            <= F.lit(window_us)
+                        ),
+                        F.greatest(v, F.element_at(acc, i)),
+                    ).otherwise(v)
+                )
+            ),
+        )
+
+    level = F.aggregate(
+        F.col("_evs"),
+        F.array_repeat(F.lit(None).cast("long"), k),
+        fold,
+        lambda acc: F.size(F.filter(acc, lambda v: v.isNotNull())),
+    )
+    return per_user.select(
+        user_col, level.cast("int").alias("level")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention → (cohort, offset, n_users): users grouped by
+    the period of their first activity, counted at each later period
+    they came back (offset 0 = the cohort's own size). ``period`` is
+    'day' or 'week' (date_trunc buckets, Monday weeks — identical in
+    DuckDB/Trino), offsets are exact integer day-diffs divided by the
+    period length, so the table is engine-portable.
+
+    Shape: one (user, period) distinct (map-side partial), one min-agg
+    for the cohort assignment, one broadcast-size join back (the
+    per-user cohort row is 1 row/user — Spark will hash-join on the
+    user key; AQE may broadcast at small scale), one final count
+    aggregation. No windows, no skew risk beyond the user key itself.
+    """
+    if period not in ("day", "week"):
+        raise ValueError("period must be 'day' or 'week'")
+    days = 1 if period == "day" else 7
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    act = events.select(
+        F.col(user_col).alias("_u"), p.alias("_p")
+    ).distinct()
+    first = act.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    joined = act.join(first, "_u")
+    return (
+        joined.groupBy(
+            F.col("_cohort").alias("cohort"),
+            (F.datediff(F.col("_p"), F.col("_cohort")) / days)
+            .cast("int")
+            .alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    bucket: str = "hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Dense time-bucketed series with gap filling + last-observation-
+    carried-forward (the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` pair) → (key, bucket_start, n, vmax, vmax_locf): every
+    (series key × bucket) in the corpus' [min, max] bucket range gets
+    a row; empty buckets carry n = 0, NULL vmax, and the previous
+    non-NULL vmax via an IGNORE NULLS running ``last``.
+
+    Shape: one (key, bucket) aggregation; the spine is a 1-row global
+    min/max scalar broadcast-crossed with the distinct key table, then
+    a narrow ``sequence`` explode — spine size = |keys| × |buckets|,
+    never a function of event count. The LOCF window partitions by the
+    series key (many small partitions). The carried metric is ``max``
+    deliberately: order-independent, so the filled table value-hashes
+    identically on any engine/layout (a carried float *sum* would not).
+    """
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    b = F.date_trunc(bucket, ts)
+    agg = events.groupBy(
+        F.col(key_col).alias("key"), b.alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max(val_col).alias("_vmax"),
+    )
+    bounds = events.select(
+        F.min(b).alias("_lo"), F.max(b).alias("_hi")
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval 1 {bucket}"))
+        ).alias("bucket_start"),
+    )
+    filled = spine.join(agg, ["key", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "key",
+        "bucket_start",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n"),
+        F.col("_vmax").alias("vmax"),
+        F.last("_vmax", ignorenulls=True).over(w).alias("vmax_locf"),
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user → (user_col,
+    n_active_days, longest_streak): the gaps-and-islands pattern. One
+    distinct on (user, day), one user-keyed window row_number, one
+    island aggregation — island identity is the engine-portable
+    integer ``days-since-epoch − row_number`` (constant within a
+    consecutive run), never date arithmetic on interval types.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    act = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    isl = act.select(
+        "u", "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("isl"),
+    )
+    runs = isl.groupBy("u", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run")
+    )
+    return runs.groupBy(F.col("u").alias(user_col)).agg(
+        F.sum("run").cast("long").alias("n_active_days"),
+        F.max("run").cast("long").alias("longest_streak"),
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    trailing: int = 24,
+    bucket: str = "hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window rate anomaly score per (series, bucket) →
+    (key, bucket_start, n, z): each bucket's event count against the
+    mean/std of the previous ``trailing`` buckets of the same series
+    (NULL z until a full trailing window exists, or when the trailing
+    counts are constant). One aggregation + one series-keyed window.
+
+    The moments come from exact integer Σn and Σn² over the frame —
+    not a float ``stddev`` window agg — so mean/var are single
+    divisions of exact operands and the score reproduces bit-for-bit
+    across engines and partition layouts; z is rounded to 6 dp on top.
+    Sample variance (n−1) matches the usual control-chart convention.
+    """
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    agg = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, ts).alias("bucket_start"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s1.cast("double") / cnt
+    var = (s2.cast("double") - s1.cast("double") * s1 / cnt) / (cnt - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return agg.select(
+        "key", "bucket_start", "n",
+        F.round(
+            F.when((cnt == trailing) & (var > 0), z), 6
+        ).alias("z"),
     )

@@ -1,0 +1,65 @@
+"""Column profiling — the data-quality summary table warehouses run
+before trusting a new drop: per-column row count, null count, exact
+distinct count, and min/max rendered as strings.
+
+One aggregation pass produces every statistic: the multi-distinct agg
+compiles to Spark's Expand operator (one shuffle carrying a
+column-tagged replica per distinct spec — map-side partials intact),
+then a zero-shuffle ``stack`` unpivots the single stats row into one
+row per column. Nothing touches the driver but the final tiny table.
+
+min/max are cast to string AFTER the typed aggregation, so numeric
+columns order numerically, and engine-specific float formatting only
+matters if a profiled column is floating-point (callers gating a
+cross-engine comparison should profile integral/string columns, or
+drop the min/max fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """→ (column, n, n_null, n_distinct, min_val, max_val), one row per
+    profiled column. ``n`` is the table row count (repeated per row so
+    each profile row is self-contained), ``n_distinct`` is exact and
+    excludes NULLs (COUNT(DISTINCT col) semantics on every engine)."""
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"_nn_{i}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{i}"),
+        ]
+    stats = df.agg(*aggs)
+    stack_args = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nn_{i}"),
+            F.col(f"_nd_{i}"),
+            F.col(f"_mn_{i}"),
+            F.col(f"_mx_{i}"),
+        ]
+    return stats.select(
+        "_n",
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("col_name", "n_notnull", "n_distinct", "min_val", "max_val"),
+    ).select(
+        "col_name",
+        F.col("_n").alias("n"),
+        (F.col("_n") - F.col("n_notnull")).cast("long").alias("n_null"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )

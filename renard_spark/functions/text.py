@@ -979,3 +979,35 @@ def token_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return freqs.groupBy("freq").agg(
         F.count(F.lit(1)).cast("long").alias("n_types")
     )
+
+
+def corpus_cube(
+    docs: DataFrame,
+    dims: tuple[str, str] = ("source", "lang"),
+    size_col: str = "n_chars",
+    all_label: str = "(all)",
+) -> DataFrame:
+    """Multi-dimensional corpus rollup → one row per CUBE cell of the
+    two dims (every combination incl. per-dim subtotals and the grand
+    total): doc count + total corpus bytes — the at-a-glance corpus
+    composition table. ONE pass: CUBE compiles to Spark's Expand
+    operator (each input row fans to its 4 cells map-side, partials
+    combine before the single shuffle). Aggregated-out dims surface as
+    ``all_label`` so cells are self-describing; callers with NULLs in
+    a dim column should pre-coalesce them to a distinct sentinel.
+    Sums are integral → exact on every engine.
+    """
+    a, b = dims
+    return (
+        docs.cube(a, b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col(a), F.lit(all_label)).alias(a),
+            F.coalesce(F.col(b), F.lit(all_label)).alias(b),
+            "n_docs",
+            "sum_chars",
+        )
+    )

@@ -1,0 +1,261 @@
+"""Round-4 continuation, batch C: window funnel, cohort retention,
+column profiling, and the N-Triples KG export sink."""
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from renard_spark.functions.events import funnel_levels, retention_cohorts
+from renard_spark.functions.profile import profile_table
+from renard_spark.io.ntriples import triples_to_ntriples, write_ntriples
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, seconds-offset, event_type)
+    base = datetime(2024, 1, 1)
+    data = [
+        (eid, u, datetime.fromtimestamp(base.timestamp() + s), t)
+        for eid, u, s, t in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def _levels(spark, rows, window_s=100):
+    ev = _events(spark, rows)
+    return {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(
+            ev, ["view", "click", "purchase"], window_s
+        ).collect()
+    }
+
+
+def test_funnel_basic_levels(spark):
+    rows = [
+        # u1 completes the whole funnel inside the window
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 20, "purchase"),
+        # u2 stalls after click
+        (4, 2, 0, "view"), (5, 2, 10, "click"),
+        # u3 has the steps out of order → only level 1
+        (6, 3, 0, "purchase"), (7, 3, 10, "click"), (8, 3, 20, "view"),
+        # u4 has only a non-first step → level 0 (still a row)
+        (9, 4, 0, "click"),
+    ]
+    assert _levels(spark, rows) == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_funnel_window_bounds_total_span(spark):
+    # chain span 0→140 exceeds W=100 even though each hop is short
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 60, "click"), (3, 1, 140, "purchase"),
+    ]
+    assert _levels(spark, rows) == {1: 2}
+    # exactly-at-window span is allowed (tl - t1 <= W)
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 60, "click"), (3, 1, 100, "purchase"),
+    ]
+    assert _levels(spark, rows) == {1: 3}
+
+
+def test_funnel_max_start_beats_greedy_earliest(spark):
+    # a later view restarts the clock: the 50→60→140 chain fits W=100,
+    # while a greedy earliest-start fold (anchored at the view@0)
+    # would stop at level 2
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 50, "view"),
+        (3, 1, 60, "click"), (4, 1, 140, "purchase"),
+    ]
+    assert _levels(spark, rows) == {1: 3}
+
+
+def test_funnel_same_timestamp_chains(spark):
+    # non-decreasing semantics: same-instant view→click chains count,
+    # regardless of event_id order
+    rows = [(1, 1, 10, "click"), (2, 1, 10, "view")]
+    assert _levels(spark, rows) == {1: 2}
+
+
+def test_funnel_rejects_duplicate_steps(spark):
+    ev = _events(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError):
+        funnel_levels(ev, ["view", "view"], 10)
+
+
+def test_retention_cohorts_day(spark):
+    day = 86400
+    rows = [
+        # u1 first seen day 0, back on day 2 (twice — distinct'd)
+        (1, 1, 0, "view"), (2, 1, 2 * day, "view"),
+        (3, 1, 2 * day + 5, "click"),
+        # u2 first seen day 1, never back
+        (4, 2, day, "view"),
+        # u3 first seen day 0, back day 1
+        (5, 3, 5, "view"), (6, 3, day + 5, "view"),
+    ]
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in retention_cohorts(_events(spark, rows), "day").collect()
+    }
+    assert got == {
+        (date(2024, 1, 1), 0): 2,
+        (date(2024, 1, 1), 1): 1,
+        (date(2024, 1, 1), 2): 1,
+        (date(2024, 1, 2), 0): 1,
+    }
+
+
+def test_profile_table_counts_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", 5.0), (2, None, 7.0)],
+        "id long, s string, x double",
+    )
+    got = {
+        r["col_name"]: (
+            r["n"], r["n_null"], r["n_distinct"], r["min_val"], r["max_val"]
+        )
+        for r in profile_table(df).collect()
+    }
+    assert got["id"] == (3, 0, 2, "1", "2")
+    assert got["s"] == (3, 1, 2, "a", "b")
+    assert got["x"] == (3, 1, 2, "5.0", "7.0")
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+
+
+def test_ntriples_lines_and_escaping(spark):
+    trips = spark.createDataFrame(
+        [
+            (0, 'A"quote', "interacts_with", "B\nline"),
+            (1, 'A"quote', "interacts_with", "B\nline"),  # dup collapses
+        ],
+        "doc_id long, subj string, pred string, obj string",
+    )
+    lines = sorted(
+        r["line"] for r in triples_to_ntriples(trips).collect()
+    )
+    assert len(lines) == 3  # 1 fact + 2 labels
+    labels = [l for l in lines if "rdf-schema#label" in l]
+    assert any('"A\\"quote"' in l for l in labels)
+    assert any('"B\\nline"' in l for l in labels)
+    fact = [l for l in lines if "interacts_with" in l]
+    assert len(fact) == 1
+    assert fact[0].startswith("_:b") and fact[0].endswith(" .")
+    # blank-node ids agree between the fact and its labels
+    subj_b = fact[0].split(" ")[0]
+    assert any(l.startswith(subj_b + " ") for l in labels)
+
+
+def test_ntriples_writer_roundtrip(spark, tmp_path):
+    trips = spark.createDataFrame(
+        [(0, "Ann", "interacts_with", "Bob")],
+        "doc_id long, subj string, pred string, obj string",
+    )
+    out = str(tmp_path / "kg.nt")
+    write_ntriples(triples_to_ntriples(trips), out)
+    back = {r["value"] for r in spark.read.text(out).collect()}
+    assert len(back) == 3
+    assert all(l.endswith(" .") for l in back)
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    from renard_spark.functions.events import gapfill_locf
+
+    rows = [
+        # key 'a': hours 0 and 3 observed; 1, 2 are gaps
+        (1, 1, 0, "a"), (2, 1, 600, "a"), (3, 1, 3 * 3600, "a"),
+        # key 'b': only hour 1 → rows for 0..3 still appear
+        (4, 2, 3700, "b"),
+    ]
+    ev = _events(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double")
+    )
+    got = {
+        (r["key"], r["bucket_start"].hour): (
+            r["n"], r["vmax"], r["vmax_locf"]
+        )
+        for r in gapfill_locf(ev, bucket="hour").collect()
+    }
+    assert len(got) == 8  # 2 keys x 4 hourly buckets
+    assert got[("a", 0)] == (2, 2.0, 2.0)
+    assert got[("a", 1)] == (0, None, 2.0)
+    assert got[("a", 2)] == (0, None, 2.0)
+    assert got[("a", 3)] == (1, 3.0, 3.0)
+    assert got[("b", 0)] == (0, None, None)
+    assert got[("b", 1)] == (1, 4.0, 4.0)
+    assert got[("b", 3)] == (0, None, 4.0)
+
+
+def test_activity_streaks(spark):
+    from renard_spark.functions.events import activity_streaks
+
+    day = 86400
+    rows = [
+        # u1: days 0,1,2 then 5,6 → longest 3, active 5
+        (1, 1, 0, "view"), (2, 1, day, "view"), (3, 1, 2 * day, "view"),
+        (4, 1, 5 * day, "view"), (5, 1, 6 * day, "view"),
+        # two events same day don't double-count
+        (6, 1, day + 5, "click"),
+        # u2: single day
+        (7, 2, 0, "view"),
+    ]
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"])
+        for r in activity_streaks(_events(spark, rows)).collect()
+    }
+    assert got == {1: (5, 3), 2: (1, 1)}
+
+
+def test_corpus_cube_cells(spark):
+    from renard_spark.functions.text import corpus_cube
+
+    docs = spark.createDataFrame(
+        [(0, "s0", "en", 10), (1, "s0", "fr", 20), (2, "s1", "en", 30)],
+        "doc_id long, source string, lang string, n_chars long",
+    )
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["sum_chars"])
+        for r in corpus_cube(docs).collect()
+    }
+    assert len(got) == 8  # 3 leaves + 2 source + 2 lang subtotals + grand
+    assert got[("s0", "en")] == (1, 10)
+    assert got[("s0", "(all)")] == (2, 30)
+    assert got[("(all)", "en")] == (2, 40)
+    assert got[("(all)", "(all)")] == (3, 60)
+
+
+def test_rate_anomalies_matches_numpy(spark):
+    import math
+
+    from renard_spark.functions.events import rate_anomalies
+
+    # one series, hourly counts with a spike at the end
+    counts = [5, 6, 5, 7, 6, 5, 6, 40]
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, 1, h * 3600 + i, "a"))
+            eid += 1
+    got = {
+        r["bucket_start"].hour: (r["n"], r["z"])
+        for r in rate_anomalies(
+            _events(spark, rows), trailing=4, bucket="hour"
+        ).collect()
+    }
+    assert [got[h][0] for h in range(8)] == counts
+    # first 4 buckets: incomplete trailing window → NULL z
+    assert all(got[h][1] is None for h in range(4))
+    for h in range(4, 8):
+        w = counts[h - 4:h]
+        mean = sum(w) / 4
+        var = sum((x - mean) ** 2 for x in w) / 3
+        if var > 0:
+            assert got[h][1] == pytest.approx(
+                (counts[h] - mean) / math.sqrt(var), abs=1e-5
+            )
+        else:
+            assert got[h][1] is None
+    assert got[7][1] > 5  # the spike is flagged hard
