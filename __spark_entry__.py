@@ -3812,6 +3812,44 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_TRAILING = 24
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING behind the hash gate: the windowFunnel fold
+    run as an applyInPandasWithState job over the events table as a
+    file stream (availableNow), per-user chain-start state carried
+    across micro-batches; the per-user MAX emitted level is gated
+    against the same ∃-chain SQL oracle as the batch q_event_funnel —
+    stream == batch == oracle."""
+    import os
+    import tempfile
+
+    from renard_spark.streaming.events import stream_funnel
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out_dir = tempfile.mkdtemp(prefix="renard_stream_funnel_")
+    data = os.path.join(out_dir, "data")
+    ckpt = os.path.join(out_dir, "ckpt")
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(in_dir, "events.parquet")
+    )
+    sdf = spark.readStream.schema(batch_schema).parquet(in_dir)
+    q = (
+        stream_funnel(sdf, FUNNEL_STEPS, FUNNEL_WINDOW_S)
+        .writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(data)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.max("level").cast("int").alias("level"))
+    )
+
+
 def q_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense gap-filled hourly series + LOCF (functions/events
     .gapfill_locf — the TimescaleDB time_bucket_gapfill/locf pair):
@@ -3986,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "table_profile": q_table_profile,
         "kg_ntriples": q_kg_ntriples,
+        "stream_funnel": q_stream_funnel,
         "event_gapfill": q_event_gapfill,
         "user_streaks": q_user_streaks,
         "corpus_cube": q_corpus_cube,
@@ -6573,6 +6612,7 @@ SELECT key, bucket_start, n,
 FROM wstats
 """,
     }
+    out["stream_funnel"] = out["event_funnel"]
     # The curation composite reuses the ngram_overlap decontamination
     # SQL verbatim as a subquery (same train/bench convention) and the
     # train-filtered twin of the MinHash cluster + keep-best chain; the

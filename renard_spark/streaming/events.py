@@ -104,3 +104,79 @@ def stream_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_funnel(
+    events_stream: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``functions/events.funnel_levels``: per-user
+    windowFunnel state carried across micro-batches. → (user_id, level)
+    emitted once per (user, batch); level is monotone non-decreasing,
+    so the per-user MAX over all emissions equals the batch operator's
+    answer — PROVIDED micro-batches arrive in event-time order (the
+    log-replay contract; out-of-order events *within* a batch are
+    sorted here, late events across batch boundaries are not replayed).
+
+    State is exactly the batch fold's accumulator: k chain-start
+    micro-timestamps (−1 = level unreached), the max-start greedy that
+    is exact for the ∃-chain semantics. The per-user per-batch Python
+    fold is the same declared imperative seam as the stateful dedup —
+    Arrow-batched via applyInPandasWithState, state size k longs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    window_us = int(window_seconds) * 1_000_000
+
+    ts = F.col(ts_col)
+    if dict(events_stream.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    step = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(type_col)
+    )
+    keyed = (
+        events_stream.select(
+            F.col(user_col).cast("string").alias("user_id"),
+            F.unix_micros(ts).alias("us"),
+            step.cast("int").alias("step"),
+        )
+        .filter(F.col("step") > 0)
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        tm = list(state.get[0]) if state.exists else [-1] * k
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["us"].tolist(), pdf["step"].tolist()))
+        if not rows:
+            return iter(())
+        rows.sort()
+        for t, s in rows:
+            i = s - 1
+            if i == 0:
+                tm[0] = max(tm[0], t)
+            elif tm[i - 1] >= 0 and t - tm[i - 1] <= window_us:
+                tm[i] = max(tm[i], tm[i - 1])
+        state.update((tm,))
+        level = sum(1 for v in tm if v >= 0)
+        return iter(
+            [pd.DataFrame({"user_id": [key[0]], "level": [level]})]
+        )
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id string, level int",
+        stateStructType="tm array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

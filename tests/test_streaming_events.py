@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from renard_spark.functions import events as fevents
 from renard_spark.streaming.events import (
     stream_exact_dedup,
@@ -205,3 +207,60 @@ def test_incremental_dedup_replay_idempotent(spark, tmp_path):
     second = run()  # no new files: state untouched, same final version
     assert first == second
     assert len(first) == 4 and sum(n for _, _, n in first) == 12
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Two event-time-ordered micro-batches; per-user MAX emitted level
+    must equal the batch funnel on the full data — including a chain
+    that only completes with the second batch's purchase."""
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    early, late = [], []
+    # u0: view+click early, purchase late (cross-batch chain completes)
+    early += [("u0", "view", base, 0.0),
+              ("u0", "click", base + dt.timedelta(seconds=30), 0.0)]
+    late += [("u0", "purchase", base + dt.timedelta(seconds=70), 0.0)]
+    # u1: full chain early but span > window once purchase arrives late
+    early += [("u1", "view", base, 0.0)]
+    late += [("u1", "click", base + dt.timedelta(seconds=200), 0.0),
+             ("u1", "purchase", base + dt.timedelta(seconds=260), 0.0)]
+    # u2: click only
+    early += [("u2", "click", base, 0.0)]
+    steps, window_s = ["view", "click", "purchase"], 100
+
+    inp = str(tmp_path / "fev")
+    spark.createDataFrame(early, EVENTS_SCHEMA).coalesce(1).write.parquet(inp)
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    from renard_spark.streaming.events import stream_funnel
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        stream_funnel(stream, steps, window_s)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.user_id: r.lvl
+        for r in spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(F.max("level").alias("lvl"))
+        .collect()
+    }
+    full = spark.createDataFrame(early + late, EVENTS_SCHEMA)
+    want = {
+        r.user_id: r.level
+        for r in fevents.funnel_levels(full, steps, window_s).collect()
+    }
+    assert want == {"u0": 3, "u1": 1, "u2": 0}
+    assert got == want
