@@ -3812,6 +3812,52 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_TRAILING = 24
 
 
+COMPACT_TARGET = 4096
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality gate (functions/profile.dq_summary):
+    declared expectations → violation counts in ONE conditional-agg
+    pass + stack unpivot."""
+    from renard_spark.functions.profile import dq_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dq_summary(
+        docs,
+        not_null=["doc_id", "text"],
+        unique=["doc_id"],
+        accepted={"lang": ["en", "fr", "de", "es"]},
+        ranges={"n_chars": (1, 1_000_000)},
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability (functions/text
+    .readability_scores): narrow regexp counts + exact-integer-ratio
+    float formulas, engine-reproducible."""
+    from renard_spark.functions.text import readability_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability_scores(docs)
+
+
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (functions/maintenance
+    .compaction_groups): next-fit sequential packing by cumulative
+    start offset over the per-partition file-metadata window — the
+    documents table stands in as the file listing (source→partition,
+    n_chars→bytes)."""
+    from renard_spark.functions.maintenance import compaction_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = docs.select(
+        F.col("source").alias("part_key"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return compaction_groups(files, COMPACT_TARGET)
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL STREAMING behind the hash gate: the windowFunnel fold
     run as an applyInPandasWithState job over the events table as a
@@ -4025,6 +4071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "kg_ntriples": q_kg_ntriples,
         "stream_funnel": q_stream_funnel,
+        "dq_checks": q_dq_checks,
+        "readability": q_readability,
+        "compaction": q_compaction,
         "event_gapfill": q_event_gapfill,
         "user_streaks": q_user_streaks,
         "corpus_cube": q_corpus_cube,
@@ -6610,6 +6659,49 @@ SELECT key, bucket_start, n,
                               / (cnt - 1))
              END, 6) AS z
 FROM wstats
+""",
+        "dq_checks": """
+SELECT 'not_null' AS "check", 'doc_id' AS col_name,
+       count_if(doc_id IS NULL)::BIGINT AS n_bad FROM documents
+UNION ALL
+SELECT 'not_null', 'text', count_if(text IS NULL)::BIGINT FROM documents
+UNION ALL
+SELECT 'unique', 'doc_id',
+       (count(doc_id) - count(DISTINCT doc_id))::BIGINT FROM documents
+UNION ALL
+SELECT 'accepted_values', 'lang',
+       count_if(lang IS NOT NULL
+                AND lang NOT IN ('en', 'fr', 'de', 'es'))::BIGINT
+FROM documents
+UNION ALL
+SELECT 'range', 'n_chars',
+       count_if(n_chars IS NOT NULL
+                AND (n_chars < 1 OR n_chars > 1000000))::BIGINT
+FROM documents
+""",
+        "readability": """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)::BIGINT
+           AS w,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                  1)::BIGINT AS y
+  FROM documents
+)
+SELECT doc_id, s AS n_sents, w AS n_words, y AS n_syll,
+       round(206.835 - 1.015 * (w::DOUBLE / s) - 84.6 * (y::DOUBLE / w),
+             4) AS flesch,
+       round(0.39 * (w::DOUBLE / s) + 11.8 * (y::DOUBLE / w) - 15.59,
+             4) AS fk_grade
+FROM c
+""",
+        "compaction": f"""
+SELECT source AS part_key, doc_id AS file_id, n_chars AS bytes,
+       floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars)::DOUBLE / {COMPACT_TARGET})::BIGINT AS group_id
+FROM documents
 """,
     }
     out["stream_funnel"] = out["event_funnel"]

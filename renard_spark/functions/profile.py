@@ -63,3 +63,68 @@ def profile_table(
         "min_val",
         "max_val",
     )
+
+
+def dq_summary(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """dbt-style data-quality expectations → (check, col_name, n_bad),
+    one row per declared rule with its violation count — the gate
+    table a pipeline asserts on (all n_bad == 0) before publishing.
+
+    Checks: ``not_null`` (NULL rows), ``unique`` (excess rows beyond
+    one per distinct non-NULL value — exact, COUNT(col) −
+    COUNT(DISTINCT col)), ``accepted`` (non-NULL values outside the
+    allowed list), ``ranges`` (non-NULL values outside [lo, hi]).
+
+    Every rule is ONE conditional aggregate in a single pass over the
+    table (the distinct counts ride Spark's Expand, partials map-side),
+    unpivoted with stack — same zero-driver shape as profile_table.
+    """
+    rules = []  # (check, col, agg_expr)
+    for c in not_null or []:
+        rules.append(
+            ("not_null", c,
+             F.count_if(F.col(c).isNull()).cast("long"))
+        )
+    for c in unique or []:
+        rules.append(
+            ("unique", c,
+             (F.count(F.col(c)) - F.count_distinct(F.col(c)))
+             .cast("long"))
+        )
+    for c, vals in (accepted or {}).items():
+        rules.append(
+            ("accepted_values", c,
+             F.count_if(
+                 F.col(c).isNotNull() & ~F.col(c).isin(list(vals))
+             ).cast("long"))
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        rules.append(
+            ("range", c,
+             F.count_if(
+                 F.col(c).isNotNull()
+                 & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+             ).cast("long"))
+        )
+    if not rules:
+        raise ValueError("no rules declared")
+    missing = [c for _, c, _ in rules if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    stats = df.agg(
+        *[e.alias(f"_r{i}") for i, (_, _, e) in enumerate(rules)]
+    )
+    args = []
+    for i, (check, c, _) in enumerate(rules):
+        args += [F.lit(check), F.lit(c), F.col(f"_r{i}")]
+    return stats.select(
+        F.stack(F.lit(len(rules)), *args).alias(
+            "check", "col_name", "n_bad"
+        )
+    )

@@ -1011,3 +1011,44 @@ def corpus_cube(
             "sum_chars",
         )
     )
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document →
+    (doc_id, n_sents, n_words, n_syll, flesch, fk_grade): the classic
+    readability quality signals over the heuristic counts every
+    implementation of these formulas actually uses — sentences as
+    terminator runs ([.!?]+, floor 1), words as letter runs, syllables
+    as vowel-group runs ([aeiouy]+) in the lowercased text. Entirely
+    narrow regexp_extract_all arithmetic (the same RE2∩Java-safe
+    classes as the PII chain), float math is two divisions of exact
+    integer counts → engine-reproducible; scores rounded to 4 dp.
+    """
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    words = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("long")
+    syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0
+            )
+        ),
+        F.lit(1),
+    ).cast("long")
+    wps = words.cast("double") / sents
+    spw = syll.cast("double") / words
+    return docs.select(
+        "doc_id",
+        sents.alias("n_sents"),
+        words.alias("n_words"),
+        syll.alias("n_syll"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )

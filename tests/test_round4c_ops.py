@@ -259,3 +259,78 @@ def test_rate_anomalies_matches_numpy(spark):
         else:
             assert got[h][1] is None
     assert got[7][1] > 5  # the spike is flagged hard
+
+
+def test_dq_summary_rules(spark):
+    from renard_spark.functions.profile import dq_summary
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (1, "xx", -5), (2, None, 20), (3, "en", 2000)],
+        "id long, lang string, n long",
+    )
+    got = {
+        (r["check"], r["col_name"]): r["n_bad"]
+        for r in dq_summary(
+            df,
+            not_null=["lang"],
+            unique=["id"],
+            accepted={"lang": ["en", "fr"]},
+            ranges={"n": (0, 1000)},
+        ).collect()
+    }
+    assert got == {
+        ("not_null", "lang"): 1,
+        ("unique", "id"): 1,      # two rows share id=1
+        ("accepted_values", "lang"): 1,  # 'xx'; NULL not counted
+        ("range", "n"): 2,        # -5 and 2000
+    }
+    with pytest.raises(ValueError):
+        dq_summary(df)
+    with pytest.raises(ValueError):
+        dq_summary(df, not_null=["nope"])
+
+
+def test_readability_known_text(spark):
+    from renard_spark.functions.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!"), (1, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_sents"], r["n_words"], r["n_syll"],
+            r["flesch"], r["fk_grade"],
+        )
+        for r in readability_scores(docs).collect()
+    }
+    s, w, y = 2, 6, 6  # six monosyllabic words, two sentences
+    assert got[0][:3] == (s, w, y)
+    assert got[0][3] == pytest.approx(
+        round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+    )
+    assert got[0][4] == pytest.approx(
+        round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4)
+    )
+    assert got[1][:3] == (1, 1, 1)  # floors keep empty docs finite
+
+
+def test_compaction_groups_next_fit(spark):
+    from renard_spark.functions.maintenance import compaction_groups
+
+    files = spark.createDataFrame(
+        [
+            ("p", 1, 60), ("p", 2, 50), ("p", 3, 10), ("p", 4, 300),
+            ("p", 5, 5), ("q", 1, 10),
+        ],
+        "part_key string, file_id long, bytes long",
+    )
+    got = {
+        (r["part_key"], r["file_id"]): r["group_id"]
+        for r in compaction_groups(files, 100).collect()
+    }
+    # starts: 0, 60, 110, 120, 420 → groups 0, 0, 1, 1, 4
+    assert got == {
+        ("p", 1): 0, ("p", 2): 0, ("p", 3): 1, ("p", 4): 1,
+        ("p", 5): 4, ("q", 1): 0,
+    }
