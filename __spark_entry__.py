@@ -3813,6 +3813,48 @@ ANOMALY_TRAILING = 24
 
 
 COMPACT_TARGET = 4096
+SKEW_TOPK = 10
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (functions/events.scd2_versions):
+    the event log collapsed to per-user validity intervals of the
+    observed event_type — one key-partitioned window shuffle,
+    null-safe change detection, deterministic (ts, event_id) order."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.scd2_versions(ev)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event matrix (functions/events
+    .event_transitions): user-keyed lead window + pair counts +
+    exact-integer row normalization."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.event_transitions(ev)
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU in one grouped-distinct pass (functions/events
+    .active_users): events explode to (grain, bucket) map-side, one
+    exact distinct aggregation."""
+    from renard_spark.functions import events as fevents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fevents.active_users(ev)
+
+
+def q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (functions/maintenance.skew_stats):
+    top-k hottest user keys with corpus share — distributed
+    TakeOrdered, no global window."""
+    from renard_spark.functions.maintenance import skew_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_stats(ev, "user_id", k=SKEW_TOPK)
 
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4072,6 +4114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "stream_funnel": q_stream_funnel,
         "dq_checks": q_dq_checks,
+        "scd2": q_scd2,
+        "event_transitions": q_event_transitions,
+        "active_users": q_active_users,
+        "join_skew": q_join_skew,
         "readability": q_readability,
         "compaction": q_compaction,
         "event_gapfill": q_event_gapfill,
@@ -6702,6 +6748,58 @@ SELECT source AS part_key, doc_id AS file_id, n_chars AS bytes,
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - n_chars)::DOUBLE / {COMPACT_TARGET})::BIGINT AS group_id
 FROM documents
+""",
+        "scd2": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         (row_number() OVER w = 1) AS fst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), st AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM s WHERE fst OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type AS attr, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM st
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "event_transitions": """
+WITH p AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n
+  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n, n::DOUBLE / sum(n) OVER (PARTITION BY cur) AS p
+FROM c
+""",
+        "active_users": """
+SELECT 'day' AS grain, date_trunc('day', ts) AS bucket,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', date_trunc('week', ts),
+       count(DISTINCT user_id)::BIGINT
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', date_trunc('month', ts),
+       count(DISTINCT user_id)::BIGINT
+FROM events GROUP BY 2
+""",
+        "join_skew": f"""
+WITH c AS (
+  SELECT user_id::VARCHAR AS key_val, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+SELECT key_val, n, n::DOUBLE / t.tot AS share
+FROM c, t
+ORDER BY n DESC, key_val LIMIT {SKEW_TOPK}
 """,
     }
     out["stream_funnel"] = out["event_funnel"]

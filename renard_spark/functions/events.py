@@ -601,3 +601,106 @@ def rate_anomalies(
             F.when((cnt == trailing) & (var > 0), z), 6
         ).alias("z"),
     )
+
+
+def scd2_versions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build → (key, attr,
+    valid_from, valid_to, is_current): collapse an observation log
+    into validity intervals, one row per consecutive run of the same
+    attribute value per key. Change detection is null-safe
+    (IS DISTINCT FROM), ties on ts break by ``id_col`` so the version
+    chain is deterministic; the open version has NULL valid_to.
+
+    One key-partitioned window ordering serves the lag (change
+    detection) and the lead (interval close) — a single shuffle on the
+    dimension key, the canonical warehouse shape.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(attr_col).over(w)
+    changed = F.lag(F.lit(1)).over(w).isNull() | ~F.col(
+        attr_col
+    ).eqNullSafe(prev)
+    starts = df.select(
+        key_col, ts_col, id_col, attr_col, changed.alias("_chg")
+    ).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return starts.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences → (cur, nxt, n, p): how often each event type follows
+    each other, with the row-normalized probability — the
+    product-analytics "next step" matrix. One user-keyed lead window +
+    one (cur, nxt) count; the per-cur normalizer rides a window over
+    the |types|² count table (tiny by construction). p divides two
+    exact integers → engine-reproducible.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = events.select(
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grains: tuple[str, ...] = ("day", "week", "month"),
+) -> DataFrame:
+    """DAU/WAU/MAU in one pass → (grain, bucket, n_users): exact
+    distinct users per bucket at every requested grain. Each event
+    explodes to |grains| (grain, bucket) rows map-side, then ONE
+    grouped exact distinct — the partial-dedup happens before the
+    shuffle, so the wire carries (grain, bucket, user) distincts, not
+    raw events.
+    """
+    g = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(gr).alias("grain"),
+                    F.date_trunc(gr, F.col(ts_col)).alias("bucket"),
+                )
+                for gr in grains
+            ]
+        )
+    ).alias("g")
+    return (
+        events.select(F.col(user_col).alias("u"), g)
+        .select("u", "g.grain", "g.bucket")
+        .groupBy("grain", "bucket")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+    )

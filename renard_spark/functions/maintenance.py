@@ -43,3 +43,34 @@ def compaction_groups(
         .cast("long")
         .alias("group_id"),
     )
+
+
+def skew_stats(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostic → the top-``k`` hottest keys as
+    (key_val, n, share): the table you read before deciding to salt or
+    broadcast. One groupBy on the key (map-side combined — the whole
+    point is that hot keys partially aggregate before the shuffle), a
+    1-row total broadcast-crossed in, then a deterministic
+    orderBy(n desc, key).limit(k) — Spark executes sort+limit as
+    distributed per-partition top-k merged on the driver (TakeOrdered),
+    so there is NO single-partition global window even with billions of
+    distinct keys. The key surfaces as a string so the diagnostic works
+    over any key type; consumers read rank off the sort order.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key_val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_val", "n",
+            (F.col("n").cast("double") / F.col("_tot")).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key_val").asc())
+        .limit(k)
+    )

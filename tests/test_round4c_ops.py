@@ -334,3 +334,83 @@ def test_compaction_groups_next_fit(spark):
         ("p", 1): 0, ("p", 2): 0, ("p", 3): 1, ("p", 4): 1,
         ("p", 5): 4, ("q", 1): 0,
     }
+
+
+def test_scd2_versions_intervals(spark):
+    from renard_spark.functions.events import scd2_versions
+
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 10, "a"), (3, 1, 20, "b"),
+        (4, 1, 30, "a"),
+        (5, 2, 0, "x"),
+    ]
+    got = sorted(
+        (
+            r["user_id"], r["attr"], r["valid_from"].second
+            if r["valid_from"] else None,
+            r["valid_to"].second if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in scd2_versions(_events(spark, rows)).collect()
+    )
+    assert got == [
+        (1, "a", 0, 20, False),
+        (1, "a", 30, None, True),
+        (1, "b", 20, 30, False),
+        (2, "x", 0, None, True),
+    ]
+
+
+def test_event_transitions_probabilities(spark):
+    from renard_spark.functions.events import event_transitions
+
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 10, "b"), (3, 1, 20, "a"),
+        (4, 1, 30, "c"),
+        (5, 2, 0, "a"), (6, 2, 10, "b"),
+    ]
+    got = {
+        (r["cur"], r["nxt"]): (r["n"], r["p"])
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2 / 3),
+        ("a", "c"): (1, 1 / 3),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_active_users_grains(spark):
+    from renard_spark.functions.events import active_users
+
+    day = 86400
+    rows = [
+        (1, 1, 0, "v"), (2, 2, 0, "v"),          # day 0: u1, u2
+        (3, 1, day, "v"),                         # day 1: u1
+        (4, 3, 8 * day, "v"),                     # next week: u3
+    ]
+    got = {
+        (r["grain"], r["bucket"].day): r["n_users"]
+        for r in active_users(_events(spark, rows)).collect()
+    }
+    assert got[("day", 1)] == 2
+    assert got[("day", 2)] == 1
+    assert got[("day", 9)] == 1
+    # Jan 1 2024 is a Monday: week buckets are Jan 1 and Jan 8
+    assert got[("week", 1)] == 2
+    assert got[("week", 8)] == 1
+    assert got[("month", 1)] == 3
+
+
+def test_skew_stats_topk_and_share(spark):
+    from renard_spark.functions.maintenance import skew_stats
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3] * 2 + [4]],
+        "k long",
+    )
+    got = [
+        (r["key_val"], r["n"], r["share"])
+        for r in skew_stats(df, "k", k=2).collect()
+    ]
+    assert got == [("1", 5, 5 / 11), ("2", 3, 3 / 11)]
