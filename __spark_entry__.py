@@ -3816,6 +3816,65 @@ COMPACT_TARGET = 4096
 SKEW_TOPK = 10
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix via Spark's pivot with
+    an explicit value list (no extra distinct job — the pivot compiles
+    to conditional aggregates in ONE pass), absent cells coalesced
+    to 0."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift gate (functions/profile.profile_diff): the full
+    documents profile against the src0-excluded snapshot — two
+    one-pass profiles + a tiny full-outer join, null-safe drift
+    flags."""
+    from renard_spark.functions.profile import profile_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_diff(
+        docs, docs.filter(F.col("source") != "src0"), PROFILE_COLS
+    )
+
+
+def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical alias candidates (functions/text.fuzzy_alias_pairs):
+    vocabulary words within one edit, prefix+length double-blocked
+    equi self-join — never all-pairs — verified by exact JVM
+    levenshtein. The synthetic corpus has no organic near-pairs, so
+    (same convention as pii_scrub) deterministic typo variants are
+    appended to a doc_id-keyed subset on BOTH engines before the
+    operator runs."""
+    from renard_spark.functions.text import fuzzy_alias_pairs
+
+    docs = _documents(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" tablee"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" querry"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" valu"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return fuzzy_alias_pairs(aug)
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build (functions/events.scd2_versions):
     the event log collapsed to per-user validity intervals of the
@@ -4115,6 +4174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "dq_checks": q_dq_checks,
         "scd2": q_scd2,
+        "event_pivot": q_event_pivot,
+        "profile_drift": q_profile_drift,
+        "fuzzy_aliases": q_fuzzy_aliases,
         "event_transitions": q_event_transitions,
         "active_users": q_active_users,
         "join_skew": q_join_skew,
@@ -6803,6 +6865,67 @@ ORDER BY n DESC, key_val LIMIT {SKEW_TOPK}
 """,
     }
     out["stream_funnel"] = out["event_funnel"]
+    out["event_pivot"] = """
+SELECT user_id,
+       count_if(event_type = 'click')::BIGINT AS n_click,
+       count_if(event_type = 'error')::BIGINT AS n_error,
+       count_if(event_type = 'purchase')::BIGINT AS n_purchase,
+       count_if(event_type = 'signup')::BIGINT AS n_signup,
+       count_if(event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+    def _prof_sql(where):
+        parts = []
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+            cast = "::VARCHAR" if c in ("doc_id", "n_chars") else ""
+            parts.append(
+                f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n, "
+                f"(count(*) - count({c}))::BIGINT AS n_null, "
+                f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+                f"min({c}){cast} AS min_val, max({c}){cast} AS max_val "
+                f"FROM documents {where}"
+            )
+        return " UNION ALL ".join(parts)
+
+    _drift_pairs = ", ".join(
+        f"po.{s0} AS {s0}_old, pn.{s0} AS {s0}_new"
+        for s0 in ["n", "n_null", "n_distinct", "min_val", "max_val"]
+    )
+    _drift_flag = " OR ".join(
+        f"po.{s0} IS DISTINCT FROM pn.{s0}"
+        for s0 in ["n", "n_null", "n_distinct", "min_val", "max_val"]
+    )
+    out["profile_drift"] = f"""
+WITH po AS ({_prof_sql('')}),
+     pn AS ({_prof_sql("WHERE source <> 'src0'")})
+SELECT coalesce(po.col_name, pn.col_name) AS col_name, {_drift_pairs},
+       ({_drift_flag}) AS drifted
+FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name
+"""
+    out["fuzzy_aliases"] = f"""
+WITH aug AS (
+  SELECT text
+         || CASE WHEN doc_id % 7 = 0 THEN ' tablee' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' querry' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' valu' ELSE '' END AS text
+  FROM documents
+), v0 AS (
+  SELECT DISTINCT lower(u.tok) AS w
+  FROM (SELECT regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM aug),
+       LATERAL (SELECT unnest(tl) AS tok) u
+), v AS (SELECT w FROM v0 WHERE length(w) >= 4),
+k AS (
+  SELECT w, substr(w, 1, 2) AS pfx,
+         unnest([length(w), length(w) + 1]) AS lk
+  FROM v
+), cand AS (
+  SELECT DISTINCT x.w AS a, y.w AS b
+  FROM k x JOIN k y ON x.pfx = y.pfx AND x.lk = y.lk AND x.w < y.w
+)
+SELECT a, b FROM cand WHERE levenshtein(a, b) <= 1
+"""
     # The curation composite reuses the ngram_overlap decontamination
     # SQL verbatim as a subquery (same train/bench convention) and the
     # train-filtered twin of the MinHash cluster + keep-best chain; the

@@ -128,3 +128,32 @@ def dq_summary(
             "check", "col_name", "n_bad"
         )
     )
+
+
+def profile_diff(
+    old: DataFrame, new: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Snapshot drift report → one row per column present in either
+    profile: (col_name, then each profile stat as _old/_new pairs,
+    drifted flag). The schema-drift / stats-drift gate between two
+    drops of the same table — NULL on one side means the column
+    appeared or vanished (always drifted). Composes two
+    ``profile_table`` passes + one tiny full-outer join on col_name.
+    """
+    po = profile_table(old, columns)
+    pn = profile_table(new, columns)
+    stats = ["n", "n_null", "n_distinct", "min_val", "max_val"]
+    po = po.select(
+        "col_name", *[F.col(s).alias(f"{s}_old") for s in stats]
+    )
+    pn = pn.select(
+        "col_name", *[F.col(s).alias(f"{s}_new") for s in stats]
+    )
+    j = po.join(pn, "col_name", "full_outer")
+    drift = F.lit(False)
+    for s in stats:
+        drift = drift | ~F.col(f"{s}_old").eqNullSafe(F.col(f"{s}_new"))
+    cols = ["col_name"]
+    for s in stats:
+        cols += [f"{s}_old", f"{s}_new"]
+    return j.select(*cols, drift.alias("drifted"))

@@ -1052,3 +1052,59 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     )
+
+
+def fuzzy_alias_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo/variant alias candidates over the corpus vocabulary →
+    (a, b) word pairs (a < b) within Levenshtein distance
+    ``max_dist`` — the lexical entity-canonicalization primitive next
+    to the hypocorism gazetteer (which handles Beth↔Elizabeth; this
+    handles Jonh↔John).
+
+    Scale shape: NEVER an all-pairs distance join. Each vocabulary
+    word (lowercased, ≥ min_len) is emitted under TWO blocking keys
+    (2-char prefix, length) and (2-char prefix, length+1); two words
+    within one edit and an unchanged 2-prefix are guaranteed to share
+    a key, so the candidate set is a plain equi self-join on the block
+    key, verified by the exact JVM ``levenshtein``. The documented
+    recall limit (edits inside the first two characters are missed) is
+    the standard prefix-blocking trade every at-scale fuzzy join makes;
+    widen with a second pass on reversed words if needed.
+    """
+    from renard_spark.operators.tokenize import TOKEN_RE
+
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .filter(F.length("w") >= min_len)
+        .distinct()
+    )
+    keyed = vocab.select(
+        "w",
+        F.substring("w", 1, 2).alias("pfx"),
+        F.explode(
+            F.array(F.length("w"), F.length("w") + 1)
+        ).alias("lk"),
+    )
+    pairs = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.pfx") == F.col("y.pfx"))
+            & (F.col("x.lk") == F.col("y.lk"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .select(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .distinct()
+        .filter(F.levenshtein("a", "b") <= max_dist)
+    )
+    return pairs

@@ -414,3 +414,52 @@ def test_skew_stats_topk_and_share(spark):
         for r in skew_stats(df, "k", k=2).collect()
     ]
     assert got == [("1", 5, 5 / 11), ("2", 3, 3 / 11)]
+
+
+def test_profile_diff_drift_flags(spark):
+    from renard_spark.functions.profile import profile_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, s string"
+    )
+    got = {
+        r["col_name"]: (r["n_old"], r["n_new"], r["drifted"])
+        for r in profile_diff(old, new).collect()
+    }
+    assert got["id"] == (2, 3, True)
+    assert got["s"] == (2, 3, True)
+    same = profile_diff(old, old).filter("drifted").count()
+    assert same == 0
+    # column appears only in the new snapshot → NULL olds, drifted
+    wide = spark.createDataFrame([(1, "a", 5.0)], "id long, s string, x double")
+    gx = {
+        r["col_name"]: (r["n_old"], r["drifted"])
+        for r in profile_diff(old, wide, None).collect()
+        if r["col_name"] == "x"
+    }
+    assert gx["x"] == (None, True)
+
+
+def test_fuzzy_alias_pairs_blocking_and_verify(spark):
+    from renard_spark.functions.text import fuzzy_alias_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "John meets Jonh and Johnn near the mill"),
+            (1, "Mary visits the mill daily; Marry too"),
+            (2, "table tables chair bench"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]) for r in fuzzy_alias_pairs(docs).collect()
+    }
+    assert ("john", "johnn") in got     # insertion (distance 1)
+    assert ("marry", "mary") in got     # insertion ('marr' < 'mary')
+    assert ("table", "tables") in got   # insertion
+    # transposition is TWO Levenshtein edits — out at max_dist=1
+    assert ("john", "jonh") not in got
+    assert ("chair", "bench") not in got
