@@ -160,3 +160,66 @@ def verify_corpus_shards(
         "n_bytes", "n_bytes_expected",
         "content_xor", "content_xor_expected",
     )
+
+
+def write_graph_tables(
+    spark: SparkSession,
+    triples_df: DataFrame,
+    path: str,
+) -> dict[str, int]:
+    """Materialize the corpus knowledge graph as its delivery bundle
+    (the "Iceberg graph tables" sink of the north star, expressed as
+    parquet dirs + interchange files):
+
+    - ``triples/``  — the per-document evidence table as-is
+    - ``edges/``    — corpus-level (subj, pred, obj) with total weight
+      + distinct-document support (one map-side-combined aggregation)
+    - ``nodes/``    — distinct entities with degree + total strength
+    - ``kg.nt``     — N-Triples interchange (io/ntriples)
+    - ``graph.gexf``— Gephi interchange of the weighted graph
+
+    Returns row counts per table so callers (CLI, tests) can verify
+    the bundle without re-reading the inputs. Everything before the
+    two bounded interchange files is executor-side parquet writes.
+    """
+    import os
+
+    from renard_spark.io.gexf import edges_to_gexf
+    from renard_spark.io.ntriples import triples_to_ntriples, write_ntriples
+
+    os.makedirs(path, exist_ok=True)
+    triples_df.write.mode("overwrite").parquet(os.path.join(path, "triples"))
+    tr = spark.read.parquet(os.path.join(path, "triples"))
+
+    edges = tr.groupBy("subj", "pred", "obj").agg(
+        F.sum("weight").cast("long").alias("weight"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    ed = spark.read.parquet(os.path.join(path, "edges"))
+
+    ends = ed.select(
+        F.col("subj").alias("char_id"), "weight"
+    ).unionByName(ed.select(F.col("obj").alias("char_id"), "weight"))
+    nodes = ends.groupBy("char_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("weight").cast("long").alias("strength"),
+    )
+    nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+    nd = spark.read.parquet(os.path.join(path, "nodes"))
+
+    write_ntriples(
+        triples_to_ntriples(ed), os.path.join(path, "kg.nt")
+    )
+    edges_to_gexf(
+        nd,
+        ed.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "weight"
+        ),
+        os.path.join(path, "graph.gexf"),
+    )
+    return {
+        "triples": tr.count(),
+        "edges": ed.count(),
+        "nodes": nd.count(),
+    }

@@ -177,6 +177,10 @@ def main() -> None:
                          "checksummed manifest here, then verify them "
                          "(nonzero exit on any bad shard)")
     ap.add_argument("--n-shards", type=int, default=16)
+    ap.add_argument("--export-graph", default=None,
+                    help="kg mode: after the pipeline, write the "
+                         "corpus KG bundle here (triples/edges/nodes "
+                         "parquet + kg.nt + graph.gexf)")
     args = ap.parse_args()
 
     spark = get_spark("renard_spark_run", cpus=args.cpus)
@@ -244,6 +248,11 @@ def main() -> None:
     n = out["triples"].count()
     print(f"triples: {n}")
     runner.metrics().groupBy("stage").sum("rows").show(50, truncate=False)
+    if args.export_graph:
+        from renard_spark.io.export import write_graph_tables
+
+        counts = write_graph_tables(spark, out["triples"], args.export_graph)
+        print(f"graph bundle: {counts}")
 
 
 if __name__ == "__main__":

@@ -463,3 +463,33 @@ def test_fuzzy_alias_pairs_blocking_and_verify(spark):
     # transposition is TWO Levenshtein edits — out at max_dist=1
     assert ("john", "jonh") not in got
     assert ("chair", "bench") not in got
+
+
+def test_write_graph_tables_bundle(spark, tmp_path):
+    from renard_spark.io.export import write_graph_tables
+
+    trips = spark.createDataFrame(
+        [
+            (0, "Ann", "interacts_with", "Bob", 2),
+            (1, "Ann", "interacts_with", "Bob", 3),
+            (1, "Bob", "interacts_with", "Cat", 1),
+        ],
+        "doc_id long, subj string, pred string, obj string, weight long",
+    )
+    out = str(tmp_path / "bundle")
+    counts = write_graph_tables(spark, trips, out)
+    assert counts == {"triples": 3, "edges": 2, "nodes": 3}
+    ed = {
+        (r["subj"], r["obj"]): (r["weight"], r["n_docs"])
+        for r in spark.read.parquet(out + "/edges").collect()
+    }
+    assert ed == {("Ann", "Bob"): (5, 2), ("Bob", "Cat"): (1, 1)}
+    nd = {
+        r["char_id"]: (r["degree"], r["strength"])
+        for r in spark.read.parquet(out + "/nodes").collect()
+    }
+    assert nd == {"Ann": (1, 5), "Bob": (2, 6), "Cat": (1, 1)}
+    nt = {r["value"] for r in spark.read.text(out + "/kg.nt").collect()}
+    assert len(nt) == 5  # 2 facts + 3 labels
+    gexf = open(out + "/graph.gexf").read()
+    assert gexf.count("<node ") == 3 and gexf.count("<edge ") == 2
