@@ -3875,6 +3875,31 @@ def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_alias_pairs(aug)
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance (operators/cc
+    .incremental_components): the even-doc half's co-occurrence graph
+    is the standing assignment, the odd-doc half arrives as the new
+    edge batch — the fixpoint then runs over |V| star edges + the
+    batch, never the full history. The oracle computes plain CC over
+    ALL edges (recursive CTE), so the gate proves the quotient
+    property cross-engine: incremental == full recompute."""
+    from renard_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(
+        mentions, COOCCUR_DIST, "tokens"
+    ).localCheckpoint(eager=True)  # one NER pass feeds both halves
+    even = F.col("doc_id").cast("long") % 2 == 0
+    assign = connected_components(edges.filter(even).select("src", "dst"))
+    return incremental_components(
+        assign, edges.filter(~even).select("src", "dst")
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build (functions/events.scd2_versions):
     the event log collapsed to per-user validity intervals of the
@@ -4173,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "stream_funnel": q_stream_funnel,
         "dq_checks": q_dq_checks,
+        "incremental_cc": q_incremental_cc,
         "scd2": q_scd2,
         "event_pivot": q_event_pivot,
         "profile_drift": q_profile_drift,
@@ -6865,6 +6891,22 @@ ORDER BY n DESC, key_val LIMIT {SKEW_TOPK}
 """,
     }
     out["stream_funnel"] = out["event_funnel"]
+    out["incremental_cc"] = edges_ctes.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + """,
+e0 AS (
+  SELECT DISTINCT least(t1, t2) AS u, greatest(t1, t2) AS v
+  FROM pairs WHERE t1 <> t2
+),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+verts AS (SELECT DISTINCT u AS x FROM e),
+r(x, l) AS (
+  SELECT x, x FROM verts
+  UNION
+  SELECT e.v, r.l FROM r JOIN e ON e.u = r.x
+)
+SELECT x AS vertex, min(l) AS component FROM r GROUP BY x
+"""
     out["event_pivot"] = """
 SELECT user_id,
        count_if(event_type = 'click')::BIGINT AS n_click,

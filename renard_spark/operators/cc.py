@@ -208,3 +208,37 @@ def connected_components_star(
         labels.select("vertex"), "vertex", "left_anti"
     ).withColumn("component", F.col("vertex"))
     return labels.unionByName(centers)
+
+
+def incremental_components(
+    assignment_df: DataFrame,
+    new_edges_df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Maintain a components assignment as new edges arrive — the
+    continuously-built KG's alias table should NOT recompute CC over
+    10^12 accumulated pair-rule edges per micro-batch. Input: the
+    previous (vertex, component) table and the new batch's edges;
+    output: the updated (vertex, component) table under the same
+    contract (component = lexicographically smallest member id).
+
+    Correctness rests on CC's quotient property: components of
+    (old edges ∪ new edges) equal components of (old *spanning
+    structure* ∪ new edges), and the star edge set
+    {(vertex → component)} is exactly such a spanning structure. So
+    the fixpoint loop runs over |V_old| star edges + |batch| new edges
+    — batch-sized work, never history-sized. New vertices appear
+    automatically (self-loop closure inside ``connected_components``);
+    old components never split (edges are only added), they can only
+    merge, and untouched components keep their label because that
+    label is already the component minimum.
+    """
+    star = assignment_df.select(
+        F.col("vertex").alias(src), F.col("component").alias(dst)
+    )
+    batch = new_edges_df.select(src, dst)
+    return connected_components(
+        star.unionByName(batch), src=src, dst=dst, max_iter=max_iter
+    )

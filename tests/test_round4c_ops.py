@@ -493,3 +493,52 @@ def test_write_graph_tables_bundle(spark, tmp_path):
     assert len(nt) == 5  # 2 facts + 3 labels
     gexf = open(out + "/graph.gexf").read()
     assert gexf.count("<node ") == 3 and gexf.count("<edge ") == 2
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    import random
+
+    from renard_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    all_edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(50)
+    ]
+    old, batch = all_edges[:30], all_edges[30:]
+    to_df = lambda rows: spark.createDataFrame(rows, "src string, dst string")
+    assign = connected_components(to_df(old))
+    inc = {
+        (r["vertex"], r["component"])
+        for r in incremental_components(assign, to_df(batch)).collect()
+    }
+    # full recompute must agree on every vertex seen so far
+    full = {
+        (r["vertex"], r["component"])
+        for r in connected_components(to_df(all_edges)).collect()
+    }
+    assert inc == full
+
+
+def test_incremental_components_merges_and_preserves(spark):
+    from renard_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    to_df = lambda rows: spark.createDataFrame(rows, "src string, dst string")
+    assign = connected_components(to_df([("a", "b"), ("c", "d"), ("x", "x")]))
+    got = {
+        r["vertex"]: r["component"]
+        for r in incremental_components(
+            assign, to_df([("b", "c"), ("p", "q")])
+        ).collect()
+    }
+    # a-b and c-d merge under 'a'; x untouched; p-q is brand new
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x",
+        "p": "p", "q": "p",
+    }
