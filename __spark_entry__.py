@@ -3875,6 +3875,35 @@ def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_alias_pairs(aug)
 
 
+def q_char_sage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of GraphSAGE-style neighborhood aggregation
+    (functions/graph.neighbor_aggregate) over the corpus character
+    network, with degree/strength as the node features — one edge
+    symmetrize, one neighbor-feature equi-join, one map-side-combined
+    agg. Means divide exact integer-valued sums."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(
+        F.sum("weight").cast("long").alias("weight")
+    )
+    feats = gmetrics.degrees(ge)
+    return gmetrics.neighbor_aggregate(feats, ge, ["degree", "strength"])
+
+
+def q_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fact evidence table (operators/triples.triple_provenance):
+    distinct-doc support, total weight, and a deterministic sorted
+    doc-id audit sample per corpus triple — ONE shuffle on the triple
+    key."""
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    return triples.triple_provenance(triples.edges_to_triples(edges))
+
+
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental component maintenance (operators/cc
     .incremental_components): the even-doc half's co-occurrence graph
@@ -4198,6 +4227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "stream_funnel": q_stream_funnel,
         "dq_checks": q_dq_checks,
+        "char_sage": q_char_sage,
+        "triple_provenance": q_triple_provenance,
         "incremental_cc": q_incremental_cc,
         "scd2": q_scd2,
         "event_pivot": q_event_pivot,
@@ -6891,6 +6922,51 @@ ORDER BY n DESC, key_val LIMIT {SKEW_TOPK}
 """,
     }
     out["stream_funnel"] = out["event_funnel"]
+    out["char_sage"] = edges_ctes + """,
+e0 AS (
+  SELECT least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::BIGINT AS w
+  FROM pairs WHERE t1 <> t2 GROUP BY 1, 2
+),
+sym AS (SELECT src AS n, dst AS nb, w FROM e0
+        UNION ALL SELECT dst, src, w FROM e0),
+feats AS (
+  SELECT n AS node, count(*)::BIGINT AS degree,
+         sum(w)::DOUBLE AS strength
+  FROM sym GROUP BY n
+),
+nbrf AS (
+  SELECT s.n, f.degree, f.strength
+  FROM (SELECT DISTINCT n, nb FROM sym) s JOIN feats f ON f.node = s.nb
+),
+agg AS (
+  SELECT n AS node, count(*)::BIGINT AS n_nbrs,
+         sum(degree)::DOUBLE / count(degree) AS degree_nbr_mean,
+         max(degree) AS degree_nbr_max,
+         sum(strength)::DOUBLE / count(strength) AS strength_nbr_mean,
+         max(strength) AS strength_nbr_max
+  FROM nbrf GROUP BY n
+)
+SELECT f.node, f.degree, f.strength,
+       a.degree_nbr_mean, a.degree_nbr_max,
+       a.strength_nbr_mean, a.strength_nbr_max,
+       coalesce(a.n_nbrs, 0)::BIGINT AS n_nbrs
+FROM feats f LEFT JOIN agg a ON a.node = f.node
+"""
+    out["triple_provenance"] = edges_ctes + """,
+tr AS (
+  SELECT doc_id, least(t1, t2) AS subj, 'interacts_with' AS pred,
+         greatest(t1, t2) AS obj, count(*)::BIGINT AS weight
+  FROM pairs WHERE t1 <> t2 GROUP BY 1, 2, 3, 4
+)
+SELECT subj, pred, obj,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(weight)::BIGINT AS total_weight,
+       array_to_string(list_transform(
+         list_slice(list_sort(list(DISTINCT doc_id)), 1, 5),
+         x -> x::VARCHAR), ',') AS sample_docs
+FROM tr GROUP BY 1, 2, 3
+"""
     out["incremental_cc"] = edges_ctes.replace(
         "WITH ", "WITH RECURSIVE ", 1
     ) + """,

@@ -1266,3 +1266,56 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def neighbor_aggregate(
+    features: DataFrame,
+    edges: DataFrame,
+    feature_cols: list[str],
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One round of GraphSAGE-style neighborhood message passing →
+    (node, <f>, <f>_nbr_mean, <f>_nbr_max, n_nbrs) for every feature
+    column: each node's own features next to the mean/max over its
+    neighbors' features — the aggregation layer GNN pipelines run over
+    the KG before any learned transform, and a useful structural
+    feature table on its own (a node whose neighbors' degrees dwarf
+    its own is a satellite; the reverse is a hub).
+
+    Shape: symmetrize the edge list (narrow explode), ONE equi-join of
+    edges onto the feature table by neighbor id, ONE map-side-combined
+    aggregation per node, then a join back onto the node's own
+    features. Means divide exact sums only when features are integral;
+    float features inherit the usual caveat. Nodes with no edges keep
+    their row with NULL neighbor stats (left join), n_nbrs = 0.
+    """
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("n"), F.col(dst).alias("nb")),
+                F.struct(F.col(dst).alias("n"), F.col(src).alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.n", "e.nb").distinct()
+    nbr_feats = sym.join(
+        features.select(
+            F.col(node_col).alias("nb"),
+            *[F.col(c).alias(f"_f_{c}") for c in feature_cols],
+        ),
+        "nb",
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_nbrs")]
+    for c in feature_cols:
+        aggs += [
+            (
+                F.sum(f"_f_{c}").cast("double") / F.count(f"_f_{c}")
+            ).alias(f"{c}_nbr_mean"),
+            F.max(f"_f_{c}").alias(f"{c}_nbr_max"),
+        ]
+    nbr = nbr_feats.groupBy(F.col("n").alias(node_col)).agg(*aggs)
+    out = features.join(nbr, node_col, "left")
+    return out.withColumn(
+        "n_nbrs", F.coalesce("n_nbrs", F.lit(0)).cast("long")
+    )

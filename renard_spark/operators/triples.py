@@ -268,3 +268,32 @@ def negative_samples(
     return neg.join(true_objs, ["subj", "pred", "neg_obj"], "left_anti").select(
         "subj", "pred", "obj", "neg_i", "neg_obj"
     )
+
+
+def triple_provenance(
+    triples_df: DataFrame, sample_k: int = 5
+) -> DataFrame:
+    """Evidence table per corpus-level fact → (subj, pred, obj,
+    n_docs, total_weight, sample_docs): how many documents support
+    each triple, with the ``sample_k`` smallest doc ids as a
+    deterministic comma-joined audit sample — the provenance surface a
+    KG consumer drills into before trusting an edge.
+
+    ONE shuffle on the triple key; collect_set is bounded by the
+    post-aggregation sort+slice (the sample is tiny), and the sample
+    is a pure function of the evidence set — layout/engine-invariant,
+    unlike first-k-seen. For truly unbounded-evidence keys, cap
+    upstream with a per-key hash filter before the collect.
+    """
+    return triples_df.groupBy("subj", "pred", "obj").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("total_weight"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set(F.col("doc_id").cast("long"))),
+                1,
+                sample_k,
+            ).cast("array<string>"),
+            ",",
+        ).alias("sample_docs"),
+    )

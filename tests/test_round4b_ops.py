@@ -274,3 +274,67 @@ def test_cluster_stats_matches_numpy(spark):
         assert n == len(coss)
         assert mn == pytest.approx(min(coss), abs=1e-9)
         assert mx == pytest.approx(max(coss), abs=1e-9)
+
+
+def test_neighbor_aggregate_matches_networkx(spark):
+    from renard_spark.functions.graph import degrees, neighbor_aggregate
+
+    rows = _random_edges(11, n_nodes=15, n_edges=30)
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    feats = degrees(edges)
+    got = {
+        r["node"]: (
+            r["n_nbrs"], r["degree_nbr_mean"], r["degree_nbr_max"],
+            r["strength_nbr_mean"],
+        )
+        for r in neighbor_aggregate(
+            feats, edges, ["degree", "strength"]
+        ).collect()
+    }
+    g = nx.Graph()
+    for a, b, w in rows:
+        g.add_edge(a, b, weight=w)
+    deg = dict(g.degree())
+    st = dict(g.degree(weight="weight"))
+    for n in g.nodes:
+        nbrs = list(g.neighbors(n))
+        assert got[n][0] == len(nbrs)
+        assert got[n][1] == pytest.approx(
+            sum(deg[x] for x in nbrs) / len(nbrs)
+        )
+        assert got[n][2] == max(deg[x] for x in nbrs)
+        assert got[n][3] == pytest.approx(
+            sum(st[x] for x in nbrs) / len(nbrs)
+        )
+
+
+def test_neighbor_aggregate_isolated_node(spark):
+    from renard_spark.functions.graph import neighbor_aggregate
+
+    feats = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("z", 0)], "node string, f long"
+    )
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {
+        r["node"]: (r["n_nbrs"], r["f_nbr_mean"])
+        for r in neighbor_aggregate(feats, edges, ["f"]).collect()
+    }
+    assert got == {"a": (1, 2.0), "b": (1, 1.0), "z": (0, None)}
+
+
+def test_triple_provenance_sample(spark):
+    from renard_spark.operators.triples import triple_provenance
+
+    trips = spark.createDataFrame(
+        [(d, "A", "interacts_with", "B", 2) for d in range(8)]
+        + [(3, "B", "interacts_with", "C", 1)],
+        "doc_id long, subj string, pred string, obj string, weight long",
+    )
+    got = {
+        (r["subj"], r["obj"]): (
+            r["n_docs"], r["total_weight"], r["sample_docs"]
+        )
+        for r in triple_provenance(trips, sample_k=5).collect()
+    }
+    assert got[("A", "B")] == (8, 16, "0,1,2,3,4")
+    assert got[("B", "C")] == (1, 1, "3")
