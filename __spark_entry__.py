@@ -2881,6 +2881,189 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KATZ_ITERS = 8
+
+
+def q_char_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the corpus-global character network, 8 fixed
+    rounds with the data-adaptive alpha = 0.5/d_max (functions/graph.py
+    katz_centrality); the oracle computes the same d_max scalar and
+    unrolls the same rounds as chained CTEs."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    kz = gmetrics.katz_centrality(ge, iters=KATZ_ITERS)
+    return kz.select("node", F.round("katz", 6).alias("katz"))
+
+
+KTRUSS_K, KTRUSS_ROUNDS = 4, 4
+
+
+def q_char_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the avg-sparsified character network — the edges
+    supported by >= 2 triangles after peeling (functions/graph.py
+    k_truss, fixed rounds; peeling is monotone, so the oracle's
+    unrolled rounds land on the same edge set)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    return gmetrics.k_truss(ge, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def q_char_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quotient (supernode) graph: LPA labels contracted
+    onto the sparsified character network — summed inter/intra
+    community weight + edge counts (functions/graph.py quotient_graph
+    over label_propagation; the oracle reuses the unrolled LPA rounds
+    and contracts with the same two joins)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge, factor=1.03)
+    labels = gmetrics.label_propagation(ge, iters=LPA_ITERS)
+    q = gmetrics.quotient_graph(ge, labels)
+    return q.select(
+        "c1", "c2", F.round("weight", 6).alias("weight"), "n_edges"
+    )
+
+
+# tiny from-scratch ontology over the cast vocabulary: direct classes
+# for every cast token + a multi-parent subclass DAG (relational_op is
+# both an operator and an artifact), exercising DAG-shaped closure
+ONTOLOGY_TYPES = {
+    "spark": "compute_engine", "stream": "compute_engine",
+    "batch": "compute_engine",
+    "join": "relational_op", "merge": "relational_op",
+    "filter": "relational_op", "window": "relational_op",
+    "vector": "data_structure", "table": "data_structure",
+    "customer": "actor",
+}
+SUBCLASS_EDGES = [
+    ("compute_engine", "system_component"),
+    ("relational_op", "operator"),
+    ("operator", "system_component"),
+    ("relational_op", "artifact"),
+    ("data_structure", "artifact"),
+    ("artifact", "thing"),
+    ("system_component", "thing"),
+    ("actor", "agent"),
+    ("agent", "thing"),
+]
+TYPE_CLOSURE_ROUNDS = 3  # doubling: covers subclass chains of depth 8
+
+
+def q_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology reasoning (rdfs:subClassOf* inference): every corpus
+    entity typed with its direct class AND all inferred supertypes,
+    via the doubling transitive closure of the subclass DAG
+    (functions/graph.py transitive_closure) joined onto the entity
+    table — (entity, type) distinct. The oracle unrolls the same
+    doubling rounds over the literal hierarchy."""
+    from renard_spark.functions import graph as gmetrics
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs)
+    ents = (
+        toks.filter(F.col("token").isin(list(CAST_TOKENS)))
+        .select(F.col("token").alias("entity"))
+        .distinct()
+    )
+    tmap = F.create_map(
+        *[F.lit(x) for kv in ONTOLOGY_TYPES.items() for x in kv]
+    )
+    typed = ents.select("entity", tmap[F.col("entity")].alias("cls"))
+    hier = spark.createDataFrame(SUBCLASS_EDGES, "sub string, sup string")
+    closure = gmetrics.transitive_closure(
+        hier, src="sub", dst="sup", max_rounds=TYPE_CLOSURE_ROUNDS
+    )
+    direct = typed.select("entity", F.col("cls").alias("type"))
+    supers = typed.join(closure, typed["cls"] == closure["sub"]).select(
+        "entity", F.col("sup").alias("type")
+    )
+    return direct.unionByName(supers).distinct()
+
+
+SCC_ROUNDS = 4  # doubling: covers directed paths of length 16
+
+
+def q_rel_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the corpus-level DIRECTED
+    relation graph (subj -> obj over the full relation-extraction
+    chain): mutual-reachability grouping via the doubling transitive
+    closure (functions/graph.py strongly_connected) — the cycle
+    detector KG canonicalization runs before collapsing equivalent
+    entities. Oracle: the same doubling rounds unrolled."""
+    from renard_spark.functions import graph as gmetrics
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(
+        resolved, min_rel_occurrences=REL_MIN_OCC
+    )
+    g = edges.select(
+        F.col("subj_char").alias("src"), F.col("obj_char").alias("dst")
+    ).distinct()
+    return gmetrics.strongly_connected(g, max_rounds=SCC_ROUNDS)
+
+
+BGP_PATTERNS = [("?a", "scans", "?b"), ("?b", "?r", "?c")]
+
+
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query compiled to DataFrame
+    joins (functions/kgquery.bgp_match): ?a -scans-> ?b -?r-> ?c over
+    the corpus-level relation triples — constant predicate pushed into
+    the first scan, shared-variable equi-join, variable predicate
+    bound from the second scan. Oracle: the same conjunctive query as
+    plain SQL joins."""
+    from renard_spark.functions.kgquery import bgp_match
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    chars = unify.characters_table(unified)
+    resolved = relations.resolve_triples(raw, chars)
+    edges = relations.relational_edges(
+        resolved, min_rel_occurrences=REL_MIN_OCC
+    )
+    gt = edges.select(
+        F.col("subj_char").alias("subj"),
+        F.col("rel").alias("pred"),
+        F.col("obj_char").alias("obj"),
+    ).distinct()
+    # the triple table feeds one scan PER PATTERN — truncate so the
+    # relation chain executes once, not len(patterns) times
+    gt = gt.localCheckpoint(eager=False)
+    return bgp_match(gt, BGP_PATTERNS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -4189,6 +4372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "pack_ids": q_pack_ids,
         "char_hits": q_char_hits,
+        "char_katz": q_char_katz,
+        "char_ktruss": q_char_ktruss,
+        "char_quotient": q_char_quotient,
+        "type_closure": q_type_closure,
+        "rel_scc": q_rel_scc,
+        "bgp_match": q_bgp_match,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
         "char_walk_pairs": q_char_walk_pairs,
@@ -4660,6 +4849,121 @@ v{i + 1} AS MATERIALIZED (
     cn_sql += f"""
 SELECT node, val::BIGINT AS core_number FROM v{CORENUM_ROUNDS}
 """
+    # Katz centrality: unweighted adjacency, data-adaptive alpha =
+    # 0.5 / max degree (ONE scalar subquery), rounds unrolled — same
+    # math as functions/graph.py katz_centrality
+    katz_sql = edges_ctes + """,
+e0 AS (
+  SELECT DISTINCT least(t1, t2) AS src, greatest(t1, t2) AS dst
+  FROM pairs WHERE t1 <> t2
+),
+sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+dgk AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+al AS MATERIALIZED (SELECT 0.5 / max(d) AS a FROM dgk),
+x0 AS (SELECT DISTINCT u AS node, 1.0 AS x FROM sym)"""
+    for i in range(KATZ_ITERS):
+        katz_sql += f""",
+x{i + 1} AS (
+  SELECT s.v AS node, 1.0 + (SELECT a FROM al) * sum(x{i}.x) AS x
+  FROM sym s JOIN x{i} ON x{i}.node = s.u GROUP BY s.v
+)"""
+    katz_sql += f"""
+SELECT node, round(x, 6) AS katz FROM x{KATZ_ITERS}
+"""
+    # k-truss peel on the avg-sparsified graph, fixed unrolled rounds
+    # (monotone — extra rounds past the fixpoint are no-ops); support
+    # via the same two-join common-neighbor count as functions/graph.py
+    # k_truss. MATERIALIZED: each round reads the previous one 3×.
+    kt_sql = kc_base
+    for i in range(KTRUSS_ROUNDS):
+        kt_sql += f""",
+adj{i} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM c{i} UNION ALL SELECT b, a FROM c{i}
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT t.a, t.b, count(*)::BIGINT AS support
+  FROM c{i} t
+  JOIN adj{i} x ON x.u = t.a
+  JOIN adj{i} y ON y.u = t.b AND y.v = x.v
+  GROUP BY t.a, t.b
+  HAVING count(*) >= {KTRUSS_K - 2}
+)"""
+    kt_sql += f"""
+SELECT a AS src, b AS dst, support FROM c{KTRUSS_ROUNDS}
+"""
+    # community quotient: the unrolled-LPA labels contracted onto the
+    # same sparsified edge table (two joins + one aggregation), same
+    # least/greatest canonical pair as functions/graph.quotient_graph
+    quot_sql = lpa_base + f""",
+lab AS (SELECT node, label FROM l{LPA_ITERS}),
+qe AS (
+  SELECT least(la.label, lb.label) AS c1,
+         greatest(la.label, lb.label) AS c2, e.wt
+  FROM ef e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+)
+SELECT c1, c2, round(sum(wt), 6) AS weight, count(*)::BIGINT AS n_edges
+FROM qe GROUP BY c1, c2
+"""
+    # ontology closure: the literal subclass DAG closed by the same
+    # doubling rounds as functions/graph.transitive_closure, joined
+    # onto the corpus entity set (UNION dedups = the Spark distinct)
+    _hier_vals = ", ".join(f"('{a}', '{b}')" for a, b in SUBCLASS_EDGES)
+    _type_case = " ".join(
+        f"WHEN '{t}' THEN '{c}'" for t, c in ONTOLOGY_TYPES.items()
+    )
+    tc_sql = _BASE_CTES + f""",
+h0 AS (SELECT * FROM (VALUES {_hier_vals}) t(sub, sup))"""
+    for i in range(TYPE_CLOSURE_ROUNDS):
+        tc_sql += f""",
+h{i + 1} AS (
+  SELECT sub, sup FROM h{i}
+  UNION
+  SELECT p.sub, q.sup FROM h{i} p JOIN h{i} q ON q.sub = p.sup
+)"""
+    tc_sql += f""",
+ent AS (SELECT DISTINCT token AS entity FROM m),
+direct AS (
+  SELECT entity, CASE entity {_type_case} END AS cls FROM ent
+)
+SELECT entity, cls AS type FROM direct
+UNION
+SELECT d.entity, h.sup AS type
+FROM direct d JOIN h{TYPE_CLOSURE_ROUNDS} h ON h.sub = d.cls
+"""
+    # SCC of the directed corpus relation graph: doubling closure
+    # unrolled, then mutual-reachability min + left join for
+    # singletons — same shape as functions/graph.strongly_connected
+    scc_sql = rel_ctes + """,
+d0 AS MATERIALIZED (SELECT DISTINCT subj_char AS a, obj_char AS b FROM re),
+p0 AS (SELECT a, b FROM d0)"""
+    for i in range(SCC_ROUNDS):
+        # MATERIALIZED: each round self-joins the previous one (two
+        # references), which plain CTE inlining expands 2^rounds
+        scc_sql += f""",
+p{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM p{i}
+  UNION
+  SELECT p.a, q.b FROM p{i} p JOIN p{i} q ON q.a = p.b
+)"""
+    scc_sql += f""",
+mu AS (
+  SELECT p.a AS node, p.b AS peer
+  FROM p{SCC_ROUNDS} p JOIN p{SCC_ROUNDS} q ON q.a = p.b AND q.b = p.a
+),
+mn AS (SELECT node, min(peer) AS m FROM mu GROUP BY node),
+nodes AS (SELECT a AS node FROM d0 UNION SELECT b FROM d0)
+SELECT n.node, least(n.node, coalesce(mn.m, n.node)) AS scc_id
+FROM nodes n LEFT JOIN mn ON mn.node = n.node
+"""
+    # the BGP ?a -scans-> ?b -?r-> ?c as plain conjunctive SQL joins
+    # over the distinct corpus triples (join keys = shared variables)
+    bgp_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
+FROM g p1 JOIN g p2 ON p2.s = p1.o
+WHERE p1.p = 'scans'
+"""
     # degree assortativity on the avg-sparsified (factor 1.0) graph:
     # integer sums (exact), one float division at the end
     as_sql = kc_base + """,
@@ -4972,6 +5276,12 @@ FROM sym GROUP BY doc_id, node
         "char_n2v_walks": n2v_sql,
         "char_linkpred": lp_sql,
         "char_hits": hits_sql,
+        "char_katz": katz_sql,
+        "char_ktruss": kt_sql,
+        "char_quotient": quot_sql,
+        "type_closure": tc_sql,
+        "rel_scc": scc_sql,
+        "bgp_match": bgp_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors
         # functions/similarity.semantic_dedup

@@ -1319,3 +1319,226 @@ def neighbor_aggregate(
     return out.withColumn(
         "n_nbrs", F.coalesce("n_nbrs", F.lit(0)).cast("long")
     )
+
+
+def katz_centrality(
+    edges: DataFrame, iters: int = 8, beta: float = 1.0,
+    alpha_scale: float = 0.5, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration Katz centrality on the undirected (unweighted)
+    character network → (node, katz).
+
+    x_{t+1}(v) = beta + alpha * Σ_{(u,v)} x_t(u), x_0 = beta — the
+    path-count centrality (Katz 1953): every walk INTO v counts,
+    damped by alpha^length. Distinct from PageRank (no out-degree
+    normalization — a hub's endorsement is not diluted) and from
+    HITS/eigenvector (the additive beta keeps isolated-ish nodes at a
+    floor instead of 0). alpha is set DATA-ADAPTIVELY to
+    ``alpha_scale / d_max`` (d_max = max degree): the spectral radius
+    of an adjacency matrix is <= d_max, so alpha*lambda_max <=
+    alpha_scale < 1 guarantees the Katz series converges and keeps
+    every score in [beta, beta/(1-alpha_scale)] — O(1) magnitudes,
+    stable to compare across engines. d_max is ONE scalar aggregate
+    pulled to the driver (like the HITS normalizer), so alpha is a
+    literal in the per-round plan, not a lazy cross join.
+
+    Per round: ONE equi-join of the score vector onto the checkpointed
+    symmetric edge list + ONE map-side-combined sum — the same
+    bulk-synchronous |E|-per-round shape as ``pagerank``.
+    """
+    sym = symmetrize(edges, src, dst, weight=None).select("u", "v")
+    e = sym.localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    row = deg.agg(F.max("d")).first()
+    if row[0] is None:
+        return nodes.withColumn("katz", F.lit(0.0))
+    alpha = alpha_scale / float(row[0])
+    x = nodes.withColumn("x", F.lit(float(beta)))
+    for i in range(iters):
+        inc = (
+            e.join(x, e["u"] == x["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("x").alias("s"))
+        )
+        # every node has >=1 incident edge (nodes come off the edge
+        # list), so the inner join keeps the full node set
+        x = inc.select(
+            "node", (F.lit(float(beta)) + F.lit(alpha) * F.col("s")).alias("x")
+        )
+        if (i + 1) % 3 == 0 and i + 1 < iters:
+            x = x.localCheckpoint(eager=True)
+    return x.select("node", F.col("x").alias("katz"))
+
+
+def k_truss(
+    edges: DataFrame, k: int, rounds: int = 6,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition step (fixed peeling rounds): the maximal
+    subgraph in which every edge is supported by >= k-2 triangles →
+    surviving (src, dst, support).
+
+    Community-core extraction one level finer than k-core: a k-core
+    keeps well-connected NODES, a k-truss keeps well-embedded EDGES
+    (an edge between two hubs that share no neighbors dies). Per
+    round: per-edge triangle support = common-neighbor count via TWO
+    equi-joins of the canonical edge list against the symmetric
+    adjacency (join on the shared endpoint, equality on the third),
+    then filter support >= k-2 — each round is two shuffles keyed by
+    node id, linear in Σ d(u)+d(v) over edges. ``rounds`` is FIXED so
+    the plan (and the unrolled SQL oracle) is deterministic;
+    convergence within the budget is pytest-asserted against networkx
+    (k_truss of a bench-scale graph settles in <= 4 peels; a
+    pathological chain needs O(|E|) — callers peel further by feeding
+    the output back in).
+
+    Input edges must be canonical simple edges (src < dst, one row per
+    unordered pair), as the repo's edge tables emit.
+    """
+    if k < 2:
+        raise ValueError("k_truss needs k >= 2")
+    cur = edges.select(src, dst)
+    for i in range(rounds):
+        adj = symmetrize(cur, src, dst, weight=None).select("u", "v")
+        # support(e) = |N(src) ∩ N(dst)|: a.u = e.src walks to a.v,
+        # b.u = e.dst walks to b.v, third corner a.v == b.v
+        supp = (
+            cur.join(adj.select(F.col("u").alias(src), F.col("v").alias("w")),
+                     src)
+            .join(adj.select(F.col("u").alias(dst), F.col("v").alias("w")),
+                  [dst, "w"])
+            .groupBy(src, dst)
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        cur = (
+            cur.join(supp, [src, dst], "left")
+            .select(
+                src, dst,
+                F.coalesce("support", F.lit(0).cast("long")).alias("support"),
+            )
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        if i + 1 < rounds:
+            cur = cur.select(src, dst)
+    return cur
+
+
+def quotient_graph(
+    edges: DataFrame, labels: DataFrame,
+    node_col: str = "node", label_col: str = "label",
+    src: str = "src", dst: str = "dst", weight: str | None = "weight",
+) -> DataFrame:
+    """Contract a labeled graph to its quotient (supernode) graph →
+    (c1, c2, weight, n_edges) with c1 <= c2: one row per unordered
+    community pair, summed edge weight and edge count; c1 == c2 rows
+    are the intra-community mass.
+
+    The coarsening step of multilevel graph pipelines (Louvain-style
+    refinement, KG summarization, community-level adjacency for
+    downstream viz): after ``label_propagation`` assigns communities,
+    the quotient is what a 10^12-edge graph gets REPLACED by for the
+    next level. Shape: two broadcast-or-shuffle equi-joins (label onto
+    each endpoint) + one map-side-combined aggregation — no iteration,
+    no UDFs. Edges whose endpoint has no label row are dropped
+    (inner joins): labels come from a total assignment upstream.
+    """
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    both = edges.select(F.col(src), F.col(dst), w.alias("_w")).join(
+        lab.withColumnRenamed("_n", src).withColumnRenamed("_c", "_c1"), src
+    ).join(
+        lab.withColumnRenamed("_n", dst).withColumnRenamed("_c", "_c2"), dst
+    )
+    return (
+        both.select(
+            F.least("_c1", "_c2").alias("c1"),
+            F.greatest("_c1", "_c2").alias("c2"),
+            "_w",
+        )
+        .groupBy("c1", "c2")
+        .agg(
+            F.sum("_w").alias("weight"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        )
+    )
+
+
+def transitive_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Reachability closure of a DIRECTED graph by iterative doubling
+    → (src, dst) for every src ->* dst path of length >= 1.
+
+    The ontology-reasoning primitive (rdfs:subClassOf*, partOf*,
+    SPARQL property paths) and the substrate for SCC detection. Each
+    round joins the current path set with itself (paths of length
+    <= 2^r after round r), so a diameter-D graph closes in ceil(log2
+    D) rounds — the right fixpoint shape for Spark, vs the
+    one-edge-per-round semi-naive loop's D rounds. Per round: ONE
+    self-equi-join on the midpoint + distinct, lineage truncated by
+    localCheckpoint; terminates EARLY when a round adds no rows (one
+    driver-side count per round, O(log D) of them).
+
+    The closure of a dense graph is O(V^2) rows — this operator is for
+    BOUNDED relation/ontology subgraphs (type hierarchies, typed-edge
+    slices of the KG), not the raw co-occurrence network; callers
+    slice first.
+    """
+    paths = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    n = paths.count()
+    for _ in range(max_rounds):
+        hop = paths.select(F.col("a").alias("m"), F.col("b"))
+        ext = (
+            paths.select("a", F.col("b").alias("m"))
+            .join(hop, "m")
+            .select("a", "b")
+        )
+        nxt = paths.unionByName(ext).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        paths = nxt
+        if n2 == n:
+            break
+        n = n2
+    return paths.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
+def strongly_connected(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph →
+    (node, scc_id): scc_id = min node id of the mutually-reachable
+    set (singleton components get their own id).
+
+    Built on the doubling ``transitive_closure``: v and w share a
+    component iff v ->* w AND w ->* v, so scc_id(v) = min(v, min{w :
+    closure has both (v,w) and (w,v)}) — one self-join of the closure
+    against its transpose + one min aggregation + a left join to keep
+    isolated/acyclic nodes as singletons. Same boundedness caveat as
+    the closure: run on typed relation subgraphs, not the full
+    co-occurrence network.
+    """
+    cl = transitive_closure(
+        edges, src=src, dst=dst, max_rounds=max_rounds
+    ).localCheckpoint(eager=True)
+    mutual = cl.join(
+        cl.select(F.col(src).alias("_b"), F.col(dst).alias("_a")),
+        (F.col(src) == F.col("_a")) & (F.col(dst) == F.col("_b")),
+    ).select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+    comp = mutual.groupBy("node").agg(F.min("peer").alias("_m"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.least("node", F.coalesce("_m", "node")).alias("scc_id")
+    )
