@@ -3064,6 +3064,84 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bgp_match(gt, BGP_PATTERNS)
 
 
+def q_char_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity (max hop distance within the node's
+    reachable component) on the sparsified character network —
+    min/max over the table are the graph's radius/diameter
+    (functions/graph.eccentricity, same exact multi-source BFS as
+    char_harmonic; the oracle reuses the unrolled BFS rounds with a
+    max reduction)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    return gmetrics.eccentricity(ge, iters=BFS_ROUNDS)
+
+
+DSIR_BUCKETS = 64
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for data selection (functions/sampling.
+    dsir_weights): hashed-bigram log-likelihood ratio of the
+    English-classified target slice vs the raw corpus — the
+    importance-resampling scores a targeted pretraining-data pipeline
+    feeds into weighted sampling. Target membership chains the
+    language_id operator, so the gate covers langid → DSIR end to
+    end."""
+    from renard_spark.functions import text as ftext
+    from renard_spark.functions.sampling import dsir_weights
+
+    docs = _spread(_documents(spark, sf_dir))
+    lang = ftext.language_id(docs).select(
+        "doc_id", (F.col("lang_pred") == "en").alias("is_target")
+    )
+    d = docs.join(lang, "doc_id")
+    out = dsir_weights(d, n_buckets=DSIR_BUCKETS)
+    return out.select(
+        "doc_id", "n_feats",
+        F.round("dsir_logweight", 6).alias("dsir_logweight"),
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (pairs completeness + reduction
+    ratio, the standard ER metrics): the MinHash-LSH candidate set
+    scored against the normalized-fingerprint exact-duplicate ground
+    truth — ONE summary row; the tuning loop for band/row counts runs
+    this per config (functions/dedup.blocking_quality)."""
+    from renard_spark.functions import dedup
+
+    return dedup.blocking_quality(
+        _documents(spark, sf_dir), w=3, num_hashes=8, bands=4
+    )
+
+
+MST_ROUNDS = 4  # Borůvka halves components per round: covers 16+
+
+
+def q_char_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum spanning forest (strongest-tie backbone) of the
+    corpus-global character network — Borůvka rounds, each one
+    label-join + one min-of-struct pick per endpoint side, component
+    graph collapsed by the hash-to-min CC loop (functions/graph.
+    spanning_forest, deterministic (weight, src, dst) tie-break so the
+    forest is unique across engines; the oracle unrolls the same
+    rounds with a doubling-closure merge)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(
+        F.sum("weight").cast("long").alias("weight")
+    )
+    return gmetrics.spanning_forest(ge, mode="max", max_rounds=MST_ROUNDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -4373,6 +4451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_ids": q_pack_ids,
         "char_hits": q_char_hits,
         "char_katz": q_char_katz,
+        "char_ecc": q_char_ecc,
+        "char_mst": q_char_mst,
+        "dsir_weights": q_dsir_weights,
+        "blocking_quality": q_blocking_quality,
         "char_ktruss": q_char_ktruss,
         "char_quotient": q_char_quotient,
         "type_closure": q_type_closure,
@@ -4956,6 +5038,69 @@ nodes AS (SELECT a AS node FROM d0 UNION SELECT b FROM d0)
 SELECT n.node, least(n.node, coalesce(mn.m, n.node)) AS scc_id
 FROM nodes n LEFT JOIN mn ON mn.node = n.node
 """
+    # maximum spanning forest: Borůvka rounds unrolled — per round the
+    # cross-component edge slice, a min-of-struct pick per endpoint
+    # side (k = -w → max; DuckDB structs compare field-order, same as
+    # Spark), then the picked component graph collapsed by a doubling
+    # closure (4 inner rounds cover chains of 16 components).
+    # MATERIALIZED pervasively: every CTE here is read 2-3 times.
+    mst_sql = edges_ctes + """,
+me0 AS MATERIALIZED (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b, count(*)::BIGINT AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+ml0 AS MATERIALIZED (
+  SELECT node, node AS c FROM (
+    SELECT a AS node FROM me0 UNION SELECT b FROM me0)
+),
+mch0 AS (SELECT a, b, w FROM me0 WHERE false)"""
+    for r in range(MST_ROUNDS):
+        mst_sql += f""",
+mel{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
+  FROM me0 e
+  JOIN ml{r} la ON la.node = e.a
+  JOIN ml{r} lb ON lb.node = e.b
+  WHERE la.c <> lb.c
+),
+mpk{r} AS MATERIALIZED (
+  SELECT (cd).a AS a, (cd).b AS b, -(cd).k AS w,
+         (cd).ca AS ca, (cd).cb AS cb
+  FROM (
+    SELECT cc, min(cd) AS cd FROM (
+      SELECT ca AS cc,
+             {{'k': -w, 'a': a, 'b': b, 'ca': ca, 'cb': cb}} AS cd
+      FROM mel{r}
+      UNION ALL
+      SELECT cb,
+             {{'k': -w, 'a': a, 'b': b, 'ca': ca, 'cb': cb}}
+      FROM mel{r}
+    ) GROUP BY cc
+  )
+),
+mch{r + 1} AS (SELECT a, b, w FROM mch{r}
+               UNION SELECT a, b, w FROM mpk{r}),
+mcg{r}_0 AS MATERIALIZED (
+  SELECT ca AS u, cb AS v FROM mpk{r}
+  UNION SELECT cb, ca FROM mpk{r})"""
+        for k in range(4):
+            mst_sql += f""",
+mcg{r}_{k + 1} AS MATERIALIZED (
+  SELECT u, v FROM mcg{r}_{k}
+  UNION
+  SELECT p.u, q.v FROM mcg{r}_{k} p JOIN mcg{r}_{k} q ON q.u = p.v
+)"""
+        mst_sql += f""",
+mmr{r} AS (SELECT u AS c, least(u, min(v)) AS c2
+           FROM mcg{r}_4 GROUP BY u),
+ml{r + 1} AS MATERIALIZED (
+  SELECT l.node, coalesce(m.c2, l.c) AS c
+  FROM ml{r} l LEFT JOIN mmr{r} m ON m.c = l.c
+)"""
+    mst_sql += f"""
+SELECT a AS src, b AS dst, w AS weight FROM mch{MST_ROUNDS}
+"""
     # the BGP ?a -scans-> ?b -?r-> ?c as plain conjunctive SQL joins
     # over the distinct corpus triples (join keys = shared variables)
     bgp_sql = rel_ctes + """,
@@ -4995,9 +5140,92 @@ hn{i + 1} AS MATERIALIZED (
     FROM symn s JOIN hn{i} ON hn{i}.node = s.v
   ) GROUP BY source, node
 )"""
+    hc_base = hc_sql
     hc_sql += f"""
 SELECT source AS node, round(sum(1.0 / d), 6) AS harmonic
 FROM hn{BFS_ROUNDS} WHERE d > 0 GROUP BY source
+"""
+    # eccentricity: same multi-source-BFS rounds, max instead of Σ 1/d
+    ecc_sql = hc_base + f"""
+SELECT source AS node, max(d)::BIGINT AS ecc
+FROM hn{BFS_ROUNDS} GROUP BY source
+"""
+    # DSIR importance weights: hashed-bigram buckets, en-target vs raw
+    # add-one unigram models, per-doc Σ m·llr — the same op sequence
+    # as functions/sampling.dsir_weights (ln(ct+1) − ln(Nt+B) −
+    # ln(cr+1) + ln(Nr+B), left-to-right)
+    dsir_sql = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                        x -> lower(x)) AS tk
+  FROM documents
+),
+tgt AS (
+  SELECT doc_id,
+         (len(list_filter(tk, x -> list_contains([{_SW_SQL}], x)))::DOUBLE
+          / greatest(len(tk), 1)) >= 0.08 AS is_t
+  FROM t
+),
+bgc AS MATERIALIZED (
+  SELECT t.doc_id, g.is_t AS _t,
+         ('0x' || substr(md5(t.tk[i.i] || ' ' || t.tk[i.i + 1]), 1, 8))
+           ::BIGINT % {DSIR_BUCKETS} AS b,
+         count(*) AS m
+  FROM t JOIN tgt g USING (doc_id),
+       LATERAL (SELECT generate_subscripts(t.tk, 1) AS i) i
+  WHERE i.i < len(t.tk)
+  GROUP BY t.doc_id, g.is_t, b
+),
+raw AS (SELECT b, sum(m) AS cr FROM bgc GROUP BY b),
+tg AS (SELECT b, sum(m) AS ct FROM bgc WHERE _t GROUP BY b),
+st AS MATERIALIZED (
+  SELECT r.b, r.cr, coalesce(t2.ct, 0) AS ct
+  FROM raw r LEFT JOIN tg t2 USING (b)
+),
+tots AS MATERIALIZED (SELECT sum(cr) AS nr, sum(ct) AS nt FROM st)
+SELECT bgc.doc_id, sum(bgc.m)::BIGINT AS n_feats,
+       round(sum(bgc.m * (ln(st.ct + 1)
+                          - ln((SELECT nt FROM tots) + {DSIR_BUCKETS})
+                          - ln(st.cr + 1)
+                          + ln((SELECT nr FROM tots) + {DSIR_BUCKETS}))),
+             6) AS dsir_logweight
+FROM bgc JOIN st USING (b) GROUP BY bgc.doc_id
+"""
+    # blocking-quality summary: LSH candidate pairs vs the
+    # normalized-fingerprint exact-duplicate ground truth
+    bq_sql = _MINHASH_CTES + r""",
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nf
+  FROM documents
+),
+nd AS (SELECT count(*) AS n FROM fp),
+tr AS (SELECT coalesce(sum(k * (k - 1) / 2), 0)::BIGINT AS t
+       FROM (SELECT count(*) AS k FROM fp GROUP BY nf)),
+hc2 AS (SELECT count(*) AS h
+        FROM cand c
+        JOIN fp a ON a.doc_id = c.doc_a
+        JOIN fp b ON b.doc_id = c.doc_b AND b.nf = a.nf),
+cc2 AS (SELECT count(*) AS c FROM cand)
+SELECT (SELECT n FROM nd)::BIGINT AS n_docs,
+       (SELECT t FROM tr) AS n_truth_pairs,
+       (SELECT c FROM cc2)::BIGINT AS n_cand_pairs,
+       (SELECT h FROM hc2)::BIGINT AS n_hits,
+       CASE WHEN (SELECT t FROM tr) > 0
+            THEN round((SELECT h FROM hc2)::DOUBLE / (SELECT t FROM tr), 6)
+       END AS pairs_completeness,
+       CASE WHEN (SELECT n FROM nd) > 1
+            THEN round(1.0 - (SELECT c FROM cc2)::DOUBLE
+                       / ((SELECT n FROM nd) * ((SELECT n FROM nd) - 1) / 2),
+                       6)
+       END AS reduction_ratio
 """
     # Brandes betweenness unroll: forward frontier BFS with σ counts
     # (bf{k} = level-k rows, rc{k} = reached set for the anti-join),
@@ -5277,6 +5505,10 @@ FROM sym GROUP BY doc_id, node
         "char_linkpred": lp_sql,
         "char_hits": hits_sql,
         "char_katz": katz_sql,
+        "char_ecc": ecc_sql,
+        "char_mst": mst_sql,
+        "dsir_weights": dsir_sql,
+        "blocking_quality": bq_sql,
         "char_ktruss": kt_sql,
         "char_quotient": quot_sql,
         "type_closure": tc_sql,

@@ -783,3 +783,90 @@ def shared_spans(
             (F.col("end_tok") - F.col("start_tok")).alias("n_toks"),
         )
     )
+
+
+def blocking_quality(
+    docs: DataFrame, w: int = 3, num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS, text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Entity-resolution blocking evaluation (the standard pair of
+    metrics from the ER literature — e.g. Christen 2012): how good is
+    the MinHash-LSH blocking scheme at proposing the truly-duplicate
+    pairs while pruning the quadratic pair space? → ONE row:
+
+    - n_docs, n_truth_pairs (pairs with identical NORMALIZED text —
+      the exact-duplicate ground truth from ``text.fingerprints``),
+      n_cand_pairs (distinct LSH candidate pairs), n_hits (candidates
+      that are true duplicates);
+    - pairs_completeness = n_hits / n_truth_pairs (recall of the
+      blocker; NULL when no truth pairs exist);
+    - reduction_ratio = 1 − n_cand_pairs / C(n_docs, 2) (how much of
+      the quadratic comparison space the blocker prunes).
+
+    The tuning loop for band/row counts runs THIS query per config.
+    Scale shape: truth pairs are NEVER materialized — n_truth is
+    Σ C(k,2) over normalized-fingerprint groups (one groupBy), and
+    n_hits joins the candidate table (already bucket-bounded) onto the
+    fingerprint table twice (equi on doc id). Everything else is
+    counts; output is one row.
+    """
+    from renard_spark.functions.text import fingerprints
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(docs.repartition(par), w, text_col).localCheckpoint(
+        eager=True
+    )
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(
+        lsh_band_keys(sigs, bands, num_hashes), max_bucket
+    ).localCheckpoint(eager=True)
+    fps = fingerprints(docs, text_col).select(
+        "doc_id", "norm_fp"
+    ).localCheckpoint(eager=True)
+    n_docs = fps.count()
+    truth = (
+        fps.groupBy("norm_fp")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long"))
+        .first()[0]
+        or 0
+    )
+    hits = (
+        cands.join(fps.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            fps.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("norm_fp").alias("_fp_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("norm_fp") == F.col("_fp_b"))
+        .count()
+    )
+    n_cands = cands.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    spark = docs.sparkSession
+    # ratios via F.round (half-up, same as the SQL engines) — Python's
+    # round() is banker's rounding and can disagree at the boundary
+    base = spark.createDataFrame(
+        [(n_docs, int(truth), n_cands, hits)],
+        "n_docs long, n_truth_pairs long, n_cand_pairs long, n_hits long",
+    )
+    return base.select(
+        "n_docs", "n_truth_pairs", "n_cand_pairs", "n_hits",
+        F.round(
+            F.when(
+                F.col("n_truth_pairs") > 0,
+                F.col("n_hits") / F.col("n_truth_pairs"),
+            ),
+            6,
+        ).alias("pairs_completeness"),
+        F.round(
+            F.when(
+                F.lit(total_pairs) > 0,
+                1.0 - F.col("n_cand_pairs") / F.lit(float(total_pairs)),
+            ),
+            6,
+        ).alias("reduction_ratio"),
+    )

@@ -659,6 +659,22 @@ def harmonic_centrality(
     the fixpoint. Nodes absent from the edge list (isolated) are not
     returned.
     """
+    dist = _multi_source_distances(edges, src, dst, sources, iters,
+                                   max_rounds)
+    return (
+        dist.filter(F.col("distance") > 0)
+        .groupBy("source")
+        .agg(F.sum(1.0 / F.col("distance")).alias("harmonic"))
+        .select(F.col("source").alias("node"), "harmonic")
+    )
+
+
+def _multi_source_distances(
+    edges: DataFrame, src: str, dst: str, sources: list | None,
+    iters: int | None, max_rounds: int,
+) -> DataFrame:
+    """Shared BSP multi-source BFS state → (source, node, distance);
+    see ``harmonic_centrality`` for the plan-shape discussion."""
     e = (
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
@@ -709,11 +725,35 @@ def harmonic_centrality(
             if state == prev:
                 break
             prev = state
+    return dist
+
+
+def eccentricity(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    sources: list | None = None, iters: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Eccentricity per node → (node, ecc): the max shortest-path
+    distance from the node to any node REACHABLE from it (per-
+    component semantics, so disconnected graphs are fine — each node's
+    horizon is its own component). min(ecc) over the table is the
+    graph's radius, max(ecc) its diameter.
+
+    Same exact multi-source-BFS state as ``harmonic_centrality`` (ONE
+    equi-join + ONE min-agg per round, O(V · V_reachable) state — for
+    huge graphs pass sampled ``sources``); the final reduction is max
+    instead of Σ 1/d. Fixed ``iters`` ≥ diameter is oracle-unrollable:
+    distances are monotone, so extra rounds are no-ops — but an
+    ``iters`` BELOW the true diameter truncates the horizon and
+    understates ecc; callers size it from the known graph (the pytest
+    asserts fixed-round == fixpoint on the gate graph).
+    """
+    dist = _multi_source_distances(edges, src, dst, sources, iters,
+                                   max_rounds)
     return (
-        dist.filter(F.col("distance") > 0)
-        .groupBy("source")
-        .agg(F.sum(1.0 / F.col("distance")).alias("harmonic"))
-        .select(F.col("source").alias("node"), "harmonic")
+        dist.groupBy("source")
+        .agg(F.max("distance").cast("long").alias("ecc"))
+        .select(F.col("source").alias("node"), "ecc")
     )
 
 
@@ -1541,4 +1581,109 @@ def strongly_connected(
     )
     return nodes.join(comp, "node", "left").select(
         "node", F.least("node", F.coalesce("_m", "node")).alias("scc_id")
+    )
+
+
+def spanning_forest(
+    edges: DataFrame, mode: str = "min",
+    src: str = "src", dst: str = "dst", weight: str = "weight",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Borůvka minimum (or maximum) spanning forest of the undirected
+    weighted graph → the forest's (src, dst, weight) edges
+    (src < dst): per component exactly |C|−1 edges; for ``mode="max"``
+    the strongest-tie BACKBONE of a co-occurrence network (the classic
+    network-sparsification baseline).
+
+    Borůvka is THE distributed MST algorithm (log₂ V rounds, each
+    fully data-parallel — vs Kruskal/Prim's inherently sequential
+    driver loops): per round every component picks its lightest
+    (heaviest) outgoing edge — ONE join of the component labels onto
+    the checkpointed edge list + ONE min-of-struct aggregation per
+    endpoint side — then the picked edges' component-graph collapses
+    via the existing ``connected_components`` hash-to-min loop (a
+    COMPONENT-count-sized graph, halved every round, tiny next to the
+    edge list). Ties break deterministically by (weight, src, dst),
+    so the picked forest is unique and engine-reproducible even when
+    weights repeat (any MST's total weight is unique regardless).
+
+    The early-exit test is one isEmpty on the cross-component edge
+    slice; components halve per round, so max_rounds=16 covers 65k+
+    components per tree.
+    """
+    if mode not in ("min", "max"):
+        raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+    sgn = 1 if mode == "min" else -1
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        # parallel edges: keep the one the mode prefers
+        .agg((F.min(F.col("w") * sgn) * sgn).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("c", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = None
+    for _ in range(max_rounds):
+        el = (
+            e.join(
+                comp.select(F.col("node").alias("a"), F.col("c").alias("ca")),
+                "a",
+            )
+            .join(
+                comp.select(F.col("node").alias("b"), F.col("c").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)
+        )
+        if el.isEmpty():
+            break
+        cand = F.struct(
+            (F.col("w") * sgn).alias("k"), F.col("a"), F.col("b"),
+            F.col("ca"), F.col("cb"),
+        )
+        picks = (
+            el.select(F.col("ca").alias("cc"), cand.alias("cd"))
+            .unionByName(el.select(F.col("cb").alias("cc"), cand.alias("cd")))
+            .groupBy("cc")
+            .agg(F.min("cd").alias("cd"))
+            .select("cd.a", "cd.b", (F.col("cd.k") * sgn).alias("w"),
+                    "cd.ca", "cd.cb")
+            .localCheckpoint(eager=True)
+        )
+        new_edges = picks.select("a", "b", "w").distinct()
+        chosen = (
+            new_edges if chosen is None
+            else chosen.unionByName(new_edges).distinct()
+        ).localCheckpoint(eager=True)
+        # collapse the component graph (component-count-sized)
+        from renard_spark.operators.cc import connected_components
+
+        relab = connected_components(
+            picks.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        ).select(F.col("vertex").alias("c"), F.col("component").alias("c2"))
+        comp = (
+            comp.join(relab, "c", "left")
+            .select("node", F.coalesce("c2", F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    if chosen is None:
+        return e.select(
+            F.col("a").alias(src), F.col("b").alias(dst),
+            F.col("w").alias(weight),
+        ).limit(0)
+    return chosen.select(
+        F.col("a").alias(src), F.col("b").alias(dst),
+        F.col("w").alias(weight),
     )

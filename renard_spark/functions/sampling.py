@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from renard_spark.operators.tokenize import TOKEN_RE as _TOKEN_RE_LIT
+
 HEX_W = 8  # 32 bits of hash — plenty for a sampling decision
 
 
@@ -246,4 +248,83 @@ def epoch_order(
         key_col,
         F.col("epoch").cast("int").alias("epoch"),
         (F.col("_grk") - F.col("epoch") * F.lit(n)).cast("long").alias("ord"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, is_target_col: str = "is_target",
+    n_buckets: int = 64, text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") → (doc_id, n_feats, dsir_logweight): per document the
+    hashed-bigram log-likelihood ratio between a TARGET distribution
+    (rows where ``is_target_col`` is true — e.g. the wiki-like or
+    in-domain slice) and the RAW corpus distribution. High weight =
+    the document's n-gram profile looks like the target; sampling
+    ∝ exp(weight) is the paper's importance-resampling step (pair
+    with ``priority_sample``).
+
+    Features are md5-hashed bigram buckets (the paper's hashed n-gram
+    generative model): both unigram models are add-one-smoothed over
+    ``n_buckets`` buckets, log w(d) = Σ_b m_b(d) · [ln(ct_b + 1) −
+    ln(Nt + B) − ln(cr_b + 1) + ln(Nr + B)].
+
+    Scale shape: one narrow bigram transform + ONE (doc, bucket)
+    count shuffle (lineage-truncated — it feeds the two model
+    aggregations AND the final scoring join); both models are
+    B-bounded aggregate tables joined back on the bucket key; the two
+    totals are driver scalars. The per-doc sum adds doubles, so the
+    last-ulp order caveat applies (report rounded).
+    """
+    tl = F.transform(
+        F.regexp_extract_all(text_col, F.lit(_TOKEN_RE_LIT), 0),
+        lambda t: F.lower(t),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))),
+            1, HEX_W,
+        ),
+        16, 10,
+    ).cast("long") % n_buckets
+    big = (
+        docs.select("doc_id", F.col(is_target_col).alias("_t"),
+                    tl.alias("tl"))
+        .filter(F.size("tl") >= 2)
+        .select(
+            "doc_id", "_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tl") - 2),
+                    lambda i: F.struct(
+                        F.element_at("tl", i + 1).alias("w1"),
+                        F.element_at("tl", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "_t", bucket.alias("b"))
+        .groupBy("doc_id", "_t", "b")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    raw = big.groupBy("b").agg(F.sum("m").alias("cr"))
+    tgt = big.filter("_t").groupBy("b").agg(F.sum("m").alias("ct"))
+    stats = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    ).localCheckpoint(eager=True)
+    tot = stats.agg(F.sum("cr"), F.sum("ct")).first()
+    nr, nt = int(tot[0] or 0), int(tot[1] or 0)
+    llr = (
+        F.log(F.col("ct") + 1.0) - F.log(F.lit(float(nt + n_buckets)))
+        - F.log(F.col("cr") + 1.0) + F.log(F.lit(float(nr + n_buckets)))
+    )
+    return (
+        big.join(stats, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_feats"),
+            F.sum(F.col("m") * llr).alias("dsir_logweight"),
+        )
     )

@@ -197,3 +197,166 @@ def test_bgp_disconnected_cross_and_errors(spark):
         bgp_match(df, [])
     with pytest.raises(ValueError):
         bgp_match(df, [("?a", "knows")])  # type: ignore[list-item]
+
+
+def test_eccentricity_matches_networkx(spark):
+    # two components + an isolated-pair: per-component horizons
+    rows = _random_edges(13, n_nodes=20, n_edges=30) + [
+        ("z1", "z2", 1), ("z2", "z3", 1)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    got = {
+        r["node"]: r["ecc"]
+        for r in gmetrics.eccentricity(df).collect()
+    }
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    want = {}
+    for n in g.nodes:
+        want[n] = max(nx.shortest_path_length(g, n).values())
+    assert got == want
+    # fixed rounds >= diameter equal the fixpoint
+    fixed = {
+        r["node"]: r["ecc"]
+        for r in gmetrics.eccentricity(df, iters=25).collect()
+    }
+    assert fixed == got
+
+
+def test_dsir_weights_vs_handrolled(spark):
+    import hashlib
+    import math
+
+    from renard_spark.functions.sampling import dsir_weights
+
+    docs = [
+        (1, "the cat sat on the mat", True),
+        (2, "the dog sat on the log", True),
+        (3, "zig zag zig zag zig", False),
+        (4, "the cat and the dog", False),
+        (5, "one", True),           # <2 tokens: no bigrams, dropped
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, is_target boolean"
+    )
+    B = 16
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logweight"])
+        for r in dsir_weights(df, n_buckets=B).collect()
+    }
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    raw, tgt, per_doc = {}, {}, {}
+    for did, text, is_t in docs:
+        toks = text.lower().split()
+        for w1, w2 in zip(toks, toks[1:]):
+            b = bucket(w1, w2)
+            per_doc.setdefault(did, {}).setdefault(b, 0)
+            per_doc[did][b] += 1
+            raw[b] = raw.get(b, 0) + 1
+            if is_t:
+                tgt[b] = tgt.get(b, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    assert set(got) == set(per_doc)
+    for did, bs in per_doc.items():
+        w = sum(
+            m * (math.log(tgt.get(b, 0) + 1) - math.log(nt + B)
+                 - math.log(raw[b] + 1) + math.log(nr + B))
+            for b, m in bs.items()
+        )
+        n_feats, lw = got[did]
+        assert n_feats == sum(bs.values())
+        assert abs(lw - w) < 1e-9, did
+
+
+def test_blocking_quality_bruteforce(spark):
+    from renard_spark.functions import dedup
+
+    # 3 exact-dup groups (by normalized text) + distinct docs
+    texts = [
+        "alpha beta gamma delta", "alpha  beta gamma DELTA".lower(),
+        "epsilon zeta eta theta", "epsilon zeta eta theta",
+        "iota kappa lambda mu", "nu xi omicron pi",
+        "rho sigma tau upsilon",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = dedup.blocking_quality(df, w=3, num_hashes=8, bands=4).first()
+    assert row["n_docs"] == len(texts)
+    # truth: normalized-identical pairs
+    import re as _re
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    groups = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    n_truth = sum(len(v) * (len(v) - 1) // 2 for v in groups.values())
+    assert row["n_truth_pairs"] == n_truth
+    # exact dupes share every shingle, hence every band: LSH must
+    # propose them all -> completeness 1.0
+    assert row["n_hits"] == n_truth
+    assert row["pairs_completeness"] == 1.0
+    total = len(texts) * (len(texts) - 1) // 2
+    assert abs(
+        row["reduction_ratio"] - (1 - row["n_cand_pairs"] / total)
+    ) < 1e-6
+    assert row["n_cand_pairs"] <= total
+
+
+def test_spanning_forest_matches_networkx(spark):
+    # distinct weights -> the MST is unique: edge sets must match
+    rng = random.Random(31)
+    rows = _random_edges(31, n_nodes=22, n_edges=60)
+    weights = rng.sample(range(1, 1000), len(rows))
+    rows = [(a, b, w) for (a, b, _), w in zip(rows, weights)]
+    # plus a second component
+    rows += [("y1", "y2", 7), ("y2", "y3", 1001), ("y1", "y3", 1002)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight long")
+    g = nx.Graph()
+    for a, b, w in rows:
+        g.add_edge(a, b, weight=w)
+    for mode, nx_edges in (
+        ("min", nx.minimum_spanning_edges),
+        ("max", nx.maximum_spanning_edges),
+    ):
+        got = {
+            (r["src"], r["dst"], r["weight"])
+            for r in gmetrics.spanning_forest(df, mode=mode).collect()
+        }
+        want = {
+            (min(a, b), max(a, b), d["weight"])
+            for a, b, d in nx_edges(g, algorithm="kruskal", data=True)
+        }
+        assert got == want, mode
+
+
+def test_spanning_forest_ties_total_weight(spark):
+    # heavy ties: edge SET may differ from nx, total weight may not;
+    # result must still be a spanning forest (acyclic, right count)
+    rows = _random_edges(41, n_nodes=18, n_edges=50)
+    rows = [(a, b, w % 3 + 1) for a, b, w in rows]
+    df = spark.createDataFrame(rows, "src string, dst string, weight long")
+    g = nx.Graph()
+    for a, b, w in rows:
+        g.add_edge(a, b, weight=w)
+    got = [
+        (r["src"], r["dst"], r["weight"])
+        for r in gmetrics.spanning_forest(df, mode="min").collect()
+    ]
+    f = nx.Graph()
+    f.add_weighted_edges_from(got)
+    assert nx.is_forest(f)
+    n_comp = nx.number_connected_components(g)
+    assert len(got) == g.number_of_nodes() - n_comp
+    want_w = sum(
+        d["weight"]
+        for _, _, d in nx.minimum_spanning_edges(g, data=True)
+    )
+    assert sum(w for _, _, w in got) == want_w
