@@ -3142,6 +3142,43 @@ def q_char_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gmetrics.spanning_forest(ge, mode="max", max_rounds=MST_ROUNDS)
 
 
+WL_ITERS = 3
+
+
+def q_char_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement on the corpus-global
+    character network (functions/graph.wl_refinement): after 3 rounds
+    two characters share a color iff their depth-3 neighborhood trees
+    are identical — the structural-role signature / ER blocking key.
+    All hex-string md5 math, so the oracle unrolls the same rounds
+    with string_agg ORDER BY."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return gmetrics.wl_refinement(ge, iters=WL_ITERS)
+
+
+def q_graph_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WL graph hash (functions/graph.wl_graph_hash):
+    md5 of the sorted final color multiset per document's character
+    network — equal hashes ⇔ 1-WL-indistinguishable graphs, i.e.
+    narrative-STRUCTURE dedup independent of character names. One job
+    refines every per-doc graph in the same bulk-synchronous passes
+    (scope_cols carries doc_id through the keys — no driver loop)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    out = gmetrics.wl_graph_hash(
+        edges, iters=WL_ITERS, scope_cols=("doc_id",)
+    )
+    return _long_doc_id(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -4453,6 +4490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_katz": q_char_katz,
         "char_ecc": q_char_ecc,
         "char_mst": q_char_mst,
+        "char_wl": q_char_wl,
+        "graph_fingerprints": q_graph_fingerprints,
         "dsir_weights": q_dsir_weights,
         "blocking_quality": q_blocking_quality,
         "char_ktruss": q_char_ktruss,
@@ -5101,6 +5140,58 @@ ml{r + 1} AS MATERIALIZED (
     mst_sql += f"""
 SELECT a AS src, b AS dst, w AS weight FROM mch{MST_ROUNDS}
 """
+    # WL color refinement: md5-string rounds over the corpus graph —
+    # string_agg(c, ',' ORDER BY c) == Spark's
+    # concat_ws(",", sort_array(collect_list(c)))
+    wl_sql = edges_ctes + """,
+we0 AS (
+  SELECT DISTINCT least(t1, t2) AS a, greatest(t1, t2) AS b
+  FROM pairs WHERE t1 <> t2
+),
+wsym AS MATERIALIZED (SELECT a AS u, b AS v FROM we0
+                      UNION SELECT b, a FROM we0),
+wl0 AS MATERIALIZED (
+  SELECT u AS node, md5(count(*)::VARCHAR) AS c FROM wsym GROUP BY u)"""
+    for i in range(WL_ITERS):
+        wl_sql += f""",
+wl{i + 1} AS MATERIALIZED (
+  SELECT c.node, md5(c.c || '|' || n.ns) AS c
+  FROM wl{i} c JOIN (
+    SELECT s.u AS node, string_agg(c2.c, ',' ORDER BY c2.c) AS ns
+    FROM wsym s JOIN wl{i} c2 ON c2.node = s.v
+    GROUP BY s.u
+  ) n ON n.node = c.node
+)"""
+    wl_sql += f"""
+SELECT node, c AS wl_color FROM wl{WL_ITERS}
+"""
+    # per-document WL graph hash: same rounds with doc_id carried in
+    # every key, then md5 of the per-doc sorted color multiset
+    gfp_sql = edges_ctes + """,
+ge0 AS (
+  SELECT DISTINCT doc_id, least(t1, t2) AS a, greatest(t1, t2) AS b
+  FROM pairs WHERE t1 <> t2
+),
+gsym AS MATERIALIZED (SELECT doc_id, a AS u, b AS v FROM ge0
+                      UNION SELECT doc_id, b, a FROM ge0),
+gl0 AS MATERIALIZED (
+  SELECT doc_id, u AS node, md5(count(*)::VARCHAR) AS c
+  FROM gsym GROUP BY doc_id, u)"""
+    for i in range(WL_ITERS):
+        gfp_sql += f""",
+gl{i + 1} AS MATERIALIZED (
+  SELECT c.doc_id, c.node, md5(c.c || '|' || n.ns) AS c
+  FROM gl{i} c JOIN (
+    SELECT s.doc_id, s.u AS node, string_agg(c2.c, ',' ORDER BY c2.c) AS ns
+    FROM gsym s JOIN gl{i} c2 ON c2.doc_id = s.doc_id AND c2.node = s.v
+    GROUP BY s.doc_id, s.u
+  ) n ON n.doc_id = c.doc_id AND n.node = c.node
+)"""
+    gfp_sql += f"""
+SELECT doc_id, md5(string_agg(c, ',' ORDER BY c)) AS wl_hash,
+       count(*)::BIGINT AS n_nodes
+FROM gl{WL_ITERS} GROUP BY doc_id
+"""
     # the BGP ?a -scans-> ?b -?r-> ?c as plain conjunctive SQL joins
     # over the distinct corpus triples (join keys = shared variables)
     bgp_sql = rel_ctes + """,
@@ -5507,6 +5598,8 @@ FROM sym GROUP BY doc_id, node
         "char_katz": katz_sql,
         "char_ecc": ecc_sql,
         "char_mst": mst_sql,
+        "char_wl": wl_sql,
+        "graph_fingerprints": gfp_sql,
         "dsir_weights": dsir_sql,
         "blocking_quality": bq_sql,
         "char_ktruss": kt_sql,

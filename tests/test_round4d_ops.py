@@ -360,3 +360,55 @@ def test_spanning_forest_ties_total_weight(spark):
         for _, _, d in nx.minimum_spanning_edges(g, data=True)
     )
     assert sum(w for _, _, w in got) == want_w
+
+
+def _wl_reference(adj, iters):
+    """Pure-python twin of graph.wl_refinement."""
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    col = {n: h(str(len(nbrs))) for n, nbrs in adj.items()}
+    for _ in range(iters):
+        col = {
+            n: h(col[n] + "|" + ",".join(sorted(col[m] for m in nbrs)))
+            for n, nbrs in adj.items()
+        }
+    return col
+
+
+def test_wl_refinement_matches_reference(spark):
+    rows = _random_edges(23, n_nodes=20, n_edges=45)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    adj = {}
+    for a, b, _ in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["wl_color"]
+            for r in gmetrics.wl_refinement(df, iters=iters).collect()
+        }
+        assert got == _wl_reference(adj, iters)
+
+
+def test_wl_graph_hash_isomorphism(spark):
+    # doc 1 and doc 2: isomorphic (relabeled) graphs -> same hash;
+    # doc 3: a different structure -> different hash
+    tri_plus = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    relabel = {"a": "w", "b": "x", "c": "y", "d": "z"}
+    path4 = [("p", "q"), ("q", "r"), ("r", "s")]
+    rows = (
+        [(1, u, v) for u, v in tri_plus]
+        + [(2, relabel[u], relabel[v]) for u, v in tri_plus]
+        + [(3, u, v) for u, v in path4]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, dst string")
+    got = {
+        r["doc_id"]: (r["wl_hash"], r["n_nodes"])
+        for r in gmetrics.wl_graph_hash(df).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1][0] != got[3][0]
+    assert got[3] == (got[3][0], 4)
