@@ -3179,6 +3179,42 @@ def q_graph_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _long_doc_id(out)
 
 
+def q_char_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Forman-Ricci curvature per character-network edge
+    (functions/graph.forman_curvature): 4 − deg(u) − deg(v) + 3·T(e),
+    all integer arithmetic — deeply negative on hub-to-hub bridges,
+    positive inside dense communities; the cheap backbone-vs-bridge
+    edge classifier for the KG."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return gmetrics.forman_curvature(ge)
+
+
+def q_char_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the character network
+    (functions/graph.rich_club, Colizza et al. 2006): per degree
+    threshold k the density among nodes with degree > k — one pass,
+    suffix sums over two distinct-degree-sized histograms (no per-k
+    scans, no data-sized windows)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    # the avg-sparsified graph has a real degree spread (the full
+    # gate-corpus graph is near-regular -> a single-row table)
+    ge = _sparsify_above_mean(ge)
+    rc = gmetrics.rich_club(ge)
+    return rc.select(
+        "k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_triples(spark, "/root/testdata/sf0.001")
@@ -4491,6 +4527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ecc": q_char_ecc,
         "char_mst": q_char_mst,
         "char_wl": q_char_wl,
+        "char_curvature": q_char_curvature,
+        "char_richclub": q_char_richclub,
         "graph_fingerprints": q_graph_fingerprints,
         "dsir_weights": q_dsir_weights,
         "blocking_quality": q_blocking_quality,
@@ -5192,6 +5230,68 @@ SELECT doc_id, md5(string_agg(c, ',' ORDER BY c)) AS wl_hash,
        count(*)::BIGINT AS n_nodes
 FROM gl{WL_ITERS} GROUP BY doc_id
 """
+    # Forman curvature: the k-truss support join + two degree joins,
+    # all integers
+    cur_sql = edges_ctes + """,
+ce0 AS MATERIALIZED (
+  SELECT DISTINCT least(t1, t2) AS a, greatest(t1, t2) AS b
+  FROM pairs WHERE t1 <> t2
+),
+cadj AS MATERIALIZED (SELECT a AS u, b AS v FROM ce0
+                      UNION ALL SELECT b, a FROM ce0),
+csup AS (
+  SELECT e.a, e.b, count(*)::BIGINT AS support
+  FROM ce0 e
+  JOIN cadj x ON x.u = e.a
+  JOIN cadj y ON y.u = e.b AND y.v = x.v
+  GROUP BY e.a, e.b
+),
+cdeg AS MATERIALIZED (SELECT u AS n, count(*)::BIGINT AS d
+                      FROM cadj GROUP BY u)
+SELECT e.a AS src, e.b AS dst, da.d AS deg_src, db.d AS deg_dst,
+       coalesce(s.support, 0)::BIGINT AS support,
+       (4 - da.d - db.d + 3 * coalesce(s.support, 0))::BIGINT AS curvature
+FROM ce0 e
+LEFT JOIN csup s ON s.a = e.a AND s.b = e.b
+JOIN cdeg da ON da.n = e.a
+JOIN cdeg db ON db.n = e.b
+"""
+    # rich club: suffix sums (strictly-greater, 1 PRECEDING) over the
+    # distinct-degree histograms — same one-pass shape as the Spark op
+    rc_sql = kc_base + """,
+rce0 AS MATERIALIZED (SELECT a, b FROM c0),
+rcdeg AS MATERIALIZED (
+  SELECT n, count(*)::BIGINT AS d FROM (
+    SELECT a AS n FROM rce0 UNION ALL SELECT b FROM rce0
+  ) GROUP BY n
+),
+rcdh AS (SELECT d AS k, count(*)::BIGINT AS nd FROM rcdeg GROUP BY d),
+rcem AS (
+  SELECT least(da.d, db.d) AS k, count(*)::BIGINT AS ne
+  FROM rce0 e JOIN rcdeg da ON da.n = e.a JOIN rcdeg db ON db.n = e.b
+  GROUP BY least(da.d, db.d)
+),
+rck AS (SELECT k FROM rcdh UNION SELECT k FROM rcem),
+rch AS (
+  SELECT rck.k, coalesce(nd, 0) AS nd, coalesce(ne, 0) AS ne
+  FROM rck LEFT JOIN rcdh USING (k) LEFT JOIN rcem USING (k)
+),
+rcs AS (
+  SELECT k,
+         coalesce(sum(nd) OVER (ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS n_nodes,
+         coalesce(sum(ne) OVER (ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS n_edges
+  FROM rch
+)
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+       END AS phi
+FROM rcs
+"""
     # the BGP ?a -scans-> ?b -?r-> ?c as plain conjunctive SQL joins
     # over the distinct corpus triples (join keys = shared variables)
     bgp_sql = rel_ctes + """,
@@ -5599,6 +5699,8 @@ FROM sym GROUP BY doc_id, node
         "char_ecc": ecc_sql,
         "char_mst": mst_sql,
         "char_wl": wl_sql,
+        "char_curvature": cur_sql,
+        "char_richclub": rc_sql,
         "graph_fingerprints": gfp_sql,
         "dsir_weights": dsir_sql,
         "blocking_quality": bq_sql,

@@ -412,3 +412,44 @@ def test_wl_graph_hash_isomorphism(spark):
     assert got[1] == got[2]
     assert got[1][0] != got[3][0]
     assert got[3] == (got[3][0], 4)
+
+
+def test_forman_curvature_matches_networkx_counts(spark):
+    rows = _random_edges(53, n_nodes=20, n_edges=55)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    out = gmetrics.forman_curvature(df).collect()
+    assert len(out) == g.number_of_edges()
+    for r in out:
+        u, v = r["src"], r["dst"]
+        t = len(set(g.neighbors(u)) & set(g.neighbors(v)))
+        assert r["support"] == t
+        assert r["deg_src"] == g.degree(u)
+        assert r["deg_dst"] == g.degree(v)
+        assert r["curvature"] == 4 - g.degree(u) - g.degree(v) + 3 * t
+
+
+def test_rich_club_matches_networkx(spark):
+    rows = _random_edges(61, n_nodes=24, n_edges=70)
+    df = spark.createDataFrame(rows, "src string, dst string, weight int")
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in gmetrics.rich_club(df).collect()
+    }
+    want_phi = nx.rich_club_coefficient(g, normalized=False)
+    for k, (nn, ne, phi) in got.items():
+        nodes = [n for n in g.nodes if g.degree(n) > k]
+        sub = g.subgraph(nodes)
+        assert nn == len(nodes), k
+        assert ne == sub.number_of_edges(), k
+        if nn >= 2:
+            assert abs(phi - 2 * ne / (nn * (nn - 1))) < 1e-12
+            if k in want_phi:
+                assert abs(phi - want_phi[k]) < 1e-12
+        else:
+            assert phi is None
