@@ -4426,6 +4426,123 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fevents.rate_anomalies(ev, trailing=ANOMALY_TRAILING)
 
 
+CAPTION_SNIPPET = 48
+
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal (media, caption) training-pair extraction over the
+    interleaved span table (operators/linking.caption_pairs): every
+    non-text span paired with the nearest text span before and after
+    it in document order — the CLIP-style pair builder for the
+    interleaved corpus. ONE doc_id-keyed window over the exploded
+    spans; no media×text join."""
+    from renard_spark.operators import linking
+
+    inter = _interleaved(spark, sf_dir)
+    out = linking.caption_pairs(inter, snippet_len=CAPTION_SNIPPET)
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "kind",
+            "media_ref",
+            F.coalesce("caption_before", F.lit("")).alias("caption_before"),
+            F.coalesce("caption_after", F.lit("")).alias("caption_after"),
+        )
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness (functions/similarity.topk_recall):
+    per-query recall@3 of the SRP-LSH retriever against the exact
+    blocked-GEMM top-k on the same vec_id<1000 subset — the measured
+    quality/compute dial every approximate retriever here is tuned by.
+    k-row-per-query tables equi-joined on (vec_id, neighbor_id); the
+    corpus-scale work is the two retrievers themselves."""
+    from renard_spark.functions import similarity
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    emb = emb.localCheckpoint(eager=False)
+    exact = similarity.cosine_topk_blocked(emb, k=3)
+    approx = similarity.srp_lsh_topk(emb, k=3, n_bits=8)
+    return similarity.topk_recall(exact, approx)
+
+
+# SHACL-lite shapes over the extracted relation triples: 'scans' is
+# declared functional, 'sorts' inverse-functional, and 'groups'
+# subjects must come from the declared domain class.
+SHACL_DOMAIN = ["spark", "customer", "window", "join", "merge"]
+
+
+def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG constraint validation (operators/relations.validate_triples):
+    SHACL-lite functional / inverse-functional / domain shapes checked
+    over the occurrence-level resolved triples BEFORE graph
+    materialization — the quality gate that reports malformed nodes
+    instead of silently writing them. Map-side-combined groupBys on
+    (doc_id, rel, node); the domain class is a broadcast literal."""
+    from renard_spark.operators import relations
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs).filter(
+        F.col("token").isin(list(CAST_TOKENS))
+        | F.lower(F.col("token")).isin(sorted(REL_VERBS))
+    ).localCheckpoint(eager=False)
+    unified = unify.naive_unify(
+        ner.dictionary_ner(toks, CAST_TOKENS)
+    ).localCheckpoint(eager=False)
+    raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
+    resolved = relations.resolve_triples(
+        raw, unify.characters_table(unified)
+    )
+    out = relations.validate_triples(
+        resolved,
+        functional=("scans",),
+        inverse_functional=("sorts",),
+        domains={"groups": SHACL_DOMAIN},
+    )
+    return _long_doc_id(
+        out.select("constraint", "doc_id", "rel", "node", "n")
+    )
+
+
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution cluster quality (functions/metrics.bcubed):
+    B-cubed P/R/F1 of the per-doc hypocorism-unified components
+    against the gazetteer FAMILY identity as gold — precision 1 by
+    construction (components never cross families) while recall <1
+    exactly where a document holds two nicknames without the formal
+    hub, so the metric is the measured cost of evidence-based linking
+    vs oracle identity. Cell-count identity: three groupBys + two
+    dimension joins, nothing item×item."""
+    from renard_spark.functions.metrics import bcubed
+
+    hmap = F.create_map(*[F.lit(x) for kv in HYPO_MAP.items() for x in kv])
+    fam = {n: f for f, n in HYPO_EDGES}
+    fam.update({f: f for f, _ in HYPO_EDGES})
+    fmap = F.create_map(*[F.lit(x) for kv in fam.items() for x in kv])
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    toks = tokenize.tokens(docs)
+    ments = (
+        toks.withColumn("_name", hmap[F.col("token")])
+        .filter(F.col("_name").isNotNull())
+        .select(
+            "doc_id",
+            F.col("tok_idx").cast("int").alias("start_idx"),
+            (F.col("tok_idx") + 1).cast("int").alias("end_idx"),
+            F.col("_name").alias("mention_str"),
+            F.lit("PER").alias("tag"),
+        )
+    )
+    unified = unify.graph_rules_unify(ments)
+    assign = unified.select(
+        "doc_id",
+        F.col("char_id").alias("sys_id"),
+        fmap[F.col("mention_str")].alias("gold_id"),
+    )
+    return bcubed(assign, "sys_id", "gold_id", key_cols=("doc_id",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -4591,6 +4708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_streaks": q_user_streaks,
         "corpus_cube": q_corpus_cube,
         "event_anomalies": q_event_anomalies,
+        "caption_pairs": q_caption_pairs,
+        "ann_recall": q_ann_recall,
+        "kg_shacl": q_kg_shacl,
+        "er_bcubed": q_er_bcubed,
     }
 
 
@@ -7863,5 +7984,190 @@ FROM clusters c
 JOIN best b ON b.cluster_id = c.cluster_id
 JOIN qual q ON q.doc_id = c.doc_id
 JOIN contam ct ON ct.doc_id = c.doc_id
+"""
+    # multimodal caption pairs: rebuild the interleaved span layout and
+    # apply the same before/after IGNORE NULLS window as the engine
+    out["caption_pairs"] = f"""
+WITH sp AS (
+  SELECT doc_id, 0 AS pos, 'text' AS kind, NULL AS media_ref,
+         substr(text, 1, length(text) // 2) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'image', 'img://' || doc_id::VARCHAR || '/0', NULL
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'text', NULL, substr(text, length(text) // 2 + 1)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3,
+         (['audio','video','image'])[(doc_id % 3 + 1)::INT],
+         (['audio','video','image'])[(doc_id % 3 + 1)::INT]
+           || '://' || doc_id::VARCHAR || '/1',
+         NULL
+  FROM documents
+), cap AS (
+  SELECT doc_id, pos, kind, media_ref,
+    last_value(CASE WHEN kind = 'text'
+                    THEN substr(text, 1, {CAPTION_SNIPPET}) END
+               IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS caption_before,
+    first_value(CASE WHEN kind = 'text'
+                     THEN substr(text, 1, {CAPTION_SNIPPET}) END
+                IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+    ) AS caption_after
+  FROM sp
+)
+SELECT doc_id, pos::BIGINT AS pos, kind, media_ref,
+       coalesce(caption_before, '') AS caption_before,
+       coalesce(caption_after, '') AS caption_after
+FROM cap WHERE kind <> 'text'
+"""
+    # ANN recall harness: both retrievers on the vec_id<1000 subset,
+    # exact top-3 left-joined to the SRP top-3, recall per query
+    out["ann_recall"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS nrm
+  FROM e
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm)
+           AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), exact AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM p
+  ) WHERE rank <= 3
+), bk AS (
+  SELECT vec_id,
+    (SELECT string_agg(CASE WHEN
+        list_sum(list_transform(list_zip(embedding, range(0, len(embedding))),
+          x -> x[1]::DOUBLE *
+               ((('0x' || substr(md5(j.j::VARCHAR || ':' || x[2]::VARCHAR),
+                                 1, 1))::INT % 2) * 2 - 1))) > 0
+        THEN '1' ELSE '0' END, '' ORDER BY j.j)
+     FROM range(0, 8) j(j)) AS bucket
+  FROM e
+), pb AS (
+  SELECT p.vec_id, p.neighbor_id, p.cosine
+  FROM p
+  JOIN bk a ON a.vec_id = p.vec_id
+  JOIN bk b ON b.vec_id = p.neighbor_id AND b.bucket = a.bucket
+), ann AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pb
+  ) WHERE rank <= 3
+)
+SELECT e.vec_id,
+       count(*)::BIGINT AS n_true,
+       count(a.neighbor_id)::BIGINT AS n_hit,
+       round(count(a.neighbor_id) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN ann a ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.vec_id
+"""
+    # SHACL-lite validation over the occurrence-level resolved triples
+    out["kg_shacl"] = rel_ctes + f""",
+occ AS (
+  SELECT doc_id, subj AS subj_char, rel, obj AS obj_char
+  FROM hits WHERE rn = 1 AND subj <> obj
+), fv AS (
+  SELECT 'functional' AS "constraint", doc_id, rel,
+         subj_char AS node, count(DISTINCT obj_char)::BIGINT AS n
+  FROM occ WHERE rel = 'scans'
+  GROUP BY doc_id, rel, subj_char
+  HAVING count(DISTINCT obj_char) > 1
+), iv AS (
+  SELECT 'inverse_functional' AS "constraint", doc_id, rel,
+         obj_char AS node, count(DISTINCT subj_char)::BIGINT AS n
+  FROM occ WHERE rel = 'sorts'
+  GROUP BY doc_id, rel, obj_char
+  HAVING count(DISTINCT subj_char) > 1
+), dv AS (
+  SELECT 'domain' AS "constraint", doc_id, rel,
+         subj_char AS node, count(*)::BIGINT AS n
+  FROM occ
+  WHERE rel = 'groups'
+    AND subj_char NOT IN ({", ".join(f"'{t}'" for t in SHACL_DOMAIN)})
+  GROUP BY doc_id, rel, subj_char
+)
+SELECT * FROM fv UNION ALL SELECT * FROM iv UNION ALL SELECT * FROM dv
+"""
+    # B-cubed over hypocorism components vs gazetteer family identity,
+    # via the cell-count identity (sum over cells of n_cg²/n_side)
+    _fam = {n: f for f, n in HYPO_EDGES}
+    _fam.update({f: f for f, _ in HYPO_EDGES})
+    out["er_bcubed"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, u.tok AS token, u.i - 1 AS tok_idx
+  FROM (SELECT doc_id,
+               regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tl
+        FROM documents),
+       LATERAL (SELECT unnest(tl) AS tok,
+                       generate_subscripts(tl, 1) AS i) u
+), hmap(token, name) AS (
+  VALUES {", ".join(f"('{t}', '{n}')" for t, n in HYPO_MAP.items())}
+), ment AS (
+  SELECT t.doc_id, t.tok_idx, h.name
+  FROM toks t JOIN hmap h ON h.token = t.token
+), names AS (
+  SELECT DISTINCT doc_id, name FROM ment
+), fam(u, v) AS (
+  VALUES {", ".join(f"('{a}', '{b}')" for a, b in HYPO_EDGES)}
+), ed AS (
+  SELECT a.doc_id, a.name AS u, b.name AS v
+  FROM names a
+  JOIN names b ON a.doc_id = b.doc_id
+  JOIN fam ON (fam.u = a.name AND fam.v = b.name)
+           OR (fam.u = b.name AND fam.v = a.name)
+), r(doc_id, u, l) AS (
+  SELECT doc_id, name, name FROM names
+  UNION
+  SELECT ed.doc_id, ed.v, r.l
+  FROM r JOIN ed ON ed.doc_id = r.doc_id AND ed.u = r.u
+), comp AS (
+  SELECT doc_id, u AS name, min(l) AS char_id
+  FROM r GROUP BY doc_id, u
+), gmap(name, gold) AS (
+  VALUES {", ".join(f"('{n}', '{g}')" for n, g in sorted(_fam.items()))}
+), itm AS (
+  SELECT m.doc_id, c.char_id AS sys_id, g.gold AS gold_id
+  FROM ment m
+  JOIN comp c ON c.doc_id = m.doc_id AND c.name = m.name
+  JOIN gmap g ON g.name = m.name
+), nc AS (
+  SELECT doc_id, sys_id, count(*) AS n_c FROM itm GROUP BY doc_id, sys_id
+), ng AS (
+  SELECT doc_id, gold_id, count(*) AS n_g FROM itm GROUP BY doc_id, gold_id
+), cg AS (
+  SELECT doc_id, sys_id, gold_id, count(*) AS n_cg
+  FROM itm GROUP BY doc_id, sys_id, gold_id
+), s AS (
+  SELECT sum(cg.n_cg) AS n,
+         sum(cg.n_cg * cg.n_cg / nc.n_c) AS sp,
+         sum(cg.n_cg * cg.n_cg / ng.n_g) AS sr
+  FROM cg
+  JOIN nc ON nc.doc_id = cg.doc_id AND nc.sys_id = cg.sys_id
+  JOIN ng ON ng.doc_id = cg.doc_id AND ng.gold_id = cg.gold_id
+)
+SELECT n::BIGINT AS n_items,
+       round(sp / n, 6) AS bcubed_precision,
+       round(sr / n, 6) AS bcubed_recall,
+       round(2 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6)
+         AS bcubed_f1
+FROM s
 """
     return out

@@ -975,3 +975,33 @@ def cluster_stats(
         F.min("_cos").alias("min_cos"),
         F.max("_cos").alias("max_cos"),
     )
+
+
+def topk_recall(exact_df: DataFrame, approx_df: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k —
+    the evaluation harness that closes the loop on every approximate
+    retriever in this module (SRP-LSH, IVF, PQ): recall =
+    |approx ∩ exact| / |exact| per query vector.
+
+    Both inputs are (vec_id, neighbor_id, ...) top-k tables. Returns
+    (vec_id, n_true, n_hit, recall). Distributed shape: one equi-join
+    on (vec_id, neighbor_id) + one map-side-combined groupBy — both
+    sides are k-row-per-query tables (corpus × k, never corpus²), so
+    the join key is the natural partitioner and nothing funnels
+    through one partition."""
+    e = exact_df.select("vec_id", "neighbor_id")
+    a = approx_df.select("vec_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    j = e.join(a, ["vec_id", "neighbor_id"], "left")
+    return j.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_hit"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )

@@ -292,3 +292,53 @@ def alias_priors(links_df: DataFrame) -> DataFrame:
             "n_nil",
         )
     )
+
+
+def caption_pairs(interleaved_df: DataFrame, snippet_len: int = 48) -> DataFrame:
+    """Media→caption pair extraction over the interleaved span table —
+    the (image, text) / (audio, text) training-pair builder for
+    multimodal corpora: each non-text span is paired with the nearest
+    text span BEFORE and AFTER it in document order.
+
+    ``interleaved_df``: the BASELINE input shape (doc_id,
+    spans:array<struct<kind,text,media_ref,offset>>). Returns
+    (doc_id, pos, kind, media_ref, caption_before, caption_after)
+    where the captions are ``snippet_len``-char prefixes of the
+    neighboring text spans (NULL when no text span exists on that
+    side — e.g. a leading cover image).
+
+    Scale shape: posexplode + ONE doc_id-keyed window pass (running
+    last/first text over array order) — spans arrays are per-document,
+    so the window sorts a handful of rows per key; no media×text join,
+    no UDF. At 10^12 docs this is one shuffle of the span table keyed
+    by doc_id, the same key the catalog tables are bucketed by."""
+    sp = interleaved_df.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    snip = F.when(
+        F.col("kind") == "text", F.substring("text", 1, snippet_len)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    before = F.last(snip, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = F.first(snip, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        sp.select(
+            "doc_id",
+            "pos",
+            "kind",
+            "media_ref",
+            before.alias("caption_before"),
+            after.alias("caption_after"),
+        )
+        .filter(F.col("kind") != "text")
+    )
