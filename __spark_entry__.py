@@ -3037,6 +3037,16 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound from the second scan. Oracle: the same conjunctive query as
     plain SQL joins."""
     from renard_spark.functions.kgquery import bgp_match
+
+    # _relation_triples lazily checkpoints: the triple table feeds one
+    # scan PER PATTERN, the relation chain must execute once
+    return bgp_match(_relation_triples(spark, sf_dir), BGP_PATTERNS)
+
+
+def _relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distinct (subj, pred, obj) relation triples — the
+    shared head of the bgp / rdfs / optional queries (lazily
+    checkpointed: every consumer scans it more than once)."""
     from renard_spark.operators import relations
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
@@ -3058,10 +3068,101 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("pred"),
         F.col("obj_char").alias("obj"),
     ).distinct()
-    # the triple table feeds one scan PER PATTERN — truncate so the
-    # relation chain executes once, not len(patterns) times
-    gt = gt.localCheckpoint(eager=False)
-    return bgp_match(gt, BGP_PATTERNS)
+    return gt.localCheckpoint(eager=False)
+
+
+# literal ontology over the relation predicates: property chain of
+# depth 2, domain/range at two levels, class chain of depth 2 — deep
+# enough that every rdfs stratum (and the doubling closure) does work
+RDFS_SCHEMA = [
+    ("scans", "subPropertyOf", "reads"),
+    ("reads", "subPropertyOf", "interacts_with"),
+    ("sorts", "subPropertyOf", "interacts_with"),
+    ("groups", "subPropertyOf", "interacts_with"),
+    ("scans", "domain", "reader"),
+    ("interacts_with", "domain", "participant"),
+    ("interacts_with", "range", "participant"),
+    ("reader", "subClassOf", "participant"),
+    ("participant", "subClassOf", "thing"),
+]
+RDFS_ROUNDS = 2  # doubling: covers hierarchy chains of depth 4
+
+
+def q_rdfs_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment (functions/ontology.rdfs_closure, the rhoDF
+    fragment of Munoz et al. ESWC'07): the corpus relation triples
+    closed under a literal schema — subPropertyOf roll-up, domain/
+    range typing, subClassOf supertype inheritance — evaluated as four
+    STRATA of broadcast joins (no instance-data iteration). Oracle:
+    the same strata with the hierarchy closures unrolled."""
+    from renard_spark.functions.ontology import rdfs_closure
+
+    facts = _relation_triples(spark, sf_dir)
+    schema = spark.createDataFrame(
+        RDFS_SCHEMA, "subj string, pred string, obj string"
+    )
+    return rdfs_closure(facts, schema, max_rounds=RDFS_ROUNDS)
+
+
+BGP_OPT_REQUIRED = [("?a", "scans", "?b")]
+BGP_OPT_OPTIONAL = [[("?b", "?r", "?c")]]
+# the synthetic relation graph is near-complete (every cast pair in
+# every relation), so a purely structural OPTIONAL never misses; one
+# injected sink triple (same trick as q_contamination's benchmark
+# slice) guarantees the gate hash-checks a NULL-extended row too
+BGP_OPT_EXTRA = ("omega_probe", "scans", "nadir_sink")
+
+
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL compiled to a LEFT equi-join (functions/
+    kgquery.bgp_match optionals=): ?a -scans-> ?b OPTIONAL { ?b -?r->
+    ?c } — scan targets keep their row with NULL (r, c) when nothing
+    hangs off them, exactly SPARQL's left-join semantics (the injected
+    sink row exercises exactly that path). Oracle: the same query as a
+    SQL LEFT JOIN."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        [BGP_OPT_EXTRA], "subj string, pred string, obj string"
+    )
+    return bgp_match(
+        gt.unionByName(extra), BGP_OPT_REQUIRED, optionals=BGP_OPT_OPTIONAL
+    )
+
+
+BGP_PATH_PATTERNS = [("?x", "scans+", "?y"), ("?y", "groups", "?z")]
+BGP_PATH_ROUNDS = 3  # doubling: covers scans-paths of length 8
+
+
+def q_bgp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path (functions/kgquery.bgp_match `p+`
+    support): ?x -scans+-> ?y -groups-> ?z — the one-or-more pattern
+    scans the doubling transitive closure of the scans slice, then
+    composes with a plain pattern on the shared variable. Oracle: the
+    same closure rounds unrolled + one join."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    gt = _relation_triples(spark, sf_dir)
+    return bgp_match(
+        gt, BGP_PATH_PATTERNS, closure_rounds=BGP_PATH_ROUNDS
+    )
+
+
+def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF interchange ROUNDTRIP: the corpus KG serialized to
+    N-Triples lines (io/ntriples.triples_to_ntriples) and read back by
+    the parser (parse_ntriples + the rdfs:label bnode index join in
+    ntriples_to_triples) — the gate is that export→import reproduces
+    the name-level fact table the oracle computes directly, i.e. the
+    escape/unescape and bnode-labeling logic are exact inverses."""
+    from renard_spark.io.ntriples import ntriples_to_triples, triples_to_ntriples
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    lines = triples_to_ntriples(triples.edges_to_triples(edges))
+    return ntriples_to_triples(lines).distinct()
 
 
 def q_char_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4654,6 +4755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_closure": q_type_closure,
         "rel_scc": q_rel_scc,
         "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
+        "bgp_paths": q_bgp_paths,
+        "rdfs_types": q_rdfs_types,
+        "nt_roundtrip": q_nt_roundtrip,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
         "char_walk_pairs": q_char_walk_pairs,
@@ -5421,6 +5526,87 @@ SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
 FROM g p1 JOIN g p2 ON p2.s = p1.o
 WHERE p1.p = 'scans'
 """
+    # OPTIONAL == LEFT JOIN (SPARQL left-join semantics)
+    _ex_s, _ex_p, _ex_o = BGP_OPT_EXTRA
+    bgpopt_sql = rel_ctes + f""",
+g AS (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION
+  SELECT '{_ex_s}', '{_ex_p}', '{_ex_o}'
+)
+SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
+FROM g p1 LEFT JOIN g p2 ON p2.s = p1.o
+WHERE p1.p = 'scans'
+"""
+    # property path `scans+` == unrolled doubling closure of the
+    # scans slice, composed with the groups pattern on ?y
+    bgppath_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+pp0 AS MATERIALIZED (SELECT s AS a, o AS b FROM g WHERE p = 'scans')"""
+    for i in range(BGP_PATH_ROUNDS):
+        bgppath_sql += f""",
+pp{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM pp{i}
+  UNION
+  SELECT p.a, q.b FROM pp{i} p JOIN pp{i} q ON q.a = p.b
+)"""
+    bgppath_sql += f"""
+SELECT c.a AS x, c.b AS y, g2.o AS z
+FROM pp{BGP_PATH_ROUNDS} c JOIN g g2 ON g2.s = c.b AND g2.p = 'groups'
+"""
+    # RDFS entailment strata with the hierarchy closures unrolled —
+    # same math as functions/ontology.rdfs_closure
+    _rdfs_vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in RDFS_SCHEMA)
+    rdfs_sql = rel_ctes + f""",
+facts AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+sch AS (SELECT * FROM (VALUES {_rdfs_vals}) t(s, p, o)),
+sp0 AS (SELECT s AS a, o AS b FROM sch WHERE p = 'subPropertyOf'),
+sc0 AS (SELECT s AS a, o AS b FROM sch WHERE p = 'subClassOf')"""
+    for i in range(RDFS_ROUNDS):
+        rdfs_sql += f""",
+sp{i + 1} AS (
+  SELECT a, b FROM sp{i}
+  UNION
+  SELECT p.a, q.b FROM sp{i} p JOIN sp{i} q ON q.a = p.b
+),
+sc{i + 1} AS (
+  SELECT a, b FROM sc{i}
+  UNION
+  SELECT p.a, q.b FROM sc{i} p JOIN sc{i} q ON q.a = p.b
+)"""
+    rdfs_sql += f""",
+cf AS (
+  SELECT s, p, o FROM facts
+  UNION
+  SELECT f.s, h.b, f.o FROM facts f JOIN sp{RDFS_ROUNDS} h ON h.a = f.p
+),
+ty AS (
+  SELECT s, p, o FROM cf WHERE p = 'type'
+  UNION
+  SELECT cf.s, 'type', d.o FROM cf
+  JOIN sch d ON d.p = 'domain' AND d.s = cf.p
+  WHERE cf.p <> 'type'
+  UNION
+  SELECT cf.o, 'type', r.o FROM cf
+  JOIN sch r ON r.p = 'range' AND r.s = cf.p
+  WHERE cf.p <> 'type'
+),
+sty AS (
+  SELECT t.s, 'type' AS p, h.b AS o
+  FROM ty t JOIN sc{RDFS_ROUNDS} h ON h.a = t.o
+)
+SELECT s AS subj, p AS pred, o AS obj FROM (
+  SELECT s, p, o FROM cf WHERE p <> 'type'
+  UNION SELECT s, p, o FROM ty
+  UNION SELECT s, p, o FROM sty
+) u
+"""
+    # export→import roundtrip must land on the directly-computed facts
+    nt_rt_sql = edges_ctes + """
+SELECT DISTINCT least(t1, t2) AS subj, 'interacts_with' AS pred,
+       greatest(t1, t2) AS obj
+FROM pairs WHERE t1 <> t2
+"""
     # degree assortativity on the avg-sparsified (factor 1.0) graph:
     # integer sums (exact), one float division at the end
     as_sql = kc_base + """,
@@ -5830,6 +6016,10 @@ FROM sym GROUP BY doc_id, node
         "type_closure": tc_sql,
         "rel_scc": scc_sql,
         "bgp_match": bgp_sql,
+        "bgp_optional": bgpopt_sql,
+        "bgp_paths": bgppath_sql,
+        "rdfs_types": rdfs_sql,
+        "nt_roundtrip": nt_rt_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors
         # functions/similarity.semantic_dedup

@@ -26,12 +26,84 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _compile_bgp(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    subj: str,
+    pred: str,
+    obj: str,
+    closure_rounds: int = 8,
+) -> tuple[DataFrame, set[str]]:
+    """Compile one conjunctive pattern group -> (bindings, bound vars).
+    Shared factory for the required BGP and each OPTIONAL group."""
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a (s, p, o) triple: {pat!r}")
+        ps, pp, po = pat
+        base = triples
+        if not _is_var(pp) and pp.endswith("+"):
+            # SPARQL 1.1 property path `p+`: the pattern scans the
+            # transitive closure of the single-predicate slice instead
+            # of the triple table (doubling closure — O(log diameter)
+            # rounds over the SLICE, never the whole KG; `p*` is
+            # deliberately unsupported: zero-length paths quantify
+            # over the node universe)
+            from renard_spark.functions.graph import transitive_closure
+
+            sliced = triples.filter(
+                F.col(pred) == F.lit(pp[:-1])
+            ).select(F.col(subj).alias("a"), F.col(obj).alias("b"))
+            base = transitive_closure(
+                sliced, src="a", dst="b", max_rounds=closure_rounds
+            ).select(
+                F.col("a").alias(subj),
+                F.lit(pp).alias(pred),
+                F.col("b").alias(obj),
+            )
+        cols: dict[str, str] = {}
+        flt = []
+        for term, col in zip(pat, (subj, pred, obj)):
+            if _is_var(term):
+                name = term[1:]
+                if not name:
+                    raise ValueError("empty variable name '?'")
+                if name in cols:
+                    # repeated variable within one pattern: equality
+                    flt.append(F.col(col) == F.col(cols[name]))
+                else:
+                    cols[name] = col
+            else:
+                flt.append(F.col(col) == F.lit(term))
+        scan = base
+        for f in flt:
+            scan = scan.filter(f)
+        scan = scan.select(
+            *[F.col(c).alias(v) for v, c in sorted(cols.items())]
+        )
+        if acc is None:
+            acc = scan
+        else:
+            keys = sorted(bound & set(cols))
+            if keys:
+                acc = acc.join(scan, keys)
+            else:
+                acc = acc.crossJoin(scan)
+        bound |= set(cols)
+    assert acc is not None
+    return acc, bound
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[Pattern],
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
+    optionals: list[list[Pattern]] | None = None,
+    filters: list[str] | None = None,
+    closure_rounds: int = 8,
 ) -> DataFrame:
     """Match a basic graph pattern against a (subj, pred, obj) triple
     table → one column per distinct variable (named without the ``?``),
@@ -51,42 +123,49 @@ def bgp_match(
     re-planning + broadcast thresholds handle the rest. For a
     predicate-partitioned triple store the constant-``pred`` filter
     prunes partitions before the scan.
+
+    ``optionals`` adds SPARQL OPTIONAL groups: each entry is itself a
+    pattern list, compiled like a BGP and LEFT-joined onto the required
+    bindings on the shared variables — variables bound only inside an
+    unmatched group come back NULL (exactly SPARQL's left-join
+    semantics for well-designed patterns; each group must share >= 1
+    variable with the required part, else it is rejected — an
+    unanchored OPTIONAL is a cartesian product). ``filters`` adds
+    SPARQL FILTER expressions as SQL strings over the variable columns
+    (e.g. ``"n >= 2"``), applied AFTER the optional joins like a
+    FILTER at group level; they stay JVM expressions via ``F.expr``.
+
+    A constant predicate ending in ``+`` is a SPARQL 1.1 property path
+    (one-or-more): that pattern scans the iterative-doubling transitive
+    closure of the single-predicate slice (``closure_rounds`` doubling
+    rounds cover paths of length 2**rounds; early-stops at fixpoint).
+    ``p*`` is rejected by omission — zero-length paths quantify over
+    the node universe, which a triple table does not define.
     """
     if not patterns:
         raise ValueError("bgp_match needs >= 1 pattern")
-    acc: DataFrame | None = None
-    bound: set[str] = set()
-    for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must be a (s, p, o) triple: {pat!r}")
-        cols = {}
-        flt = []
-        for term, col in zip(pat, (subj, pred, obj)):
-            if _is_var(term):
-                name = term[1:]
-                if not name:
-                    raise ValueError("empty variable name '?'")
-                if name in cols:
-                    # repeated variable within one pattern: equality
-                    flt.append(F.col(col) == F.col(cols[name]))
-                else:
-                    cols[name] = col
-            else:
-                flt.append(F.col(col) == F.lit(term))
-        scan = triples
-        for f in flt:
-            scan = scan.filter(f)
-        scan = scan.select(
-            *[F.col(c).alias(v) for v, c in sorted(cols.items())]
+    acc, bound = _compile_bgp(
+        triples, patterns, subj, pred, obj, closure_rounds
+    )
+    out_vars = set(bound)
+    for group in optionals or []:
+        if not group:
+            raise ValueError("empty OPTIONAL group")
+        opt, opt_bound = _compile_bgp(
+            triples, group, subj, pred, obj, closure_rounds
         )
-        if acc is None:
-            acc = scan
-        else:
-            keys = sorted(bound & set(cols))
-            if keys:
-                acc = acc.join(scan, keys)
-            else:
-                acc = acc.crossJoin(scan)
-        bound |= set(cols)
-    assert acc is not None
-    return acc.select(*sorted(bound))
+        keys = sorted(bound & opt_bound)
+        if not keys:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"patterns: {group!r}"
+            )
+        acc = acc.join(opt, keys, "left")
+        out_vars |= opt_bound
+        # later optionals may join on variables this group introduced
+        # (SPARQL evaluates OPTIONALs left to right against the
+        # accumulated solution mapping)
+        bound |= opt_bound
+    for f in filters or []:
+        acc = acc.filter(F.expr(f))
+    return acc.select(*sorted(out_vars))
