@@ -3131,6 +3131,74 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KG_CONSTRUCT_TEMPLATES = [
+    ("?a", "co_scans", "?c"),
+    ("?b", "scanned_by", "?a"),
+]
+
+
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (functions/kgquery.construct): derived triples
+    materialized from the bgp_optional bindings — ?a-co_scans->?c
+    skips the NULL-extended OPTIONAL rows (SPARQL drops incomplete
+    instantiations) while ?b-scanned_by->?a keeps them; the output is
+    itself a (subj, pred, obj) table ready to upsert back into the KG.
+    Oracle: the LEFT-JOIN bindings re-projected per template with the
+    same NULL guards."""
+    from renard_spark.functions.kgquery import bgp_match, construct
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        [BGP_OPT_EXTRA], "subj string, pred string, obj string"
+    )
+    bindings = bgp_match(
+        gt.unionByName(extra), BGP_OPT_REQUIRED, optionals=BGP_OPT_OPTIONAL
+    )
+    return construct(bindings, KG_CONSTRUCT_TEMPLATES)
+
+
+MIS_ROUNDS = 5
+MIS_SEED = "mis"
+
+
+def q_char_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's maximal independent set on the sparsified character
+    network (functions/graph.maximal_independent_set): deterministic
+    md5 round priorities make the parallel algorithm's every round —
+    winners, eliminations, convergence — reproducible cross-engine,
+    so the oracle unrolls the SAME rounds in SQL. MIS is the
+    conflict-free parallel-update scheduling primitive for KG
+    maintenance."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    return gmetrics.maximal_independent_set(
+        ge, max_rounds=MIS_ROUNDS, seed=MIS_SEED
+    )
+
+
+SNB_WINDOW, SNB_KEYPREFIX = 4, 24
+
+
+def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (functions/dedup.
+    sorted_neighborhood, Hernandez & Stolfo SIGMOD'95): normalized-
+    key global order via the two-phase rank, width-4 sliding window
+    pairs by delta-explode equi-join — the near-sorted-dirty-data
+    complement to the token/LSH/fingerprint blockers. Oracle: SQL
+    row_number order + rank-distance join."""
+    from renard_spark.functions.dedup import sorted_neighborhood
+
+    docs = _spread(_documents(spark, sf_dir))
+    return sorted_neighborhood(
+        docs, window=SNB_WINDOW, key_prefix=SNB_KEYPREFIX
+    )
+
+
 BGP_PATH_PATTERNS = [("?x", "scans+", "?y"), ("?y", "groups", "?z")]
 BGP_PATH_ROUNDS = 3  # doubling: covers scans-paths of length 8
 
@@ -4758,6 +4826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "bgp_paths": q_bgp_paths,
         "rdfs_types": q_rdfs_types,
+        "char_mis": q_char_mis,
+        "sorted_blocking": q_sorted_blocking,
+        "kg_construct": q_kg_construct,
         "nt_roundtrip": q_nt_roundtrip,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
@@ -5538,6 +5609,81 @@ SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
 FROM g p1 LEFT JOIN g p2 ON p2.s = p1.o
 WHERE p1.p = 'scans'
 """
+    # CONSTRUCT == per-template projection of the LEFT-JOIN bindings
+    # (NULL guards on referenced variables), distinct union
+    kgc_sql = rel_ctes + f""",
+g AS (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION
+  SELECT '{_ex_s}', '{_ex_p}', '{_ex_o}'
+),
+bind AS (
+  SELECT p1.s AS a, p1.o AS b, p2.o AS c
+  FROM g p1 LEFT JOIN g p2 ON p2.s = p1.o
+  WHERE p1.p = 'scans'
+)
+SELECT subj, pred, obj FROM (
+  SELECT a AS subj, 'co_scans' AS pred, c AS obj FROM bind
+  WHERE a IS NOT NULL AND c IS NOT NULL
+  UNION
+  SELECT b, 'scanned_by', a FROM bind
+  WHERE b IS NOT NULL AND a IS NOT NULL
+) u
+"""
+    # Luby MIS rounds unrolled — same md5 priorities as
+    # functions/graph.maximal_independent_set
+    mis_sql = kc_base + """,
+msym AS MATERIALIZED (SELECT a AS u, b AS v FROM c0
+                      UNION SELECT b, a FROM c0),
+mu0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM msym),
+mes0 AS MATERIALIZED (SELECT u, v FROM msym)"""
+    for i in range(MIS_ROUNDS):
+        mis_sql += f""",
+mp{i} AS MATERIALIZED (
+  SELECT node, md5('{MIS_SEED}:{i}:' || node) || node AS p FROM mu{i}
+),
+mnm{i} AS MATERIALIZED (
+  SELECT e.u AS node, min(p2.p) AS m
+  FROM mes{i} e JOIN mp{i} p2 ON p2.node = e.v GROUP BY e.u
+),
+mw{i} AS MATERIALIZED (
+  SELECT p.node FROM mp{i} p LEFT JOIN mnm{i} m ON m.node = p.node
+  WHERE m.m IS NULL OR p.p < m.m
+),
+mg{i} AS MATERIALIZED (
+  SELECT node FROM mw{i}
+  UNION
+  SELECT e.u FROM mes{i} e JOIN mw{i} w ON w.node = e.v
+),
+mu{i + 1} AS MATERIALIZED (
+  SELECT node FROM mu{i} WHERE node NOT IN (SELECT node FROM mg{i})
+),
+mes{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM mes{i} e
+  WHERE e.u NOT IN (SELECT node FROM mg{i})
+    AND e.v NOT IN (SELECT node FROM mg{i})
+)"""
+    mis_sql += f""",
+mall AS ({" UNION ".join(f"SELECT node FROM mw{i}" for i in range(MIS_ROUNDS))})
+SELECT n.node, (CASE WHEN a.node IS NULL THEN 0 ELSE 1 END)::INT AS in_mis
+FROM mu0 n LEFT JOIN mall a ON a.node = n.node
+"""
+    snb_sql = f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')),
+                1, {SNB_KEYPREFIX}) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, key,
+         row_number() OVER (ORDER BY key, doc_id) - 1 AS rnk
+  FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.key AS key_a, b.key AS key_b,
+       (b.rnk - a.rnk)::INT AS rank_dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk < a.rnk + {SNB_WINDOW}
+"""
     # property path `scans+` == unrolled doubling closure of the
     # scans slice, composed with the groups pattern on ?y
     bgppath_sql = rel_ctes + """,
@@ -6019,6 +6165,9 @@ FROM sym GROUP BY doc_id, node
         "bgp_optional": bgpopt_sql,
         "bgp_paths": bgppath_sql,
         "rdfs_types": rdfs_sql,
+        "char_mis": mis_sql,
+        "sorted_blocking": snb_sql,
+        "kg_construct": kgc_sql,
         "nt_roundtrip": nt_rt_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors

@@ -870,3 +870,80 @@ def blocking_quality(
             6,
         ).alias("reduction_ratio"),
     )
+
+
+def sorted_neighborhood(
+    docs: DataFrame,
+    window: int = 4,
+    key_prefix: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo, SIGMOD'95
+    — the merge/purge method; public algorithm): order records by a
+    normalized blocking key, slide a width-``window`` window over the
+    GLOBAL order, and emit every in-window pair as a candidate — the
+    classic complement to token / LSH / fingerprint blocking for
+    near-sorted dirty data (typo'd prefixes land adjacent where token
+    sets diverge).
+
+    The blocking key is the first ``key_prefix`` chars of the
+    lowercased alphanumeric-collapsed text (same normalization family
+    as fingerprints); ties order by ``id_col`` so the global order —
+    and therefore the candidate set — is total and engine-independent.
+
+    Scale shape: the global rank is the TWO-PHASE pattern
+    (operators/utils.global_running_total — range repartition,
+    per-partition window, broadcast offsets; never an empty-partitionBy
+    window), and the in-window pairing is ONE equi-join of the ranked
+    table against itself exploded by delta 1..window-1 — O(n*window)
+    candidate rows, no self-range-join, no sort on a single partition.
+
+    → (doc_a, doc_b, key_a, key_b, rank_dist) with rank(doc_a) <
+    rank(doc_b) and rank_dist = rank(doc_b) - rank(doc_a) < window.
+    """
+    from renard_spark.operators.utils import global_running_total
+
+    if window < 2:
+        raise ValueError("window must be >= 2 (else no pairs exist)")
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(
+            F.lower(F.regexp_replace(text_col, r"[^A-Za-z0-9]+", " ")),
+            1,
+            key_prefix,
+        ).alias("_key"),
+    ).localCheckpoint(eager=False)  # rank's range partitioner samples
+    ranked = global_running_total(
+        keyed.withColumn("_one", F.lit(1)),
+        "_one",
+        ["_key", "_id"],
+        out_col="_rank",
+    ).drop("_one")
+    ranked = ranked.localCheckpoint(eager=False)  # feeds both join sides
+    left = ranked.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_key").alias("key_a"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window - 1)),
+                lambda d: F.col("_rank") + d,
+            )
+        ).alias("_rank"),
+        (F.col("_rank")).alias("_ra"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_key").alias("key_b"),
+        "_rank",
+    )
+    return (
+        left.join(right, "_rank")
+        .select(
+            "doc_a",
+            "doc_b",
+            "key_a",
+            "key_b",
+            (F.col("_rank") - F.col("_ra")).cast("int").alias("rank_dist"),
+        )
+    )

@@ -1910,3 +1910,94 @@ def rich_club(
             / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
         ),
     )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 24,
+    seed: str = "mis",
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby, SIAM J.
+    Comput. 1986 — THE parallel MIS algorithm) → (node, in_mis):
+    no two in_mis=1 nodes are adjacent (independence) and every
+    in_mis=0 node has an in_mis=1 neighbor (maximality). MIS is the
+    scheduling primitive for conflict-free parallel KG updates: nodes
+    in the set can be merged/mutated simultaneously.
+
+    Per round every still-undecided node draws a DETERMINISTIC
+    priority md5(seed:round:node)||node (the appended node id makes
+    the order total, so ties cannot produce two adjacent winners and
+    the result is partition-layout-independent — unlike textbook
+    random draws); a node wins if its priority is strictly smaller
+    than every undecided neighbor's. Winners enter the set; winners'
+    neighbors are eliminated. Expected O(log n) rounds; each round is
+    two broadcast-free equi-joins + one map-side-combined min on the
+    SHRINKING undecided subgraph, lineage truncated per round.
+    Raises if max_rounds is hit with nodes still undecided (never
+    silently returns a partial set).
+    """
+    sym = (
+        symmetrize(edges, src, dst, weight=None)
+        .select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mis_parts: list[DataFrame] = []
+    for r in range(max_rounds):
+        n_und = und.count()
+        if n_und == 0:
+            break
+        pri = und.select(
+            "node",
+            F.concat(
+                F.md5(F.concat_ws(":", F.lit(seed), F.lit(r), F.col("node"))),
+                F.col("node"),
+            ).alias("_p"),
+        )
+        pu = pri.select(F.col("node").alias("u"), F.col("_p").alias("_pu"))
+        pv = pri.select(F.col("node").alias("v"), F.col("_p").alias("_pv"))
+        # edges of the undecided subgraph, with both priorities bound
+        e = sym.join(pu, "u").join(pv, "v")
+        nbr_min = e.groupBy("u").agg(F.min("_pv").alias("_m"))
+        winners = (
+            pri.join(nbr_min, pri["node"] == nbr_min["u"], "left")
+            .filter(F.col("_m").isNull() | (F.col("_p") < F.col("_m")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        # eliminate winners and their neighbors from the undecided set
+        wv = winners.select(F.col("node").alias("v"))
+        nbrs = sym.join(wv, "v").select(F.col("u").alias("node")).distinct()
+        gone = winners.unionByName(nbrs)
+        und = und.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        sym = (
+            sym.join(gone.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(gone.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if und.count() > 0:
+            raise RuntimeError(
+                f"Luby MIS did not converge in {max_rounds} rounds"
+            )
+    nodes = (
+        symmetrize(edges, src, dst, weight=None)
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    mis = mis_parts[0] if mis_parts else nodes.limit(0)
+    for p in mis_parts[1:]:
+        mis = mis.unionByName(p)
+    mis = mis.withColumn("in_mis", F.lit(1))
+    return nodes.join(mis, "node", "left").select(
+        "node", F.coalesce("in_mis", F.lit(0)).cast("int").alias("in_mis")
+    )

@@ -169,3 +169,49 @@ def bgp_match(
     for f in filters or []:
         acc = acc.filter(F.expr(f))
     return acc.select(*sorted(out_vars))
+
+
+def construct(
+    bindings: DataFrame,
+    templates: list[Pattern],
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate triple ``templates`` over a
+    binding table (one column per variable — bgp_match's output shape)
+    → a (subj, pred, obj) table of DERIVED triples, distinct. The
+    materialization step that closes the query loop: bgp_match finds
+    the structure, construct writes it back as new KG facts.
+
+    Template terms are variables (``?x`` → that binding column) or
+    constants (inlined literals). Rows where any referenced variable
+    is NULL are skipped for that template (SPARQL semantics: CONSTRUCT
+    drops incomplete instantiations — exactly the rows an OPTIONAL
+    left unbound). One narrow projection per template + a distinct;
+    no joins, no UDFs.
+    """
+    if not templates:
+        raise ValueError("construct needs >= 1 template")
+    out: DataFrame | None = None
+    for tpl in templates:
+        if len(tpl) != 3:
+            raise ValueError(f"template must be a (s, p, o) triple: {tpl!r}")
+        cols = []
+        guards = []
+        for term, name in zip(tpl, ("subj", "pred", "obj")):
+            if _is_var(term):
+                var = term[1:]
+                if var not in bindings.columns:
+                    raise ValueError(
+                        f"template variable ?{var} not in bindings "
+                        f"{bindings.columns}"
+                    )
+                cols.append(F.col(var).alias(name))
+                guards.append(F.col(var).isNotNull())
+            else:
+                cols.append(F.lit(term).alias(name))
+        t = bindings
+        for g in guards:
+            t = t.filter(g)
+        t = t.select(*cols)
+        out = t if out is None else out.unionByName(t)
+    assert out is not None
+    return out.distinct()

@@ -244,3 +244,123 @@ def test_parse_ntriples_terms_escapes_and_junk(spark):
     assert lit["obj"] == 'aA\U0001f600\U0001f600b\\"\n'
     # junk line surfaces as NULL kind, comments/blanks are gone
     assert None in by_kind and len(got) == 3
+
+
+def _random_edges(seed, n=30, p=0.15):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (f"n{i}", f"n{j}")
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < p
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_luby_mis_independent_and_maximal(spark, seed):
+    from renard_spark.functions.graph import maximal_independent_set
+
+    edges = _random_edges(seed)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    res = {r["node"]: r["in_mis"] for r in maximal_independent_set(df).collect()}
+    nodes = {u for e in edges for u in e}
+    assert set(res) == nodes
+    mis = {n for n, m in res.items() if m == 1}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # independence: no edge inside the set
+    assert all(not (u in mis and v in mis) for u, v in edges)
+    # maximality: every excluded node has a neighbor in the set
+    assert all(adj[n] & mis for n in nodes - mis)
+
+
+def test_luby_mis_deterministic_across_partitioning(spark):
+    from renard_spark.functions.graph import maximal_independent_set
+
+    edges = _random_edges(7, n=20, p=0.2)
+    a = spark.createDataFrame(edges, "src string, dst string")
+    b = a.repartition(13)
+    ra = sorted(map(tuple, maximal_independent_set(a).collect()))
+    rb = sorted(map(tuple, maximal_independent_set(b).collect()))
+    assert ra == rb
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from renard_spark.functions.dedup import sorted_neighborhood
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamm"),   # typo'd near-dup: adjacent keys
+        (3, "zebra xylophone"),
+        (4, "Alpha  beta?gamma"), # normalizes onto doc 1's key
+        (5, "middle of the road"),
+        (6, "middle of the roap"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, kp = 3, 24
+    got = {
+        (r["doc_a"], r["doc_b"], r["rank_dist"])
+        for r in sorted_neighborhood(df, window=w, key_prefix=kp).collect()
+    }
+
+    def key(t):
+        import re
+
+        return re.sub(r"[^A-Za-z0-9]+", " ", t).lower()[:kp]
+
+    order = sorted((key(t), i) for i, t in docs)
+    want = {
+        (order[i][1], order[j][1], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    }
+    assert got == want
+    # the typo'd near-dups must be candidates (the method's point)
+    assert any(a == 1 and b == 4 or a == 4 and b == 1 for a, b, _ in got) or \
+        any({a, b} == {1, 4} for a, b, _ in got)
+    assert any({a, b} == {5, 6} for a, b, _ in got)
+
+
+def test_sorted_neighborhood_window_guard(spark):
+    from renard_spark.functions.dedup import sorted_neighborhood
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood(df, window=1)
+
+
+def test_construct_templates_constants_and_null_skip(spark):
+    from renard_spark.functions.kgquery import construct
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    # OPTIONAL leaves z NULL for unmatched y — CONSTRUCT must skip
+    # those rows for z-referencing templates only
+    b = bgp_match(df, [("?x", "knows", "?y")], optionals=[[("?y", "likes", "?z")]])
+    out = construct(
+        b,
+        [("?x", "reaches", "?z"), ("?x", "seen", "marker")],
+    )
+    got = {tuple(r) for r in out.collect()}
+    want_reach = {
+        (x, "reaches", z)
+        for x, y, z in (tuple(r) for r in b.collect())
+        if z is not None
+    }
+    want_seen = {(x, "seen", "marker") for x, _, _ in (tuple(r) for r in b.collect())}
+    assert got == want_reach | want_seen
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_construct_errors(spark):
+    from renard_spark.functions.kgquery import construct
+
+    df = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    b = bgp_match(df, [("?x", "knows", "?y")])
+    with pytest.raises(ValueError):
+        construct(b, [])
+    with pytest.raises(ValueError):
+        construct(b, [("?x", "p", "?missing")])
