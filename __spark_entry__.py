@@ -3131,6 +3131,47 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path RECONSTRUCTION from the lexicographically-first
+    character (functions/graph.bfs_paths): per node the distance AND
+    the lex-min shortest path itself — the KG-explanation query ("how
+    are these entities connected"). min(struct(distance, path)) keeps
+    the relaxation monotone and the winner unique cross-engine; the
+    oracle unrolls the same rounds with DuckDB's struct min. Path
+    emitted '->'-joined (the gate hash covers the full sequence)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    source = ge.agg(F.min(F.least("src", "dst"))).first()[0]
+    out = gmetrics.bfs_paths(ge, source, iters=BFS_ROUNDS)
+    return out.select(
+        "node", "distance", F.array_join("path", "->").alias("path")
+    )
+
+
+TR_WINDOW, TR_DAMPING, TR_ITERS = 3, 0.85, 5
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TextRank keyword scores (functions/text.
+    textrank_scores, Mihalcea & Tarau 2004): PageRank over each doc's
+    token co-occurrence graph in ONE bulk-synchronous job — doc_id
+    rides every key, so 10^9 per-document graphs rank simultaneously
+    with no driver loop (the wl_refinement scope pattern). Oracle:
+    the same fixed rounds unrolled with doc_id carried through every
+    CTE."""
+    from renard_spark.functions.text import textrank_scores
+
+    docs = _spread(_documents(spark, sf_dir))
+    return textrank_scores(
+        docs, window=TR_WINDOW, damping=TR_DAMPING, iters=TR_ITERS
+    )
+
+
 KG_CONSTRUCT_TEMPLATES = [
     ("?a", "co_scans", "?c"),
     ("?b", "scanned_by", "?a"),
@@ -4829,6 +4870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_mis": q_char_mis,
         "sorted_blocking": q_sorted_blocking,
         "kg_construct": q_kg_construct,
+        "doc_keywords": q_doc_keywords,
+        "char_paths": q_char_paths,
         "nt_roundtrip": q_nt_roundtrip,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
@@ -5609,6 +5652,91 @@ SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
 FROM g p1 LEFT JOIN g p2 ON p2.s = p1.o
 WHERE p1.p = 'scans'
 """
+    # shortest-path reconstruction: same min(struct(d, path)) BFS
+    # relaxation as functions/graph.bfs_paths, rounds unrolled
+    pth_sql = kc_base + """,
+psym AS MATERIALIZED (SELECT a AS u, b AS v FROM c0
+                      UNION ALL SELECT b, a FROM c0),
+psrc AS (SELECT min(a) AS s0 FROM c0),
+ps0 AS MATERIALIZED (
+  SELECT s0 AS node, struct_pack(d := 0, p := [s0]) AS s FROM psrc
+)"""
+    for i in range(BFS_ROUNDS):
+        pth_sql += f""",
+ps{i + 1} AS MATERIALIZED (
+  SELECT node, min(s) AS s FROM (
+    SELECT node, s FROM ps{i}
+    UNION ALL
+    SELECT e.u AS node,
+           struct_pack(d := struct_extract(ps.s, 'd') + 1,
+                       p := list_append(struct_extract(ps.s, 'p'), e.u))
+             AS s
+    FROM psym e JOIN ps{i} ps ON ps.node = e.v
+  ) GROUP BY node
+)"""
+    pth_sql += f"""
+SELECT node, struct_extract(s, 'd')::BIGINT AS distance,
+       array_to_string(struct_extract(s, 'p'), '->') AS path
+FROM ps{BFS_ROUNDS}
+"""
+    # per-document TextRank rounds unrolled with doc_id in every key —
+    # same math as functions/text.textrank_scores
+    from renard_spark.functions.text import STOPWORDS_BY_LANG as _SBL
+
+    _tr_sw = sorted(
+        set([w for ws in _SBL.values() for w in ws] + list(STOPWORDS))
+    )
+    _tr_sw_sql = ", ".join(f"'{w}'" for w in _tr_sw)
+    trk_sql = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(
+           list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                          x -> lower(x)),
+           x -> NOT list_contains([{_tr_sw_sql}], x)) AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos, u.tok
+  FROM t, LATERAL (SELECT unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS i) u
+),
+pp AS (
+  SELECT a.doc_id, least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+  FROM g a JOIN g b ON b.doc_id = a.doc_id
+    AND b.pos > a.pos AND b.pos < a.pos + {TR_WINDOW}
+  WHERE a.tok <> b.tok
+),
+e0 AS (SELECT doc_id, t1, t2, count(*)::DOUBLE AS w
+       FROM pp GROUP BY doc_id, t1, t2),
+sym AS (SELECT doc_id, t1 AS u, t2 AS v, w FROM e0
+        UNION ALL SELECT doc_id, t2, t1, w FROM e0),
+ow AS (SELECT doc_id, u, sum(w) AS sw FROM sym GROUP BY doc_id, u),
+ep AS MATERIALIZED (
+  SELECT s.doc_id, s.u, s.v, s.w / o.sw AS p
+  FROM sym s JOIN ow o ON o.doc_id = s.doc_id AND o.u = s.u
+),
+nd AS (SELECT DISTINCT doc_id, u AS node FROM sym),
+nn AS MATERIALIZED (
+  SELECT doc_id, count(*)::DOUBLE AS c FROM nd GROUP BY doc_id
+),
+pr0 AS (
+  SELECT nd.doc_id, nd.node, 1.0 / nn.c AS r
+  FROM nd JOIN nn ON nn.doc_id = nd.doc_id
+)"""
+    for i in range(TR_ITERS):
+        trk_sql += f""",
+pr{i + 1} AS (
+  SELECT ep.doc_id, ep.v AS node,
+         (1.0 - {TR_DAMPING}) / nn.c
+           + {TR_DAMPING} * sum(pr{i}.r * ep.p) AS r
+  FROM ep
+  JOIN pr{i} ON pr{i}.doc_id = ep.doc_id AND pr{i}.node = ep.u
+  JOIN nn ON nn.doc_id = ep.doc_id
+  GROUP BY ep.doc_id, ep.v, nn.c
+)"""
+    trk_sql += f"""
+SELECT doc_id, node AS token, round(r, 6) AS score FROM pr{TR_ITERS}
+"""
     # CONSTRUCT == per-template projection of the LEFT-JOIN bindings
     # (NULL guards on referenced variables), distinct union
     kgc_sql = rel_ctes + f""",
@@ -6168,6 +6296,8 @@ FROM sym GROUP BY doc_id, node
         "char_mis": mis_sql,
         "sorted_blocking": snb_sql,
         "kg_construct": kgc_sql,
+        "doc_keywords": trk_sql,
+        "char_paths": pth_sql,
         "nt_roundtrip": nt_rt_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors

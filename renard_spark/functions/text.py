@@ -1108,3 +1108,120 @@ def fuzzy_alias_pairs(
         .filter(F.levenshtein("a", "b") <= max_dist)
     )
     return pairs
+
+
+def textrank_scores(
+    docs: DataFrame,
+    window: int = 3,
+    damping: float = 0.85,
+    iters: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TextRank keyword scores (Mihalcea & Tarau,
+    EMNLP 2004 — public algorithm): PageRank over each document's
+    token co-occurrence graph (lowercased non-stopword tokens, edges
+    between tokens within ``window`` positions, weight = co-occurrence
+    count), ``iters`` fixed power-iteration rounds at ``damping``.
+
+    The scale point is the SHAPE: the document id rides every key, so
+    ONE bulk-synchronous job ranks the keywords of 10^9 per-document
+    graphs simultaneously — no driver loop, no per-doc Python (the
+    same scope-carried pattern as wl_refinement). Pair generation is
+    array-local (narrow): each token's forward window partners come
+    from one flatten(transform(...)) over the token array, never a
+    positions self-join. Per round: ONE equi-join of the rank vector
+    onto the normalized edge list + one map-side-combined sum, lineage
+    truncated.
+
+    → (doc_id, token, score): every non-stopword token of every doc
+    with >= 2 distinct tokens, score rounded to 6 dp (the engines'
+    float sums agree well past that at per-doc graph sizes).
+    Single-token docs have no graph and are absent — callers wanting
+    them use a left join + coalesce.
+    """
+    sw = [w for ws in STOPWORDS_BY_LANG.values() for w in ws] + list(STOPWORDS)
+    toked = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.filter(
+            F.transform(_toks(text_col), lambda t: F.lower(t)),
+            lambda t: ~t.isin(*sw),
+        ).alias("_tk"),
+    )
+    n = F.size("_tk")
+    # forward-window pairs, generated inside the array (narrow):
+    # (tok[i], tok[i+d]) for d in 1..window-1, canonical min/max order
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(window - 1), n - i)
+                ),
+                lambda d: F.struct(
+                    F.least(
+                        F.element_at("_tk", i.cast("int")),
+                        F.element_at("_tk", (i + d).cast("int")),
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at("_tk", i.cast("int")),
+                        F.element_at("_tk", (i + d).cast("int")),
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    ed = (
+        toked.filter(n >= 2)
+        .select("_doc", F.explode(pairs).alias("_p"))
+        .select("_doc", F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("_doc", "a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v"), F.col("w")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v"), F.col("w")),
+    )
+    sym = ed.select("_doc", F.explode(both).alias("e")).select(
+        "_doc", "e.u", "e.v", "e.w"
+    )
+    ow = sym.groupBy("_doc", "u").agg(F.sum("w").alias("_sw"))
+    ep = (
+        sym.join(ow, ["_doc", "u"])
+        .select("_doc", "u", "v", (F.col("w") / F.col("_sw")).alias("p"))
+    )
+    nd = sym.select("_doc", F.col("u").alias("node")).distinct()
+    nn = nd.groupBy("_doc").agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # ep feeds every round, nn every round's teleport term — truncate
+    ep = ep.localCheckpoint(eager=True)
+    nn = nn.localCheckpoint(eager=True)
+    pr = nd.join(nn, "_doc").select(
+        "_doc", "node", (F.lit(1.0) / F.col("_n")).alias("r")
+    )
+    for _ in range(iters):
+        agg = (
+            ep.join(
+                pr.select("_doc", F.col("node").alias("u"), "r"),
+                ["_doc", "u"],
+            )
+            .groupBy("_doc", "v")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("_s"))
+        )
+        pr = (
+            agg.join(nn, "_doc")
+            .select(
+                "_doc",
+                F.col("v").alias("node"),
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.col("_s")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col("_doc").alias(id_col),
+        F.col("node").alias("token"),
+        F.round("r", 6).alias("score"),
+    )

@@ -364,3 +364,134 @@ def test_construct_errors(spark):
         construct(b, [])
     with pytest.raises(ValueError):
         construct(b, [("?x", "p", "?missing")])
+
+
+def test_textrank_matches_pure_python(spark):
+    from renard_spark.functions.text import (
+        STOPWORDS,
+        STOPWORDS_BY_LANG,
+        textrank_scores,
+    )
+    import re
+
+    # ASCII-equivalent of the engine's Java-regex TOKEN_RE (\p classes
+    # are Java-only; the fixture text is ASCII so the sets coincide)
+    TOKEN_RE = r"[A-Za-z0-9_']+|[^A-Za-z0-9_'\s]"
+
+    docs = [
+        (1, "Spark engines shuffle data; engines shuffle partitions fast."),
+        (2, "graph graph graph node"),
+        (3, "single"),
+        (4, "the and of"),  # all stopwords -> no graph
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w, d, iters = 3, 0.85, 5
+    got = {
+        (r["doc_id"], r["token"]): r["score"]
+        for r in textrank_scores(df, window=w, damping=d, iters=iters).collect()
+    }
+
+    sw = set(
+        [x for ws in STOPWORDS_BY_LANG.values() for x in ws] + list(STOPWORDS)
+    )
+    want = {}
+    for doc_id, text in docs:
+        toks = [t.lower() for t in re.findall(TOKEN_RE, text)]
+        toks = [t for t in toks if t not in sw]
+        if len(toks) < 2:
+            continue
+        edges = {}
+        for i in range(len(toks)):
+            for dd in range(1, w):
+                if i + dd >= len(toks):
+                    break
+                a, b = sorted((toks[i], toks[i + dd]))
+                if a != b:
+                    edges[(a, b)] = edges.get((a, b), 0) + 1
+        if not edges:
+            continue
+        sw_sum = {}
+        for (a, b), c in edges.items():
+            sw_sum[a] = sw_sum.get(a, 0) + c
+            sw_sum[b] = sw_sum.get(b, 0) + c
+        nodes = sorted(sw_sum)
+        n = len(nodes)
+        r = {x: 1.0 / n for x in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for x in nodes:
+                s = 0.0
+                for (a, b), c in edges.items():
+                    if b == x:
+                        s += r[a] * (c / sw_sum[a])
+                    if a == x:
+                        s += r[b] * (c / sw_sum[b])
+                nxt[x] = (1 - d) / n + d * s
+            r = nxt
+        for x in nodes:
+            want[(doc_id, x)] = round(r[x], 6)
+
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+    assert not any(doc == 3 or doc == 4 for doc, _ in got)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_bfs_paths_shortest_and_lexmin(spark, seed):
+    from renard_spark.functions.graph import bfs_paths
+
+    edges = _random_edges(seed, n=14, p=0.22)
+    if not edges:
+        pytest.skip("empty random graph")
+    df = spark.createDataFrame(edges, "src string, dst string")
+    source = min(u for e in edges for u in e)
+    got = {r["node"]: (r["distance"], r["path"]) for r in
+           bfs_paths(df, source, iters=10).collect()}
+
+    # pure-python reference: BFS distances, then enumerate ALL
+    # shortest paths per node and take the lexicographic min
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    from collections import deque
+
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        x = q.popleft()
+        for y in sorted(adj[x]):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+
+    best = {source: [source]}
+    for node in sorted(dist, key=lambda n: (dist[n], n)):
+        if node == source:
+            continue
+        cands = [
+            best[p] + [node]
+            for p in adj[node]
+            if p in dist and dist[p] == dist[node] - 1 and p in best
+        ]
+        best[node] = min(cands)
+    want = {n: (dist[n], best[n]) for n in dist}
+    assert {n: (d, list(p)) for n, (d, p) in got.items()} == want
+
+
+def test_bfs_paths_every_path_is_valid_walk(spark):
+    from renard_spark.functions.graph import bfs_paths
+
+    edges = [("s", "a"), ("a", "b"), ("s", "c"), ("c", "b"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    res = bfs_paths(df, "s", iters=6).collect()
+    eset = {frozenset(e) for e in edges}
+    for r in res:
+        p = r["path"]
+        assert p[0] == "s" and p[-1] == r["node"]
+        assert len(p) == r["distance"] + 1
+        assert all(frozenset((p[i], p[i + 1])) in eset for i in range(len(p) - 1))
+    # b has two shortest paths (s,a,b) and (s,c,b): lex-min wins
+    by = {r["node"]: list(r["path"]) for r in res}
+    assert by["b"] == ["s", "a", "b"]
