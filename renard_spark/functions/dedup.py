@@ -947,3 +947,117 @@ def sorted_neighborhood(
             (F.col("_rank") - F.col("_ra")).cast("int").alias("rank_dist"),
         )
     )
+
+
+FS_DEFAULT_MU = {
+    # (m, u) per field: P(agree | match), P(agree | non-match).
+    # Literal engine defaults — callers fit their own from labeled
+    # pairs; only the RATIOS enter the score.
+    "fp": (0.95, 0.001),
+    "len_band": (0.90, 0.20),
+    "jaccard": (0.85, 0.05),
+}
+
+
+def fellegi_sunter(
+    docs: DataFrame,
+    window: int = 4,
+    key_prefix: int = 24,
+    mu: dict[str, tuple[float, float]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scores (Fellegi &
+    Sunter, JASA 1969 — THE classical ER decision model; public) over
+    sorted-neighborhood candidate pairs → (doc_a, doc_b, agree_fp,
+    agree_len, agree_jac, fs_weight).
+
+    Each candidate pair gets an agreement vector on three document
+    comparators, every one exact integer arithmetic cross-engine:
+
+      * ``fp``      — normalized-fingerprint equality (the
+        text.fingerprints norm_fp key),
+      * ``len_band``— equality of floor(log2(len+1)) length bands
+        (integer bit-length, no float log),
+      * ``jaccard`` — distinct-token Jaccard >= 0.5, compared as
+        2*|A∩B| >= |A∪B| (integers — a float ratio could ulp-flip
+        membership cross-engine).
+
+    The match weight is the standard sum of per-field log-likelihood
+    ratios: agree_i contributes log2(m_i/u_i), disagree_i contributes
+    log2((1-m_i)/(1-u_i)) — with the log values computed DRIVER-side
+    from the (m, u) literals, so executors only add constants chosen
+    by a CASE on the agreement bit. Pairs above a caller-chosen
+    threshold are links; the weights are also the edge weights a
+    downstream CC merge consumes.
+
+    Scale shape: candidates come from ``sorted_neighborhood`` (O(n·w),
+    two-phase global rank — no self-range-join); per-doc features are
+    computed ONCE in a narrow projection and the pair table equi-joins
+    it twice on the doc id. No UDFs, no windows over data rows.
+    """
+    import math
+
+    mu = dict(FS_DEFAULT_MU, **(mu or {}))
+    cand = sorted_neighborhood(
+        docs, window=window, key_prefix=key_prefix,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    n_chars = F.length(text_col)
+    feats = docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(norm).alias("_fp"),
+        # floor(log2(len+1)) via exact integer bit length
+        (F.length(F.conv(n_chars + 1, 10, 2)) - 1).alias("_band"),
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    f"transform(split(lower({text_col}),"
+                    " '[^a-z0-9]+'), x -> x)"
+                )
+            )
+        ).alias("_toks"),
+    ).withColumn(
+        "_toks", F.filter("_toks", lambda x: x != "")
+    ).localCheckpoint(eager=False)
+
+    fa = feats.select(
+        F.col("_id").alias("doc_a"), F.col("_fp").alias("_fpa"),
+        F.col("_band").alias("_ba"), F.col("_toks").alias("_ta"),
+    )
+    fb = feats.select(
+        F.col("_id").alias("doc_b"), F.col("_fp").alias("_fpb"),
+        F.col("_band").alias("_bb"), F.col("_toks").alias("_tb"),
+    )
+    p = cand.join(fa, "doc_a").join(fb, "doc_b")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    agree_fp = (F.col("_fpa") == F.col("_fpb")).cast("long")
+    agree_len = (F.col("_ba") == F.col("_bb")).cast("long")
+    agree_jac = (
+        (union > 0) & (inter * 2 >= union)
+    ).cast("long")
+
+    def w(field: str, bit):
+        m, u = mu[field]
+        return F.when(
+            bit == 1, F.lit(math.log2(m / u))
+        ).otherwise(F.lit(math.log2((1 - m) / (1 - u))))
+
+    return p.select(
+        "doc_a", "doc_b",
+        agree_fp.alias("agree_fp"),
+        agree_len.alias("agree_len"),
+        agree_jac.alias("agree_jac"),
+    ).select(
+        "doc_a", "doc_b", "agree_fp", "agree_len", "agree_jac",
+        F.round(
+            w("fp", F.col("agree_fp"))
+            + w("len_band", F.col("agree_len"))
+            + w("jaccard", F.col("agree_jac")),
+            6,
+        ).alias("fs_weight"),
+    )

@@ -2071,3 +2071,269 @@ def bfs_paths(
     return state.select(
         "node", F.col("distance").cast("long").alias("distance"), "path"
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    hops: int = 3,
+    p: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate neighborhood function per node via propagated
+    HyperLogLog sketches (ANF: Palmer/Gibbons/Faloutsos KDD'02;
+    register propagation per HyperANF: Boldi/Rosa/Vigna WWW'11 —
+    public algorithms) → (node, hop, nf_est): the estimated number of
+    nodes within distance <= hop, for hop 0..``hops``.
+
+    THE web-scale graph-size primitive: effective diameter, ball
+    growth, and spid come straight off this table, and exact
+    all-pairs BFS is O(V·E) — unrunnable at 10^12 edges, while this is
+    ``hops`` rounds of (join + groupBy-max) over a V·2^p register
+    table.
+
+    Registers are the engine's deterministic HLL design
+    (functions/sketch.py): bucket = md5 mod m, rho = exact integer
+    bit-length leading-zero count — no float log, no seeds — so the
+    register table is bit-identical across engines AND across
+    parallelism levels. The max-merge is associative, so the
+    registers of node v at hop h equal the registers computed directly
+    over v's h-ball; the DuckDB oracle exploits exactly that (BFS
+    closure → direct registers) and thereby checks the propagation
+    algebra itself, not just the arithmetic. Estimate = the same
+    alpha·m²/Σ2^-rho + linear-counting small-range branch as
+    sketch.hll_estimate, rounded to 6 dp.
+
+    State is V·m register rows (m = 2^p; HyperANF runs p in 4..12 —
+    default 16 registers/node); each hop is ONE equi-join of the
+    register table onto the symmetric edge list + ONE map-side-
+    combined max, lineage-truncated. Per-hop estimates reuse the
+    lazily-checkpointed register table, so the sketch pass executes
+    once per hop, not once per consumer.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    sym = (
+        symmetrize(edges, src, dst, weight=None)
+        .select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    v32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("anfv:"), F.col("node"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    rho = F.when(v32 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(v32, 10, 2))
+    )
+    regs = nodes.select(
+        "node",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("anfb:"), F.col("node"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % m
+        ).alias("bucket"),
+        rho.alias("rho"),
+    ).localCheckpoint(eager=False)
+
+    def estimate(r: DataFrame, hop: int) -> DataFrame:
+        agg = r.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+            F.count("*").alias("nb"),
+        )
+        s_full = F.col("s") + (F.lit(m) - F.col("nb"))
+        raw = F.lit(alpha * m * m) / s_full
+        zeros = F.lit(m) - F.col("nb")
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return agg.select(
+            "node",
+            F.lit(hop).cast("long").alias("hop"),
+            F.round(est, 6).alias("nf_est"),
+        )
+
+    out = estimate(regs, 0)
+    for h in range(1, hops + 1):
+        nbr = sym.join(regs, sym["v"] == regs["node"]).select(
+            sym["u"].alias("node"), "bucket", "rho"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(estimate(regs, h))
+    return out
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 24,
+    seed: str = "jp",
+) -> DataFrame:
+    """Distributed greedy graph coloring (Jones & Plassmann, SIAM J.
+    Sci. Comput. 1993 — public algorithm) → (node, color) with no two
+    adjacent nodes sharing a color. Coloring is the conflict-free
+    SCHEDULING primitive one level up from MIS: color classes are
+    batches of KG entities that can be merged/updated concurrently,
+    and the number of rounds a color-class schedule needs equals the
+    number of colors, not the number of nodes.
+
+    Priorities are deterministic md5(seed:node)||node strings (total
+    order, partition-layout-independent — same design as
+    maximal_independent_set, but FIXED across rounds per Jones-
+    Plassmann). A node colors itself in the round where its priority
+    exceeds every still-uncolored neighbor's, taking the SMALLEST
+    color absent from its already-colored neighborhood — computed as
+    a narrow array expression over the collected neighbor-color set
+    (at most degree+1 candidates). Per round: ONE equi-join of the
+    color table onto the symmetric adjacency + ONE aggregation;
+    uncolored-neighbor priorities come from the same join (a
+    neighbor's priority is a hash of its id — no second join).
+    Expected O(log n / log log n) rounds on bounded-degree graphs;
+    raises if ``max_rounds`` is hit with nodes still uncolored.
+    Rounds past convergence are no-ops (the uncolored set is empty),
+    so a fixed-round oracle unroll lands on the identical table.
+    """
+    sym = (
+        symmetrize(edges, src, dst, weight=None)
+        .select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    def pri(col: str):
+        return F.concat(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(col))), F.col(col)
+        )
+
+    colors = nodes.filter(F.lit(False)).select(
+        "node", F.lit(0).alias("color")
+    ).localCheckpoint(eager=True)
+    un = nodes
+    for _ in range(max_rounds):
+        if un.count() == 0:
+            break
+        # adjacency of uncolored nodes, with neighbor color when the
+        # neighbor is already colored (NULL ⇒ neighbor still competes)
+        e = (
+            un.join(sym, un["node"] == sym["u"])
+            .join(
+                colors.select(
+                    F.col("node").alias("v"), F.col("color").alias("_vc")
+                ),
+                "v",
+                "left",
+            )
+            .select("node", "v", "_vc")
+        )
+        agg = e.groupBy("node").agg(
+            F.max(F.when(F.col("_vc").isNull(), pri("v"))).alias("_mx"),
+            F.sort_array(
+                F.collect_set(F.col("_vc"))
+            ).alias("_used"),
+        )
+        winners = (
+            un.join(agg, "node", "left")
+            .filter(F.col("_mx").isNull() | (pri("node") > F.col("_mx")))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        "filter(sequence(0, size(_used)),"
+                        " k -> NOT array_contains(_used, k))[0]"
+                    ),
+                    F.lit(0),
+                ).alias("color"),
+            )
+        )
+        colors = colors.unionByName(winners).localCheckpoint(eager=True)
+        un = un.join(colors, "node", "left_anti").localCheckpoint(eager=True)
+    else:
+        if un.count() > 0:
+            raise RuntimeError(
+                f"greedy_coloring did not converge in {max_rounds} rounds"
+            )
+    return colors.select("node", F.col("color").cast("long").alias("color"))
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), vol(V)−
+    vol(C)) over a weighted undirected graph → (community, n_nodes,
+    cut_w, vol_w, conductance). THE community-quality metric for
+    partition validation (Kannan/Vempala/Vetta JACM'04 — public):
+    low-conductance communities are the safe units for per-community
+    downstream jobs (local models, per-community materialization).
+
+    One pass: both endpoints of the symmetric edge list take their
+    community via two equi-joins, then vol(C) = Σ incident weight and
+    cut(C) = Σ weight to the other side come from ONE map-side-
+    combined aggregation. vol(V) is Σ_C vol(C) over the (community-
+    count-sized, lazily-checkpointed) aggregate itself — a broadcast
+    one-row join that cannot re-execute the corpus lineage. All sums
+    are exact (integer weights stay integral until the final
+    division, rounded to 6 dp).
+    """
+    lab = labels.select(
+        F.col(node).alias("_n"), F.col(label).alias("_l")
+    ).localCheckpoint(eager=False)
+    sym = symmetrize(edges, src, dst, weight)
+    lu = lab.select(F.col("_n").alias("u"), F.col("_l").alias("_lu"))
+    lv = lab.select(F.col("_n").alias("v"), F.col("_l").alias("_lv"))
+    e = sym.join(lu, "u").join(lv, "v")
+    comm = (
+        e.groupBy(F.col("_lu").alias("community"))
+        .agg(
+            F.sum("w").alias("vol_w"),
+            F.sum(F.when(F.col("_lu") != F.col("_lv"), F.col("w"))
+                  .otherwise(F.lit(0.0))).alias("cut_w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = lab.groupBy(F.col("_l").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    total = comm.agg(F.sum("vol_w").alias("_tot"))
+    return (
+        comm.join(sizes, "community")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("cut_w"),
+            F.col("vol_w"),
+            F.round(
+                F.when(
+                    F.least("vol_w", F.col("_tot") - F.col("vol_w")) > 0,
+                    F.col("cut_w")
+                    / F.least("vol_w", F.col("_tot") - F.col("vol_w")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("conductance"),
+        )
+    )

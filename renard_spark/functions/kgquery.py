@@ -103,6 +103,7 @@ def bgp_match(
     obj: str = "obj",
     optionals: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
+    minus: list[list[Pattern]] | None = None,
     closure_rounds: int = 8,
 ) -> DataFrame:
     """Match a basic graph pattern against a (subj, pred, obj) triple
@@ -135,6 +136,16 @@ def bgp_match(
     (e.g. ``"n >= 2"``), applied AFTER the optional joins like a
     FILTER at group level; they stay JVM expressions via ``F.expr``.
 
+    ``minus`` adds SPARQL MINUS groups, applied to the REQUIRED
+    bindings before the optional joins: each entry compiles like a BGP
+    and LEFT-ANTI-joins the accumulated solutions on the shared
+    variables — a solution is dropped when some minus-group solution
+    agrees with it on every shared variable (exactly SPARQL's MINUS
+    for groups that share variables; required-part variables are
+    always bound, so NULL-compatibility corner cases cannot arise). A
+    minus group sharing NO variable removes nothing per the SPARQL
+    spec — here that is rejected as almost certainly a query bug.
+
     A constant predicate ending in ``+`` is a SPARQL 1.1 property path
     (one-or-more): that pattern scans the iterative-doubling transitive
     closure of the single-predicate slice (``closure_rounds`` doubling
@@ -148,6 +159,19 @@ def bgp_match(
         triples, patterns, subj, pred, obj, closure_rounds
     )
     out_vars = set(bound)
+    for group in minus or []:
+        if not group:
+            raise ValueError("empty MINUS group")
+        neg, neg_bound = _compile_bgp(
+            triples, group, subj, pred, obj, closure_rounds
+        )
+        keys = sorted(bound & neg_bound)
+        if not keys:
+            raise ValueError(
+                "MINUS group shares no variable with the required "
+                f"patterns (a no-op per the SPARQL spec): {group!r}"
+            )
+        acc = acc.join(neg.select(*keys).distinct(), keys, "left_anti")
     for group in optionals or []:
         if not group:
             raise ValueError("empty OPTIONAL group")
@@ -169,6 +193,45 @@ def bgp_match(
     for f in filters or []:
         acc = acc.filter(F.expr(f))
     return acc.select(*sorted(out_vars))
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: list[list[Pattern]],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    closure_rounds: int = 8,
+) -> DataFrame:
+    """SPARQL UNION: each group compiles like a BGP (same variable /
+    constant / property-path rules as bgp_match), results are unioned
+    with NULL padding for variables a branch does not bind (SPARQL's
+    unbound-variable semantics), distinct under set semantics.
+
+    Output columns = the sorted union of every branch's variables.
+    Branches stay independent plans — each is its own scan chain with
+    its own pushed-down constants — and the union is a zero-shuffle
+    concatenation; the final distinct is the only wide operation.
+    """
+    if not groups or any(not g for g in groups):
+        raise ValueError("bgp_union needs >= 1 non-empty group")
+    compiled: list[tuple[DataFrame, set[str]]] = [
+        _compile_bgp(triples, g, subj, pred, obj, closure_rounds)
+        for g in groups
+    ]
+    all_vars = sorted(set().union(*(b for _, b in compiled)))
+    out: DataFrame | None = None
+    for df, bound in compiled:
+        padded = df.select(
+            *[
+                F.col(v) if v in bound
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ]
+        )
+        out = padded if out is None else out.unionByName(padded)
+    assert out is not None
+    return out.distinct()
 
 
 def construct(

@@ -74,3 +74,64 @@ def skew_stats(
         .orderBy(F.col("n").desc(), F.col("key_val").asc())
         .limit(k)
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 16,
+    out: str = "zkey",
+) -> DataFrame:
+    """Add a Z-order (Morton) interleaved key over two non-negative
+    integer dimensions → the multi-dimensional clustering key for
+    lakehouse data skipping (Iceberg/Delta OPTIMIZE ZORDER BY —
+    public technique; Morton 1966): sorting by ``zkey`` co-locates
+    rows close in BOTH dimensions, so min/max file statistics prune
+    scans filtered on either one.
+
+    Fully narrow, pure integer arithmetic: bit i of x lands at
+    position 2i, bit i of y at 2i+1, computed as a sum of
+    ``(x div 2^i mod 2) * 4^i`` terms with the powers inlined as
+    Python-side literal constants — no bit-shift builtins, so the
+    expression is portable to any ANSI engine (the DuckDB oracle uses
+    the same generated arithmetic) and every value is exact (bits <=
+    31 keeps 2*bits within long range). Inputs must already be
+    clamped to [0, 2^bits); values outside corrupt the interleave and
+    raise at runtime via the CASE guard.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    lim = 1 << bits
+    x, y = F.col(xcol).cast("long"), F.col(ycol).cast("long")
+    terms = []
+    for i in range(bits):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append((x / F.lit(p2)).cast("long") % 2 * F.lit(p4))
+        terms.append((y / F.lit(p2)).cast("long") % 2 * F.lit(2 * p4))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    guard = (
+        (x >= 0) & (x < lim) & (y >= 0) & (y < lim)
+    )
+    return df.withColumn(
+        out,
+        F.when(guard, z).otherwise(
+            F.raise_error(
+                F.lit(f"zorder_key input outside [0, {lim})")
+            ).cast("long")
+        ),
+    )
+
+
+def zorder_key_sql(xexpr: str, yexpr: str, bits: int = 16) -> str:
+    """The SAME generated Morton arithmetic as a SQL expression string
+    — shared by the DuckDB oracle so both engines compute the key
+    from one code path."""
+    terms = []
+    for i in range(bits):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append(f"(({xexpr}) // {p2} % 2) * {p4}")
+        terms.append(f"(({yexpr}) // {p2} % 2) * {2 * p4}")
+    return " + ".join(terms)

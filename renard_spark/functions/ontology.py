@@ -130,6 +130,200 @@ def rdfs_closure(
     )
 
 
+INVERSE_OF = "inverseOf"
+SYMMETRIC = "SymmetricProperty"
+TRANSITIVE = "TransitiveProperty"
+SAME_AS = "sameAs"
+
+
+def owl_closure(
+    facts: DataFrame,
+    schema: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    same_as: str = SAME_AS,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """OWL-lite property entailment + owl:sameAs entity
+    canonicalization of ``facts`` under ``schema`` → the closed,
+    CANONICALIZED (subj, pred, obj) table.
+
+    The rule fragment (the OWL RL property rules a KG-construction
+    pipeline actually needs — public semantics, W3C OWL 2 RL
+    prp-inv1/2, prp-symp, prp-trp, eq-rep-s/o):
+
+      * ``(p, inverseOf, q)``            : p(a,b) ⇔ q(b,a)
+      * ``(p, type, SymmetricProperty)`` : p(a,b) ⇒ p(b,a)
+      * ``(p, type, TransitiveProperty)``: p(a,b) ∧ p(b,c) ⇒ p(a,c)
+      * ``same_as`` facts                : equality classes; every
+        entity is rewritten to its class representative (min member)
+        and the same_as rows themselves are dropped from the output.
+
+    Evaluation STRATIFIES (same argument as rdfs_closure — no rule
+    derives new sameAs or schema triples from instance data):
+
+      0. sameAs canonicalization FIRST: connected components over the
+         sameAs slice (hash-to-min CC — sameAs's own symmetry and
+         transitivity are inherent to components), then both fact
+         endpoints rewrite through the (corpus-scale, therefore
+         EQUI-joined, never broadcast) canonical map. Rewriting before
+         closure is what lets p(a,b), p(b',c), sameAs(b,b') chain.
+      1. one flip pass: inverseOf (both directions) + symmetric.
+      2. per-transitive-predicate doubling closure with the PREDICATE
+         carried in the join key — one bulk job closes every
+         transitive property simultaneously; non-transitive facts
+         never enter the loop.
+      3. one more flip pass over the closed facts. This is a fixpoint:
+         flip(closure(p-slice)) == closure(flip(p-slice)) == the
+         q-closure stratum 2 already computed, so no new fact can
+         feed stratum 2 again (the naive-fixpoint pytest twin checks
+         exactly this argument).
+
+    Scale shape: the corpus-sized fact table crosses each stratum
+    once; iteration (CC rounds, doubling rounds) only ever touches the
+    sameAs slice / the transitive-predicate slice, both lineage-
+    truncated per round. ``max_rounds`` bounds the doubling (covers
+    path length 2**max_rounds) and the CC loop inherits
+    connected_components' fail-loud max_iter.
+    """
+    from renard_spark.operators.cc import connected_components
+
+    s, p, o = subj, pred, obj
+    sch = schema.select(
+        F.col(s).alias("_s"), F.col(p).alias("_p"), F.col(o).alias("_o")
+    ).localCheckpoint(eager=False)
+
+    # stratum 0: sameAs equality classes → canonical rewrite
+    sa = facts.filter(F.col(p) == same_as).select(
+        F.col(s).alias("src"), F.col(o).alias("dst")
+    )
+    canon = connected_components(sa).select(
+        F.col("vertex").alias("_alias"), F.col("component").alias("_canon")
+    )
+    base = facts.filter(F.col(p) != same_as)
+    cs = canon.select(
+        F.col("_alias").alias("_as"), F.col("_canon").alias("_cs")
+    )
+    co = canon.select(
+        F.col("_alias").alias("_ao"), F.col("_canon").alias("_co")
+    )
+    base = (
+        base.join(cs, base[s] == cs["_as"], "left")
+        .join(co, base[o] == co["_ao"], "left")
+        .select(
+            F.coalesce("_cs", F.col(s)).alias(s),
+            F.col(p),
+            F.coalesce("_co", F.col(o)).alias(o),
+        )
+    )
+
+    inv = sch.filter(F.col("_p") == INVERSE_OF).select("_s", "_o")
+    # both directions in one dimension table: p⇒q and q⇒p
+    inv2 = inv.unionByName(
+        inv.select(F.col("_o").alias("_s"), F.col("_s").alias("_o"))
+    ).distinct()
+    symp = sch.filter(
+        (F.col("_p") == TYPE) & (F.col("_o") == SYMMETRIC)
+    ).select(F.col("_s").alias("_sp"))
+    trp = sch.filter(
+        (F.col("_p") == TYPE) & (F.col("_o") == TRANSITIVE)
+    ).select(F.col("_s").alias("_tp"))
+
+    def flip(fs: DataFrame) -> DataFrame:
+        via_inv = fs.join(F.broadcast(inv2), fs[p] == inv2["_s"]).select(
+            F.col(o).alias(s), F.col("_o").alias(p), F.col(s).alias(o)
+        )
+        via_sym = fs.join(F.broadcast(symp), fs[p] == symp["_sp"]).select(
+            F.col(o).alias(s), F.col(p), F.col(s).alias(o)
+        )
+        return fs.unionByName(via_inv).unionByName(via_sym).distinct()
+
+    flipped = flip(base).localCheckpoint(eager=False)
+
+    # stratum 2: pred-keyed doubling closure of the transitive slice
+    t = flipped.join(
+        F.broadcast(trp), flipped[p] == trp["_tp"]
+    ).select(s, p, o).distinct().localCheckpoint(eager=True)
+    n = t.count()
+    for _ in range(max_rounds):
+        hop = t.select(F.col(p).alias("_hp"), F.col(s).alias("_m"),
+                       F.col(o).alias("_ho"))
+        ext = t.join(
+            hop, (t[p] == hop["_hp"]) & (t[o] == hop["_m"])
+        ).select(F.col(s), F.col(p), F.col("_ho").alias(o))
+        nxt = t.unionByName(ext).distinct().localCheckpoint(eager=True)
+        n2 = nxt.count()
+        t = nxt
+        if n2 == n:
+            break
+        n = n2
+
+    non_trans = flipped.join(
+        F.broadcast(trp), flipped[p] == trp["_tp"], "left_anti"
+    )
+    return flip(non_trans.unionByName(t)).distinct()
+
+
+def owl_closure_py(
+    facts: list[tuple[str, str, str]],
+    schema: list[tuple[str, str, str]],
+    same_as: str = SAME_AS,
+) -> set[tuple[str, str, str]]:
+    """Naive rule-loop fixpoint twin (pure Python) for pytest: applies
+    inverseOf / symmetric / transitive / sameAs-substitution rules
+    until closed, then rewrites every entity to the min member of its
+    sameAs class and drops the sameAs rows — agreement with
+    owl_closure checks the canonicalize-first stratification."""
+    out = set(facts)
+    inv: set[tuple[str, str]] = set()
+    for a, r, b in schema:
+        if r == INVERSE_OF:
+            inv.add((a, b))
+            inv.add((b, a))
+    sym = {a for a, r, b in schema if r == TYPE and b == SYMMETRIC}
+    trp = {a for a, r, b in schema if r == TYPE and b == TRANSITIVE}
+    changed = True
+    while changed:
+        changed = False
+        new: set[tuple[str, str, str]] = set()
+        fl = list(out)
+        for s1, p1, o1 in fl:
+            if p1 == same_as:
+                new.add((o1, same_as, s1))
+            for a, b in inv:
+                if p1 == a:
+                    new.add((o1, b, s1))
+            if p1 in sym:
+                new.add((o1, p1, s1))
+        for s1, p1, o1 in fl:
+            if p1 in trp or p1 == same_as:
+                for s2, p2, o2 in fl:
+                    if p2 == p1 and s2 == o1:
+                        new.add((s1, p1, o2))
+            if p1 == same_as:
+                # substitution: facts about s1 hold for o1 (both ways
+                # via the symmetry rule above)
+                for s2, p2, o2 in fl:
+                    if s2 == s1 and p2 != same_as:
+                        new.add((o1, p2, o2))
+                    if o2 == s1 and p2 != same_as:
+                        new.add((s2, p2, o1))
+        if not new <= out:
+            out |= new
+            changed = True
+    classes: dict[str, str] = {}
+    for s1, p1, o1 in out:
+        if p1 == same_as:
+            for x in (s1, o1):
+                classes[x] = min(classes.get(x, x), min(s1, o1))
+    return {
+        (classes.get(s1, s1), p1, classes.get(o1, o1))
+        for s1, p1, o1 in out
+        if p1 != same_as
+    }
+
+
 def rdfs_closure_py(
     facts: list[tuple[str, str, str]],
     schema: list[tuple[str, str, str]],
