@@ -3258,6 +3258,191 @@ def q_bgp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OWL_ROUNDS = 5  # doubling: covers transitive chains of length 32
+OWL_ALIAS, OWL_ALIAS2 = "omega_alias", "omega_alias_two"
+
+
+def q_owl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite entailment + owl:sameAs canonicalization (functions/
+    ontology.owl_closure, the W3C OWL 2 RL property fragment): the
+    corpus KG closed under inverseOf(scans, scanned_by),
+    groups:Symmetric and sorts:Transitive, with two injected alias
+    entities merged into a real character through a sameAs chain —
+    the rewrite happens BEFORE closure, so the alias's sorts fact
+    chains into the transitive stratum. Oracle: the same four strata
+    with the sameAs components and the doubling closure unrolled."""
+    from renard_spark.functions.ontology import (
+        INVERSE_OF, SAME_AS, SYMMETRIC, TRANSITIVE, TYPE, owl_closure,
+    )
+
+    gt = _relation_triples(spark, sf_dir)
+    row = gt.agg(
+        F.min(F.when(F.col("pred") == "scans", F.col("subj"))).alias("x"),
+        F.min(F.when(F.col("pred") == "sorts", F.col("obj"))).alias("y"),
+    ).first()
+    schema = spark.createDataFrame(
+        [
+            ("scans", INVERSE_OF, "scanned_by"),
+            ("groups", TYPE, SYMMETRIC),
+            ("sorts", TYPE, TRANSITIVE),
+        ],
+        "subj string, pred string, obj string",
+    )
+    extra = spark.createDataFrame(
+        [
+            (OWL_ALIAS, SAME_AS, row["x"]),
+            (OWL_ALIAS2, SAME_AS, OWL_ALIAS),
+            (OWL_ALIAS2, "sorts", row["y"]),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return owl_closure(
+        gt.unionByName(extra), schema, max_rounds=OWL_ROUNDS
+    )
+
+
+BGP_UNION_GROUPS = [
+    [("?a", "scans", "?b")],
+    [("?a", "groups", "?b"), ("?b", "sorts", "?c")],
+]
+
+
+def q_kg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (functions/kgquery.bgp_union): { ?a scans ?b }
+    UNION { ?a groups ?b . ?b sorts ?c } — the first branch does not
+    bind ?c, so its rows come back NULL-padded per SPARQL's unbound-
+    variable semantics; distinct set union across branches. Oracle:
+    two SQL SELECTs with an explicit NULL pad, UNION, DISTINCT."""
+    from renard_spark.functions.kgquery import bgp_union
+
+    return bgp_union(_relation_triples(spark, sf_dir), BGP_UNION_GROUPS)
+
+
+BGP_MINUS_REQUIRED = [("?a", "scans", "?b")]
+BGP_MINUS_GROUPS = [[("?b", "groups", "?c")]]
+
+
+def q_kg_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (functions/kgquery.bgp_match minus=): ?a scans ?b
+    MINUS { ?b groups ?c } — drops every solution whose ?b has any
+    outgoing groups edge (left-anti join on the shared variable). The
+    injected sink triple guarantees >= 1 surviving row on the near-
+    complete synthetic graph. Oracle: NOT EXISTS."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        [BGP_OPT_EXTRA], "subj string, pred string, obj string"
+    )
+    return bgp_match(
+        gt.unionByName(extra), BGP_MINUS_REQUIRED, minus=BGP_MINUS_GROUPS
+    )
+
+
+ANF_HOPS, ANF_P = 3, 4
+
+
+def q_char_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (functions/graph.
+    neighborhood_function — HyperANF register propagation,
+    Boldi/Rosa/Vigna WWW'11) on the sparsified character network:
+    per (node, hop) the HLL-estimated ball size for hop 0..3. The
+    deterministic md5 registers make the sketch bit-identical across
+    engines, and max-merge associativity means hop-h registers equal
+    the registers computed directly over the h-ball — the oracle
+    unrolls the BFS balls and computes the registers directly,
+    checking the propagation algebra itself."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    return gmetrics.neighborhood_function(ge, hops=ANF_HOPS, p=ANF_P)
+
+
+JP_ROUNDS = 12
+JP_SEED = "jp"
+
+
+def q_char_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (functions/graph.
+    greedy_coloring) of the sparsified character network: no two
+    adjacent characters share a color, priorities are fixed
+    deterministic md5(seed:node)||node strings, each winner takes the
+    smallest color absent from its colored neighborhood. Color
+    classes are the conflict-free parallel-update batches for KG
+    maintenance. Oracle: the same rounds unrolled (rounds past
+    convergence are no-ops in both engines)."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge)
+    return gmetrics.greedy_coloring(ge, max_rounds=JP_ROUNDS, seed=JP_SEED)
+
+
+def q_char_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (functions/graph.conductance,
+    Kannan/Vempala/Vetta JACM'04) of the char_communities LPA
+    partition on the same 1.03×-mean-sparsified weighted network:
+    cut / min(vol, total−vol) per community — the partition-quality
+    gate that decides whether communities are safe units for
+    per-community downstream jobs. Oracle: the unrolled LPA rounds +
+    one aggregation pass."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge, factor=1.03)
+    labels = gmetrics.label_propagation(ge, iters=LPA_ITERS)
+    return gmetrics.conductance(ge, labels)
+
+
+def q_fs_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (functions/dedup.
+    fellegi_sunter, Fellegi & Sunter JASA 1969) over the sorted-
+    neighborhood candidate pairs: per pair an exact-integer agreement
+    vector (fingerprint equality, log2 length band, integer-compared
+    Jaccard >= 0.5) and the summed log-likelihood match weight with
+    the per-field log constants folded driver-side. Oracle: the same
+    window pairs + feature joins with the weights inlined."""
+    from renard_spark.functions.dedup import fellegi_sunter
+
+    return fellegi_sunter(
+        _spread(_documents(spark, sf_dir)),
+        window=SNB_WINDOW,
+        key_prefix=SNB_KEYPREFIX,
+    )
+
+
+ZORDER_BITS = 16
+ZORDER_DIM = 1 << ZORDER_BITS
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order / Morton clustering keys (functions/maintenance.
+    zorder_key, the Iceberg/Delta OPTIMIZE ZORDER BY layout
+    technique) over two event dimensions: sorting by zkey co-locates
+    rows close in BOTH dimensions so min/max file stats prune scans
+    filtered on either. Pure generated integer arithmetic, shared
+    with the oracle via zorder_key_sql — one code path, two
+    engines."""
+    from renard_spark.functions.maintenance import zorder_key
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % ZORDER_DIM).alias("x"),
+        (F.col("user_id") % ZORDER_DIM).alias("y"),
+    )
+    return zorder_key(ev, "x", "y", bits=ZORDER_BITS)
+
+
 def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF interchange ROUNDTRIP: the corpus KG serialized to
     N-Triples lines (io/ntriples.triples_to_ntriples) and read back by
@@ -4873,6 +5058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "char_paths": q_char_paths,
         "nt_roundtrip": q_nt_roundtrip,
+        "owl_types": q_owl_types,
+        "kg_union": q_kg_union,
+        "kg_minus": q_kg_minus,
+        "char_anf": q_char_anf,
+        "char_coloring": q_char_coloring,
+        "char_conductance": q_char_conductance,
+        "fs_links": q_fs_links,
+        "zorder_keys": q_zorder_keys,
         "char_linkpred": q_char_linkpred,
         "char_walks": q_char_walks,
         "char_walk_pairs": q_char_walk_pairs,
@@ -5881,6 +6074,270 @@ SELECT DISTINCT least(t1, t2) AS subj, 'interacts_with' AS pred,
        greatest(t1, t2) AS obj
 FROM pairs WHERE t1 <> t2
 """
+    # OWL-lite strata unrolled: sameAs min-propagation components →
+    # canonical rewrite → flip (inverse + symmetric) → per-predicate
+    # doubling closure of the transitive slice → final flip. Same
+    # math as functions/ontology.owl_closure.
+    owl_sql = rel_ctes + f""",
+g AS MATERIALIZED (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+f0 AS MATERIALIZED (
+  SELECT s, p, o FROM g
+  UNION SELECT '{OWL_ALIAS}', 'sameAs',
+               (SELECT min(s) FROM g WHERE p = 'scans')
+  UNION SELECT '{OWL_ALIAS2}', 'sameAs', '{OWL_ALIAS}'
+  UNION SELECT '{OWL_ALIAS2}', 'sorts',
+               (SELECT min(o) FROM g WHERE p = 'sorts')
+),
+sa AS (SELECT s AS a, o AS b FROM f0 WHERE p = 'sameAs'),
+ssym AS (SELECT a AS u, b AS v FROM sa UNION SELECT b, a FROM sa),
+cl0 AS (SELECT DISTINCT u AS node, u AS lab FROM ssym)"""
+    for i in range(3):
+        owl_sql += f""",
+cl{i + 1} AS (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM cl{i}
+    UNION ALL
+    SELECT s.u AS node, c.lab FROM ssym s JOIN cl{i} c ON c.node = s.v
+  ) GROUP BY node
+)"""
+    owl_sql += """,
+canon AS MATERIALIZED (SELECT node, lab AS cn FROM cl3),
+ob AS MATERIALIZED (
+  SELECT coalesce(cs.cn, f.s) AS s, f.p, coalesce(co.cn, f.o) AS o
+  FROM f0 f
+  LEFT JOIN canon cs ON cs.node = f.s
+  LEFT JOIN canon co ON co.node = f.o
+  WHERE f.p <> 'sameAs'
+),
+fl1 AS MATERIALIZED (
+  SELECT s, p, o FROM ob
+  UNION SELECT o, 'scanned_by', s FROM ob WHERE p = 'scans'
+  UNION SELECT o, 'scans', s FROM ob WHERE p = 'scanned_by'
+  UNION SELECT o, 'groups', s FROM ob WHERE p = 'groups'
+),
+ot0 AS MATERIALIZED (SELECT s, o FROM fl1 WHERE p = 'sorts')"""
+    for i in range(OWL_ROUNDS):
+        owl_sql += f""",
+ot{i + 1} AS MATERIALIZED (
+  SELECT s, o FROM ot{i}
+  UNION
+  SELECT p1.s, p2.o FROM ot{i} p1 JOIN ot{i} p2 ON p2.s = p1.o
+)"""
+    owl_sql += f""",
+om AS MATERIALIZED (
+  SELECT s, p, o FROM fl1 WHERE p <> 'sorts'
+  UNION SELECT s, 'sorts', o FROM ot{OWL_ROUNDS}
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT s AS subj, p AS pred, o AS obj FROM om
+  UNION SELECT o, 'scanned_by', s FROM om WHERE p = 'scans'
+  UNION SELECT o, 'scans', s FROM om WHERE p = 'scanned_by'
+  UNION SELECT o, 'groups', s FROM om WHERE p = 'groups'
+) u
+"""
+    # SPARQL UNION: NULL pad for the branch-unbound variable
+    kgu_sql = rel_ctes + """,
+g AS MATERIALIZED (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT DISTINCT a, b, c FROM (
+  SELECT s AS a, o AS b, CAST(NULL AS VARCHAR) AS c FROM g
+  WHERE p = 'scans'
+  UNION ALL
+  SELECT g1.s, g1.o, g2.o FROM g g1 JOIN g g2 ON g2.s = g1.o
+  WHERE g1.p = 'groups' AND g2.p = 'sorts'
+) u
+"""
+    # SPARQL MINUS == NOT EXISTS on the shared variable
+    _mx_s, _mx_p, _mx_o = BGP_OPT_EXTRA
+    kgm_sql = rel_ctes + f""",
+g AS MATERIALIZED (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION
+  SELECT '{_mx_s}', '{_mx_p}', '{_mx_o}'
+)
+SELECT p1.s AS a, p1.o AS b FROM g p1
+WHERE p1.p = 'scans'
+  AND NOT EXISTS (
+    SELECT 1 FROM g p2 WHERE p2.p = 'groups' AND p2.s = p1.o)
+"""
+    # HyperANF oracle: unrolled BFS balls + DIRECT register
+    # computation per ball (max-merge associativity makes them equal
+    # to the propagated registers), then the same HLL estimate
+    _anf_m = 1 << ANF_P
+    _anf_alpha = 0.7213 / (1 + 1.079 / _anf_m)
+    _anf_a2 = repr(_anf_alpha * _anf_m * _anf_m)
+    anf_sql = kc_base + """,
+asym AS MATERIALIZED (SELECT a AS u, b AS v FROM c0
+                      UNION SELECT b, a FROM c0),
+anodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM asym),
+areg AS MATERIALIZED (
+  SELECT node,
+         ('0x' || substr(md5('anfb:' || node), 1, 8))::BIGINT
+           % """ + str(_anf_m) + """ AS bucket,
+         CASE WHEN v32 = 0 THEN 33
+              ELSE 33 - length(bin(v32)) END AS rho
+  FROM (SELECT node,
+               ('0x' || substr(md5('anfv:' || node), 1, 8))::BIGINT
+                 AS v32
+        FROM anodes)
+),
+an0 AS MATERIALIZED (SELECT node AS source, node AS member FROM anodes)"""
+    for i in range(ANF_HOPS):
+        anf_sql += f""",
+an{i + 1} AS MATERIALIZED (
+  SELECT source, member FROM an{i}
+  UNION
+  SELECT a.source, s.u AS member
+  FROM asym s JOIN an{i} a ON a.member = s.v
+)"""
+    _anf_hops_sql = []
+    for h in range(ANF_HOPS + 1):
+        _anf_hops_sql.append(f"""
+  SELECT node, {h}::BIGINT AS hop,
+         round(CASE WHEN raw <= {2.5 * _anf_m} AND zeros > 0
+                    THEN {float(_anf_m)} * ln({float(_anf_m)} / zeros)
+                    ELSE raw END, 6) AS nf_est
+  FROM (
+    SELECT node, {_anf_a2} / (s2 + ({_anf_m} - nb)) AS raw,
+           {_anf_m} - nb AS zeros
+    FROM (
+      SELECT node, sum(pow(2.0, -rho)) AS s2, count(*) AS nb
+      FROM (
+        SELECT b.source AS node, r.bucket, max(r.rho) AS rho
+        FROM an{h} b JOIN areg r ON r.node = b.member
+        GROUP BY b.source, r.bucket
+      ) GROUP BY node
+    )
+  )""")
+    anf_sql += "\n" + "\n  UNION ALL".join(_anf_hops_sql) + "\n"
+    # Jones-Plassmann rounds unrolled: fixed md5 priorities, winner =
+    # priority above every uncolored neighbor, color = smallest absent
+    jp_sql = kc_base + f""",
+jsym AS MATERIALIZED (SELECT a AS u, b AS v FROM c0
+                      UNION SELECT b, a FROM c0),
+jun0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM jsym),
+jc0 AS MATERIALIZED (
+  SELECT node, 0::BIGINT AS color FROM jun0 WHERE FALSE)"""
+    for i in range(JP_ROUNDS):
+        jp_sql += f""",
+ja{i} AS MATERIALIZED (
+  SELECT u.node,
+         max(CASE WHEN c.color IS NULL
+                  THEN md5('{JP_SEED}:' || s.v) || s.v END) AS mx,
+         coalesce(list_sort(list_distinct(
+           list(c.color) FILTER (WHERE c.color IS NOT NULL))),
+           []::BIGINT[]) AS used
+  FROM jun{i} u
+  JOIN jsym s ON s.u = u.node
+  LEFT JOIN jc{i} c ON c.node = s.v
+  GROUP BY u.node
+),
+jw{i} AS MATERIALIZED (
+  SELECT node,
+         coalesce(list_filter(range(0, len(used) + 1),
+                              k -> NOT list_contains(used, k))[1],
+                  0)::BIGINT AS color
+  FROM ja{i}
+  WHERE mx IS NULL OR (md5('{JP_SEED}:' || node) || node) > mx
+),
+jc{i + 1} AS MATERIALIZED (
+  SELECT node, color FROM jc{i} UNION ALL SELECT node, color FROM jw{i}
+),
+jun{i + 1} AS MATERIALIZED (
+  SELECT node FROM jun{i}
+  WHERE node NOT IN (SELECT node FROM jw{i}))"""
+    jp_sql += f"""
+SELECT node, color FROM jc{JP_ROUNDS}
+"""
+    # conductance of the unrolled-LPA partition on the same weighted
+    # sparsified graph: one aggregation pass, exact integer sums
+    cond_sql = lpa_base + f""",
+clab AS MATERIALIZED (SELECT node, label FROM l{LPA_ITERS}),
+cagg AS (
+  SELECT lu.label AS community, sum(s.w) AS vol_w,
+         sum(CASE WHEN lu.label <> lv.label THEN s.w ELSE 0 END)
+           AS cut_w
+  FROM sym s
+  JOIN clab lu ON lu.node = s.u
+  JOIN clab lv ON lv.node = s.v
+  GROUP BY lu.label
+),
+csz AS (SELECT label AS community, count(*)::BIGINT AS n_nodes
+        FROM clab GROUP BY label),
+ctot AS (SELECT sum(vol_w) AS tot FROM cagg)
+SELECT c.community, z.n_nodes, c.cut_w, c.vol_w,
+       round(CASE WHEN least(c.vol_w, t.tot - c.vol_w) > 0
+                  THEN c.cut_w / least(c.vol_w, t.tot - c.vol_w)
+                  ELSE 0.0 END, 6) AS conductance
+FROM cagg c JOIN csz z USING (community) CROSS JOIN ctot t
+"""
+    # Fellegi-Sunter: sorted-neighborhood pairs + exact-integer
+    # agreement vector + driver-inlined log-likelihood constants
+    import math as _math
+    from renard_spark.functions.dedup import FS_DEFAULT_MU as _FS_MU
+
+    def _fs_w(field: str) -> tuple[str, str]:
+        m_, u_ = _FS_MU[field]
+        return repr(_math.log2(m_ / u_)), repr(
+            _math.log2((1 - m_) / (1 - u_))
+        )
+
+    _fp1, _fp0 = _fs_w("fp")
+    _lb1, _lb0 = _fs_w("len_band")
+    _jc1, _jc0 = _fs_w("jaccard")
+    fs_sql = f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')),
+                1, {SNB_KEYPREFIX}) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS rnk
+  FROM k
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk < a.rnk + {SNB_WINDOW}
+), feats AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         length(bin(length(text) + 1)) - 1 AS band,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS toks
+  FROM documents
+), p AS (
+  SELECT c.doc_a, c.doc_b,
+         (fa.fp = fb.fp)::BIGINT AS agree_fp,
+         (fa.band = fb.band)::BIGINT AS agree_len,
+         (len(fa.toks) + len(fb.toks)
+            - len(list_intersect(fa.toks, fb.toks)) > 0
+          AND 2 * len(list_intersect(fa.toks, fb.toks))
+            >= len(fa.toks) + len(fb.toks)
+               - len(list_intersect(fa.toks, fb.toks)))::BIGINT
+           AS agree_jac
+  FROM cand c
+  JOIN feats fa ON fa.id = c.doc_a
+  JOIN feats fb ON fb.id = c.doc_b
+)
+SELECT doc_a, doc_b, agree_fp, agree_len, agree_jac,
+       round((CASE WHEN agree_fp = 1 THEN {_fp1} ELSE {_fp0} END)
+           + (CASE WHEN agree_len = 1 THEN {_lb1} ELSE {_lb0} END)
+           + (CASE WHEN agree_jac = 1 THEN {_jc1} ELSE {_jc0} END), 6)
+         AS fs_weight
+FROM p
+"""
+    # Z-order keys from the SAME generated Morton arithmetic
+    from renard_spark.functions.maintenance import zorder_key_sql as _zk
+
+    zorder_sql = f"""
+WITH b AS (
+  SELECT event_id, event_id % {ZORDER_DIM} AS x,
+         user_id % {ZORDER_DIM} AS y
+  FROM events
+)
+SELECT event_id, x, y,
+       ({_zk("x", "y", ZORDER_BITS)})::BIGINT AS zkey
+FROM b
+"""
     # degree assortativity on the avg-sparsified (factor 1.0) graph:
     # integer sums (exact), one float division at the end
     as_sql = kc_base + """,
@@ -6299,6 +6756,14 @@ FROM sym GROUP BY doc_id, node
         "doc_keywords": trk_sql,
         "char_paths": pth_sql,
         "nt_roundtrip": nt_rt_sql,
+        "owl_types": owl_sql,
+        "kg_union": kgu_sql,
+        "kg_minus": kgm_sql,
+        "char_anf": anf_sql,
+        "char_coloring": jp_sql,
+        "char_conductance": cond_sql,
+        "fs_links": fs_sql,
+        "zorder_keys": zorder_sql,
         # same cents/assign head as _ORACLE_IVF (nprobe=1 cells), then
         # the within-cell a>b pair join + min-id dup_of — mirrors
         # functions/similarity.semantic_dedup

@@ -26,10 +26,13 @@ TABLES = [
 
 def norm(df):
     df = df[sorted(df.columns)]
-    return sorted(
+    rows = [
         tuple(None if v != v else v for v in row) if any(isinstance(v, float) for v in row) else tuple(row)
         for row in df.itertuples(index=False, name=None)
-    )
+    ]
+    # NULL-safe sort: None sorts before any value (NULL-padded columns
+    # from SPARQL UNION / OPTIONAL are legitimate result values)
+    return sorted(rows, key=lambda r: tuple((v is not None, v) for v in r))
 
 
 def main():
