@@ -4938,6 +4938,168 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed(assign, "sys_id", "gold_id", key_cols=("doc_id",))
 
 
+KG_SELECT_VALUES = (["?r"], [("scans",), ("sorts",)])
+KG_SELECT_LIMIT = 25
+
+
+def q_kg_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 SELECT solution modifiers (functions/kgquery.
+    select_solutions): VALUES inline-data restriction, GROUP BY +
+    COUNT/COUNT DISTINCT/GROUP_CONCAT/SAMPLE aggregates, HAVING,
+    ORDER BY, LIMIT — the reporting layer over bgp_match bindings.
+    The VALUES block broadcast-joins (constant-size by construction),
+    the aggregates are all partial-aggregable (one shuffle), and
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k, no global sort). Ties cannot occur in the (n DESC, a) order
+    because ?a is the group key, so LIMIT is deterministic
+    cross-engine. Oracle: the same query in plain SQL."""
+    from renard_spark.functions.kgquery import bgp_match, select_solutions
+
+    b = bgp_match(_relation_triples(spark, sf_dir), [("?a", "?r", "?b")])
+    return select_solutions(
+        b,
+        values=KG_SELECT_VALUES,
+        group_by=["?a"],
+        aggregates=[
+            ("count", "*", "n"),
+            ("count_distinct", "?b", "partners"),
+            ("group_concat", "?r", "rels"),
+            ("sample", "?b", "first_partner"),
+        ],
+        having=["n >= 2"],
+        order_by=["DESC(n)", "?a"],
+        limit=KG_SELECT_LIMIT,
+    )
+
+
+KANON_BAND = 2000
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit (functions/profile.
+    k_anonymity — Sweeney 2002, Machanavajjhala 2006) on the customer
+    table: equivalence classes over (market segment, nation, account-
+    balance band) with class size k, l = distinct name values, and
+    the 1/k re-identification risk — the release gate a curation
+    pipeline runs before publishing quasi-identifiable rows. ONE hash
+    aggregation, output one row per class. Oracle: the same GROUP BY."""
+    from renard_spark.functions.profile import k_anonymity
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    qdf = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / KANON_BAND).cast("long").alias(
+            "acct_band"
+        ),
+        "c_name",
+    )
+    return k_anonymity(
+        qdf, ["c_mktsegment", "c_nationkey", "acct_band"], sensitive="c_name"
+    )
+
+
+CONTAIN_W, CONTAIN_T, CONTAIN_MAXDF = 3, 0.5, 64
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs (functions/dedup.
+    containment_pairs, Broder '97 "roughly contained"): C(A,B) =
+    |A∩B|/|A| over df-capped 3-token shingles — catches a document
+    embedded in a larger one, which Jaccard LSH structurally misses
+    (tiny Jaccard, containment ~1). Candidates from the inverted
+    shingle index with the document-frequency cap bounding per-shingle
+    fanout; the cap defines the vocabulary for numerator AND
+    denominator, so the scores are exact over the capped set and
+    cross-engine stable. Oracle: the same inverted-index join in SQL."""
+    from renard_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _spread(_documents(spark, sf_dir)),
+        w=CONTAIN_W, threshold=CONTAIN_T, max_df=CONTAIN_MAXDF,
+    )
+
+
+def q_char_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization — the materialized per-character profile
+    page of the KG: mention count, document spread, corpus-graph
+    degree/strength, and the top-3 interaction partners by weight
+    ('|'-joined, weight-desc then name-asc so the string is
+    deterministic). Top-k per node comes from sort_array over a
+    collect_list of (-w, partner) structs — ONE aggregation, no
+    window; isolated characters keep a row via the left join with
+    zero/empty profile fields. Oracle: the same stats with a
+    row_number window for the top-3."""
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mstats = unified.groupBy(F.col("char_id").alias("node")).agg(
+        F.count(F.lit(1)).alias("mentions"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    sym = ge.select(
+        F.col("src").alias("node"), F.col("dst").alias("p"), "w"
+    ).unionByName(
+        ge.select(F.col("dst").alias("node"), F.col("src").alias("p"), "w")
+    )
+    gstats = sym.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("strength"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("w")).alias("nw"),
+                                F.col("p").alias("p"),
+                            )
+                        )
+                    ),
+                    1, 3,
+                ),
+                lambda s: s["p"],
+            ),
+            "|",
+        ).alias("top_partners"),
+    )
+    return mstats.join(gstats, "node", "left").select(
+        "node", "mentions", "docs",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("top_partners", F.lit("")).alias("top_partners"),
+    )
+
+
+def q_er_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage operating-point sweep (functions/dedup.
+    threshold_sweep): P/R/F1 at every distinct Fellegi-Sunter match
+    weight, with recall measured END-TO-END against the full-universe
+    gold count (fingerprint-equal pairs via Σ n·(n-1)/2 over
+    fingerprint groups — counted WITHOUT enumerating pairs), so
+    blocking misses show up as recall loss. The FS scorer has <= 2^3
+    distinct weights, so the sweep table is 8 rows; cumulative counts
+    run through the two-phase global rank (never a single-partition
+    window). Oracle: the fs_links pair SQL + a windowed cumulative."""
+    from renard_spark.functions.dedup import fellegi_sunter, threshold_sweep
+
+    docs = _spread(_documents(spark, sf_dir))
+    scored = fellegi_sunter(
+        docs, window=SNB_WINDOW, key_prefix=SNB_KEYPREFIX
+    )
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    total = (
+        docs.select(norm.alias("fp"))
+        .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("t"))
+        .first()[0]
+    )
+    return threshold_sweep(
+        scored, "fs_weight", "agree_fp", total_positives=int(total)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5124,6 +5286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "kg_shacl": q_kg_shacl,
         "er_bcubed": q_er_bcubed,
+        "kg_select": q_kg_select,
+        "k_anonymity": q_k_anonymity,
+        "containment_dups": q_containment_dups,
+        "char_profiles": q_char_profiles,
+        "er_sweep": q_er_sweep,
     }
 
 
@@ -9103,5 +9270,134 @@ SELECT n::BIGINT AS n_items,
        round(2 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6)
          AS bcubed_f1
 FROM s
+"""
+    # SPARQL SELECT modifiers: VALUES restriction + grouped aggregates
+    # + HAVING + deterministic ORDER/LIMIT ((n DESC, a) is a total
+    # order because a is the group key)
+    _vals_sql = ", ".join(f"'{r[0]}'" for r in KG_SELECT_VALUES[1])
+    out["kg_select"] = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT s AS a, count(*)::BIGINT AS n,
+       count(DISTINCT o)::BIGINT AS partners,
+       string_agg(p, ' ' ORDER BY p) AS rels,
+       min(o) AS first_partner
+FROM g WHERE p IN ({_vals_sql})
+GROUP BY s HAVING count(*) >= 2
+ORDER BY n DESC, a LIMIT {KG_SELECT_LIMIT}
+"""
+    out["k_anonymity"] = f"""
+SELECT c_mktsegment, c_nationkey,
+       floor(c_acctbal / {KANON_BAND})::BIGINT AS acct_band,
+       count(*)::BIGINT AS k,
+       count(DISTINCT c_name)::BIGINT AS l,
+       round(1.0 / count(*), 6) AS risk
+FROM customer GROUP BY 1, 2, 3
+"""
+    # containment over df-capped shingles: the cap defines the
+    # vocabulary for numerator AND denominators (exact semantics over
+    # the capped set); thresholds compare the ROUNDED scores on both
+    # engines so the boundary cannot ulp-flip
+    out["containment_dups"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, CASE WHEN len(tk) >= {CONTAIN_W}
+    THEN list_transform(range(1, len(tk) - {CONTAIN_W - 2}),
+         i -> array_to_string(list_slice(tk, i, i + {CONTAIN_W - 1}), ' '))
+    ELSE [array_to_string(tk, ' ')] END AS shs
+  FROM t
+), sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {CONTAIN_MAXDF}
+),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM rare GROUP BY doc_id),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, na.n AS n_a, nb.n AS n_b,
+       round(inter / na.n, 6) AS cont_a,
+       round(inter / nb.n, 6) AS cont_b
+FROM i JOIN sizes na ON na.doc_id = doc_a
+       JOIN sizes nb ON nb.doc_id = doc_b
+WHERE greatest(round(inter / na.n, 6), round(inter / nb.n, 6))
+      >= {CONTAIN_T}
+"""
+    # entity profile page: mention stats from m, graph stats +
+    # windowed top-3 partners from the corpus-global edge table
+    out["char_profiles"] = edges_ctes + """,
+e0 AS (
+  SELECT least(t1, t2) AS src, greatest(t1, t2) AS dst,
+         count(*)::BIGINT AS w
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+sym AS (SELECT src AS node, dst AS p, w FROM e0
+        UNION ALL SELECT dst, src, w FROM e0),
+pr AS (
+  SELECT node, p, w,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY w DESC, p) AS rn
+  FROM sym
+),
+gs AS (
+  SELECT node, count(*)::BIGINT AS degree, sum(w)::BIGINT AS strength
+  FROM sym GROUP BY node
+),
+tp AS (
+  SELECT node, string_agg(p, '|' ORDER BY rn) AS top_partners
+  FROM pr WHERE rn <= 3 GROUP BY node
+),
+ms AS (
+  SELECT token AS node, count(*)::BIGINT AS mentions,
+         count(DISTINCT doc_id)::BIGINT AS docs
+  FROM m GROUP BY token
+)
+SELECT ms.node, ms.mentions, ms.docs,
+       coalesce(gs.degree, 0)::BIGINT AS degree,
+       coalesce(gs.strength, 0)::BIGINT AS strength,
+       coalesce(tp.top_partners, '') AS top_partners
+FROM ms LEFT JOIN gs ON gs.node = ms.node
+        LEFT JOIN tp ON tp.node = ms.node
+"""
+    # threshold sweep over the fs_links scored pairs; full-universe
+    # gold count via Σ n·(n-1)/2 over fingerprint groups
+    out["er_sweep"] = f"""
+WITH scored AS ({fs_sql}),
+per AS (
+  SELECT fs_weight AS threshold, sum(agree_fp)::BIGINT AS _pos,
+         count(*)::BIGINT AS _n
+  FROM scored GROUP BY fs_weight
+),
+tot AS (
+  SELECT sum((n * (n - 1)) // 2)::BIGINT AS total FROM (
+    SELECT count(*) AS n FROM (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        AS fp
+      FROM documents
+    ) GROUP BY fp
+  )
+),
+c AS (
+  SELECT threshold,
+         sum(_pos) OVER (ORDER BY threshold DESC) AS tp,
+         sum(_n) OVER (ORDER BY threshold DESC) AS np
+  FROM per
+)
+SELECT c.threshold, c.tp::BIGINT AS tp, (c.np - c.tp)::BIGINT AS fp,
+       (tot.total - c.tp)::BIGINT AS fn,
+       round(c.tp / greatest(c.np, 1), 6) AS "precision",
+       round(c.tp / greatest(tot.total, 1), 6) AS recall,
+       round(2 * (c.tp / greatest(c.np, 1))
+               * (c.tp / greatest(tot.total, 1))
+             / greatest(c.tp / greatest(c.np, 1)
+                        + c.tp / greatest(tot.total, 1), 1e-12), 6)
+         AS f1
+FROM c, tot
 """
     return out

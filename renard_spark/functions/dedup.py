@@ -1061,3 +1061,131 @@ def fellegi_sunter(
             6,
         ).alias("fs_weight"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    w: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    C(A,B) = |A∩B| / |A| (Broder SEQUENCES'97's "roughly contained")
+    — the case Jaccard-based LSH structurally misses: a document
+    embedded inside a much larger one has tiny Jaccard but containment
+    ~1 for the smaller side. This is the quote/boilerplate/subset
+    detector of a training-data pipeline.
+
+    → (doc_a, doc_b, inter, n_a, n_b, cont_a, cont_b) with doc_a <
+    doc_b and max(cont_a, cont_b) >= threshold; cont_a = inter/n_a is
+    how much of A lies inside B.
+
+    Candidates come from the inverted shingle index with a DOCUMENT-
+    FREQUENCY cap: shingles appearing in more than ``max_df`` documents
+    are dropped from the VOCABULARY (numerator AND denominators — the
+    semantics are exact containment over the df-capped shingle set, so
+    the result is well-defined and cross-engine reproducible rather
+    than an uncontrolled approximation). The cap has two jobs: it
+    bounds the self-join fanout per shingle at max_df^2 (no hot-key
+    quadratic blowup at corpus scale), and it removes exactly the
+    boilerplate shingles that make containment scores meaningless.
+
+    Scale shape: one shingle explode (localCheckpoint-ed, shared by
+    the index and both size sides), one df-cap aggregation, one
+    equi-self-join on shingle, one pair aggregation. No windows, no
+    UDFs, no all-pairs."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(docs.repartition(par), w, text_col).localCheckpoint(
+        eager=True
+    )
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle"),
+        "shingle",
+    ).localCheckpoint(eager=True)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cont_a", F.round(F.col("inter") / F.col("n_a"), 6))
+        .withColumn("cont_b", F.round(F.col("inter") / F.col("n_b"), 6))
+    )
+    return out.filter(
+        F.greatest("cont_a", "cont_b") >= threshold
+    ).select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
+
+
+def threshold_sweep(
+    pairs: DataFrame,
+    score_col: str,
+    label_col: str,
+    total_positives: int | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 sweep over every distinct decision threshold
+    of a scored candidate-pair table — the evaluation curve that picks
+    a record-linkage (or near-dup) operating point. For each distinct
+    score s (descending): classify score >= s as a link, and report
+    (threshold=s, tp, fp, fn, precision, recall, f1).
+
+    ``label_col`` is the 0/1 gold label on each pair. ``total_positives``
+    is the number of gold matches IN THE FULL UNIVERSE (including
+    pairs the blocker never generated) — pass it to measure end-to-end
+    recall including blocking misses; default is the in-table positive
+    count (classifier-only recall).
+
+    Scale shape: one groupBy collapses the pair table to ONE ROW PER
+    DISTINCT SCORE, and the cumulative sums over that reduced table
+    run through global_running_total (range repartition + per-partition
+    sums + broadcast offsets — never a single-partition window). A
+    discrete scorer (like fellegi_sunter: <= 2^#fields distinct
+    weights) reduces to a handful of rows; callers with continuous
+    scores should quantize first (round/bucket) to keep the sweep
+    table meaningful."""
+    from renard_spark.operators.utils import global_running_total
+
+    per = (
+        pairs.groupBy(F.col(score_col).alias("threshold"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("_pos"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("_negscore", -F.col("threshold"))
+        .localCheckpoint(eager=True)
+    )
+    cum = global_running_total(per, "_pos", ["_negscore"], "_tp_excl")
+    cum = global_running_total(cum, "_n", ["_negscore"], "_np_excl")
+    if total_positives is None:
+        tot = per.agg(F.sum("_pos").alias("_total"))
+    else:
+        tot = per.sparkSession.range(1).select(
+            F.lit(total_positives).cast("long").alias("_total")
+        )
+    out = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("tp", F.col("_tp_excl") + F.col("_pos"))
+        .withColumn("fp", (F.col("_np_excl") + F.col("_n")) - F.col("tp"))
+        .withColumn("fn", F.col("_total") - F.col("tp"))
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("_total"), F.lit(1))
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
+        ).alias("f1"),
+    )

@@ -278,3 +278,119 @@ def construct(
         out = t if out is None else out.unionByName(t)
     assert out is not None
     return out.distinct()
+
+
+# SPARQL 1.1 aggregate functions supported by select_solutions.
+# GROUP_CONCAT and SAMPLE are nondeterministic in the spec; here both
+# are pinned to deterministic reductions (sorted concat / min) so the
+# same query yields the same bytes on any partitioning — a requirement
+# for oracle-gated tests and for reproducible KG reports.
+_AGG_FNS = {
+    "count", "sum", "avg", "min", "max",
+    "count_distinct", "group_concat", "sample",
+}
+
+
+def select_solutions(
+    bindings: DataFrame,
+    values: tuple[list[str], list[tuple]] | None = None,
+    group_by: list[str] | None = None,
+    aggregates: list[tuple[str, str, str]] | None = None,
+    having: list[str] | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL 1.1 SELECT solution modifiers over a binding table (the
+    output shape of ``bgp_match``/``bgp_union``): VALUES, GROUP BY +
+    aggregates, HAVING, ORDER BY, LIMIT, DISTINCT — the layer that
+    turns pattern matching into reporting queries.
+
+    ``values`` is SPARQL's inline-data block ``VALUES (?x ?y) { ... }``:
+    a (variable list, row list) pair INNER-joined onto the solutions.
+    The block is driver-literal by construction, so the join is a
+    broadcast — a constant-time restriction, never a shuffle. UNDEF
+    rows are rejected (an UNDEF wildcard row makes the block a no-op
+    filter on that variable; model that as omitting the variable).
+
+    ``aggregates`` entries are ``(fn, var, alias)`` with fn one of
+    COUNT / SUM / AVG / MIN / MAX / COUNT_DISTINCT / GROUP_CONCAT /
+    SAMPLE (case-insensitive); ``var`` is ``"?v"`` or ``"*"`` (COUNT
+    only). Determinism pins: GROUP_CONCAT sorts its group first
+    (``sort_array(collect_list(...))``), SAMPLE is ``min``. With
+    aggregates and no ``group_by`` the whole solution set is one
+    implicit group (SPARQL semantics). All aggregates here are
+    partial-aggregable, so the groupBy is ONE shuffle with map-side
+    combine — including GROUP_CONCAT, whose collect_list merges
+    per-partition lists.
+
+    ``having`` are SQL predicates over the aggregate aliases;
+    ``order_by`` entries are ``"?v"`` or ``"DESC(?v)"`` (aliases work
+    too). ORDER BY + LIMIT compiles to TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, NOT a global sort; an
+    ORDER BY without LIMIT is a full range-exchange sort and is the
+    caller's explicit choice.
+    """
+    out = bindings
+    if values is not None:
+        vars_, rows = values
+        if not vars_ or not rows:
+            raise ValueError("VALUES needs >= 1 variable and >= 1 row")
+        cols = [v[1:] if _is_var(v) else v for v in vars_]
+        missing = [c for c in cols if c not in out.columns]
+        if missing:
+            raise ValueError(f"VALUES variables not bound: {missing}")
+        if any(any(x is None for x in r) for r in rows):
+            raise ValueError(
+                "UNDEF in VALUES is not supported — omit the variable"
+            )
+        spark = bindings.sparkSession
+        block = spark.createDataFrame(rows, cols).distinct()
+        out = out.join(F.broadcast(block), cols, "inner")
+
+    if aggregates:
+        keys = [v[1:] if _is_var(v) else v for v in (group_by or [])]
+        aggs = []
+        for fn, var, alias in aggregates:
+            fn = fn.lower()
+            if fn not in _AGG_FNS:
+                raise ValueError(f"unsupported aggregate: {fn!r}")
+            if var == "*":
+                if fn != "count":
+                    raise ValueError(f"{fn}(*) is not SPARQL")
+                aggs.append(F.count(F.lit(1)).alias(alias))
+                continue
+            c = F.col(var[1:] if _is_var(var) else var)
+            if fn == "count":
+                aggs.append(F.count(c).alias(alias))
+            elif fn == "count_distinct":
+                aggs.append(F.countDistinct(c).alias(alias))
+            elif fn == "group_concat":
+                aggs.append(
+                    F.array_join(
+                        F.sort_array(F.collect_list(c)), " "
+                    ).alias(alias)
+                )
+            elif fn == "sample":
+                aggs.append(F.min(c).alias(alias))
+            else:
+                aggs.append(getattr(F, fn)(c).alias(alias))
+        out = out.groupBy(*keys).agg(*aggs) if keys else out.agg(*aggs)
+    elif group_by:
+        raise ValueError("group_by without aggregates")
+
+    for h in having or []:
+        out = out.filter(F.expr(h))
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        keys = []
+        for o in order_by:
+            desc = o.upper().startswith("DESC(")
+            name = o[5:-1] if desc else o
+            name = name[1:] if _is_var(name) else name
+            keys.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*keys)
+    if limit is not None:
+        out = out.limit(limit)
+    return out

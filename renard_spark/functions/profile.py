@@ -157,3 +157,40 @@ def profile_diff(
     for s in stats:
         cols += [f"{s}_old", f"{s}_new"]
     return j.select(*cols, drift.alias("drifted"))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi: list[str],
+    sensitive: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney IJUFKS 2002; Machanavajjhala
+    et al. ICDE 2006) over a quasi-identifier column set — the privacy
+    gate a curation pipeline runs before releasing a table: every row
+    must be indistinguishable from >= k-1 others on the quasi columns,
+    and (l-diversity) each equivalence class must contain >= l distinct
+    values of the sensitive attribute.
+
+    → one row per equivalence class: the quasi columns, ``k`` (class
+    size), ``l`` (distinct sensitive values in the class; 0 when no
+    sensitive column is given), and ``risk`` = round(1/k, 6) — the
+    worst-case re-identification probability for rows in the class.
+
+    Scale shape: ONE hash aggregation on the quasi keys (count +
+    count distinct are both partial-aggregable), no windows, no joins.
+    The output is one row per CLASS, not per input row — at 10^12 rows
+    the audit table is as small as the generalization is coarse, and a
+    `min(k)` over it is the single number the release gate checks.
+    """
+    if not quasi:
+        raise ValueError("k_anonymity needs >= 1 quasi-identifier column")
+    aggs = [F.count(F.lit(1)).alias("k")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(F.col(sensitive)).alias("l"))
+    out = df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
+    if sensitive is None:
+        out = out.withColumn("l", F.lit(0).cast("long"))
+    return out.select(
+        *quasi, "k", "l",
+        F.round(F.lit(1.0) / F.col("k"), 6).alias("risk"),
+    )
