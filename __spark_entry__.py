@@ -5100,6 +5100,113 @@ def q_er_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASK probes: one that the near-complete relation graph satisfies
+# (a scans-chain) and one that no predicate matches — the gate
+# hash-checks BOTH boolean outcomes, not just the happy path
+ASK_HIT = [("?a", "scans", "?b"), ("?b", "sorts", "?c")]
+ASK_MISS = [("?a", "never_pred", "?b")]
+
+
+def q_kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 ASK (functions/kgquery.ask): existence of a BGP
+    solution as a one-row boolean DataFrame — the limit(1) sits BEFORE
+    the count, so Spark plans a CollectLimit that short-circuits after
+    the first produced row (an ASK over 10^12 triples touches one
+    input split per join branch in the hit case). Two labeled probes,
+    one satisfiable and one not, so the gate checks both outcomes.
+    Oracle: EXISTS over the same conjunctive queries."""
+    from renard_spark.functions.kgquery import ask
+
+    gt = _relation_triples(spark, sf_dir)
+    hit = ask(gt, ASK_HIT).select(
+        F.lit("scan_chain").alias("probe"), "answer"
+    )
+    miss = ask(gt, ASK_MISS).select(
+        F.lit("never_pred").alias("probe"), "answer"
+    )
+    return hit.unionByName(miss)
+
+
+DESCRIBE_RESOURCES = ["spark", "vector"]
+
+
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 DESCRIBE (functions/kgquery.describe, symmetric
+    concise-bounded-description flavor): every triple in which the
+    requested resources appear as subject or object, tagged with the
+    resource and the role — the KG "entity page" dump. The resource
+    set is broadcast into two equi-joins (one per role), each pushed
+    into the scan as a semi-join filter at scale. With ask and
+    describe the engine covers all four SPARQL 1.1 query forms
+    (SELECT / CONSTRUCT / ASK / DESCRIBE). Oracle: the two role joins
+    as plain SQL, distinct-unioned."""
+    from renard_spark.functions.kgquery import describe
+
+    return describe(_relation_triples(spark, sf_dir), DESCRIBE_RESOURCES)
+
+
+TRCH_ROUNDS = 4
+
+# a rare-predicate chain injected alongside the near-complete relation
+# graph so closures and sequences produce discriminating rows (the
+# BGP_OPT_EXTRA trick): spark -feeds-> omega -feeds-> beta -feeds->
+# gamma -feeds-> delta
+PATH_EXTRA = [
+    ("spark", "feeds", "omega_probe"),
+    ("omega_probe", "feeds", "beta_probe"),
+    ("beta_probe", "feeds", "gamma_probe"),
+    ("gamma_probe", "feeds", "delta_probe"),
+]
+PATH_EXPR = "^scans/feeds+ | sorts"
+
+
+def q_kg_path_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path ALGEBRA (functions/kgquery.eval_path +
+    parse_path): the full composable grammar — inverse ^p (a column
+    swap, free), sequence p1/p2 (midpoint equi-join), alternative
+    p1|p2 (distinct union), one-or-more p+ (iterative-doubling closure
+    of the OPERAND's pair relation, never the whole KG), zero-length
+    forms p*/p? (identity over the graph's term universe) and negated
+    sets !(p1|p2) (a NOT IN predicate filter) — evaluated here as
+    ``^scans/feeds+ | sorts`` over the relation triples plus an
+    injected rare-predicate chain. Oracle: the same algebra as SQL
+    set ops with the closure's doubling rounds unrolled."""
+    from renard_spark.functions.kgquery import eval_path
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        PATH_EXTRA, "subj string, pred string, obj string"
+    )
+    return eval_path(gt.unionByName(extra), PATH_EXPR)
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability over the dynamic
+    character network (functions/graph.temporal_reachability, Wu et
+    al. VLDB'14 semantics): from each document's lexicographically
+    first character, the smallest window in which every other
+    character first becomes reachable moving only FORWARD in narrative
+    time — the question the static union graph answers wrongly (an
+    edge in window 5 cannot relay through an edge in window 2). One
+    equi-join + one min-aggregation per BSP round with doc_id riding
+    every key: all documents and sources relax simultaneously, no
+    driver loop. Fixed rounds so the oracle unrolls the identical
+    relaxation (arrivals are monotone; extra rounds are no-ops)."""
+    from renard_spark.functions.graph import temporal_reachability
+
+    dyn = _dynamic_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sources = dyn.groupBy("doc_id").agg(
+        F.min(F.least("src", "dst")).alias("source")
+    )
+    out = temporal_reachability(dyn, sources, iters=TRCH_ROUNDS)
+    return _long_doc_id(
+        out.select(
+            "doc_id", "source", "node",
+            F.col("arrive").cast("long").alias("arrive"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5291,6 +5398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": q_containment_dups,
         "char_profiles": q_char_profiles,
         "er_sweep": q_er_sweep,
+        "kg_ask": q_kg_ask,
+        "kg_describe": q_kg_describe,
+        "kg_path_algebra": q_kg_path_algebra,
+        "temporal_reach": q_temporal_reach,
     }
 
 
@@ -6011,6 +6122,89 @@ g AS (
 SELECT p1.s AS a, p1.o AS b, p2.o AS c, p2.p AS r
 FROM g p1 LEFT JOIN g p2 ON p2.s = p1.o
 WHERE p1.p = 'scans'
+"""
+    # ASK == EXISTS over the same conjunctive queries (hit + miss)
+    ask_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT 'scan_chain' AS probe,
+       EXISTS (SELECT 1 FROM g p1 JOIN g p2 ON p2.s = p1.o
+               WHERE p1.p = 'scans' AND p2.p = 'sorts') AS answer
+UNION ALL
+SELECT 'never_pred',
+       EXISTS (SELECT 1 FROM g WHERE p = 'never_pred')
+"""
+    # DESCRIBE == the two role equi-joins, distinct-unioned
+    _desc_vals = ", ".join(f"('{r}')" for r in DESCRIBE_RESOURCES)
+    desc_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+res(resource) AS (VALUES {_desc_vals})
+SELECT DISTINCT * FROM (
+  SELECT res.resource, 'subj' AS role, g.s AS subj, g.p AS pred, g.o AS obj
+  FROM g JOIN res ON g.s = res.resource
+  UNION ALL
+  SELECT res.resource, 'obj', g.s, g.p, g.o
+  FROM g JOIN res ON g.o = res.resource
+) u
+"""
+    # property-path algebra: ^scans/feeds+ | sorts as SQL set ops,
+    # the feeds+ closure's doubling rounds unrolled (3 rounds cover
+    # paths of length 8 >= the injected chain's diameter 4)
+    _px_vals = " UNION SELECT ".join(
+        f"'{s}', '{p}', '{o}'" for s, p, o in PATH_EXTRA
+    )
+    palg_sql = rel_ctes + f""",
+g AS (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION SELECT {_px_vals}
+),
+pfeeds0 AS (SELECT s, o FROM g WHERE p = 'feeds')"""
+    for i in range(3):
+        palg_sql += f""",
+pfeeds{i + 1} AS (
+  SELECT DISTINCT s, o FROM (
+    SELECT s, o FROM pfeeds{i}
+    UNION ALL
+    SELECT f1.s, f2.o FROM pfeeds{i} f1 JOIN pfeeds{i} f2 ON f2.s = f1.o
+  )
+)"""
+    palg_sql += """,
+pinv AS (SELECT o AS s, s AS o FROM g WHERE p = 'scans'),
+pseq AS (
+  SELECT DISTINCT i.s, f.o FROM pinv i JOIN pfeeds3 f ON f.s = i.o
+)
+SELECT DISTINCT s, o FROM (
+  SELECT s, o FROM pseq
+  UNION ALL
+  SELECT s, o FROM g WHERE p = 'sorts'
+) u
+"""
+    # earliest-arrival temporal reachability: the same monotone
+    # min-relaxation as functions/graph.temporal_reachability with
+    # the rounds unrolled (extra rounds past convergence are no-ops)
+    trch_sql = _BASE_CTES + _DYN_CTES + """,
+tre AS MATERIALIZED (
+  SELECT doc_id, window_id::BIGINT AS w, src AS u, dst AS v FROM dyn_edges
+  UNION
+  SELECT doc_id, window_id::BIGINT, dst, src FROM dyn_edges
+),
+trsrc AS (SELECT doc_id, min(least(src, dst)) AS source
+          FROM dyn_edges GROUP BY doc_id),
+tr0 AS MATERIALIZED (
+  SELECT doc_id, source, source AS node, (-1)::BIGINT AS arrive FROM trsrc
+)"""
+    for i in range(TRCH_ROUNDS):
+        trch_sql += f""",
+tr{i + 1} AS MATERIALIZED (
+  SELECT doc_id, source, node, min(arrive) AS arrive FROM (
+    SELECT doc_id, source, node, arrive FROM tr{i}
+    UNION ALL
+    SELECT e.doc_id, s.source, e.v AS node, e.w AS arrive
+    FROM tre e JOIN tr{i} s ON s.doc_id = e.doc_id AND s.node = e.u
+    WHERE e.w >= s.arrive
+  ) GROUP BY doc_id, source, node
+)"""
+    trch_sql += f"""
+SELECT doc_id, source, node, arrive FROM tr{TRCH_ROUNDS}
 """
     # shortest-path reconstruction: same min(struct(d, path)) BFS
     # relaxation as functions/graph.bfs_paths, rounds unrolled
@@ -6922,6 +7116,10 @@ FROM sym GROUP BY doc_id, node
         "kg_construct": kgc_sql,
         "doc_keywords": trk_sql,
         "char_paths": pth_sql,
+        "kg_ask": ask_sql,
+        "kg_describe": desc_sql,
+        "kg_path_algebra": palg_sql,
+        "temporal_reach": trch_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

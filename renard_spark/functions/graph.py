@@ -2337,3 +2337,88 @@ def conductance(
             ).alias("conductance"),
         )
     )
+
+
+def temporal_reachability(
+    dyn_edges: DataFrame,
+    sources: DataFrame,
+    iters: int | None = None,
+    max_rounds: int = 32,
+    doc: str = "doc_id",
+    window: str = "window_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability (Wu et al. VLDB'14
+    earliest-arrival paths) over a dynamic edge table — the question a
+    static graph cannot answer: *when* does B first become reachable
+    from A through the unfolding narrative, moving only along edges
+    whose window is >= the window you arrived in (waiting at a node is
+    free, going back in time is not). A static-graph reachability over
+    the union of windows overstates the truth: A-B in window 5 and B-C
+    in window 2 does NOT make C reachable from A.
+
+    ``dyn_edges``: (doc, window, src, dst) undirected snapshots —
+    the dynamic character-network table. ``sources``: (doc, source)
+    start nodes, any number per doc. → (doc, source, node, arrive)
+    with arrive = the smallest window in which ``node`` is reachable
+    (-1 for the source itself: reachable before all windows).
+
+    Bulk-synchronous relaxation with the document id riding every key
+    (the per-doc TextRank scope pattern): per round ONE equi-join of
+    the state vector onto the symmetric edge list on (doc, node) with
+    the time-respecting ``window >= arrive`` predicate post-join, and
+    ONE min-aggregation — one shuffle per round for ALL documents and
+    sources at once, no driver loop over docs. Arrivals are monotone
+    non-increasing and rounds past convergence are no-ops, so
+    ``iters`` gives the fixed unroll an SQL oracle mirrors exactly;
+    ``iters=None`` runs to the fixpoint (count + sum stable)."""
+    e = dyn_edges.select(
+        F.col(doc).alias("d"),
+        F.col(window).cast("long").alias("w"),
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+    )
+    sym = (
+        e.select("d", "w", F.explode(both).alias("p"))
+        .select("d", "w", "p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = sources.select(
+        F.col(doc).alias("d"),
+        F.col(sources.columns[1]).alias("source"),
+        F.col(sources.columns[1]).alias("node"),
+        F.lit(-1).cast("long").alias("arrive"),
+    )
+    prev = None
+    rounds = iters if iters is not None else max_rounds
+    for _ in range(rounds):
+        grown = state.unionByName(
+            sym.join(
+                state,
+                (sym["d"] == state["d"]) & (sym["u"] == state["node"]),
+            )
+            .filter(F.col("w") >= F.col("arrive"))
+            .select(
+                sym["d"].alias("d"), "source",
+                sym["v"].alias("node"), F.col("w").alias("arrive"),
+            )
+        )
+        state = (
+            grown.groupBy("d", "source", "node")
+            .agg(F.min("arrive").alias("arrive"))
+            .localCheckpoint(eager=True)
+        )
+        if iters is None:
+            sig = (state.count(), state.agg(F.sum("arrive")).first()[0])
+            if sig == prev:
+                break
+            prev = sig
+    return state.select(
+        F.col("d").alias(doc), "source", "node", "arrive"
+    )

@@ -394,3 +394,251 @@ def select_solutions(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def ask(
+    bindings_or_triples: DataFrame,
+    patterns: list[Pattern] | None = None,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL 1.1 ASK: does the pattern have at least one solution?
+    → a ONE-ROW DataFrame with a single boolean ``answer`` column
+    (kept as a DataFrame, not a driver bool, so ASK composes into
+    dashboards/unions like every other query form).
+
+    Call with a triple table + patterns (compiled via ``bgp_match``)
+    or with an already-built binding table (``patterns=None``).
+
+    Scale shape: ``limit(1)`` BEFORE the count — Spark plans a
+    CollectLimit that short-circuits the scan chain after the first
+    produced row, so an ASK over 10^12 triples touches one input
+    split per join branch in the common hit case, never the corpus.
+    """
+    b = (
+        bgp_match(bindings_or_triples, patterns, **bgp_kwargs)
+        if patterns is not None
+        else bindings_or_triples
+    )
+    return b.limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("answer")
+    )
+
+
+def describe(
+    triples: DataFrame,
+    resources: list[str] | DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SPARQL 1.1 DESCRIBE (symmetric concise-bounded-description
+    flavor): every triple in which a requested resource appears as
+    subject or object, tagged with the resource and the direction —
+    the "entity page" raw-triple dump that SELECT's projection hides.
+    The spec leaves DESCRIBE's result form to the implementation;
+    this one is a TABLE (resource, role, subj, pred, obj) with role
+    in {'subj','obj'}, deduplicated, so one resource appearing both
+    ways yields both rows (the KG-browser rendering order).
+
+    ``resources`` is a literal list (broadcast by construction) or a
+    one-column DataFrame (joined; broadcast if small). Two equi-joins
+    (one per role), each pushing the resource set into the scan as a
+    semi-join filter at scale — never a full-table OR-scan.
+    """
+    spark = triples.sparkSession
+    if isinstance(resources, DataFrame):
+        rcol = resources.columns[0]
+        res = resources.select(F.col(rcol).alias("resource")).distinct()
+    else:
+        if not resources:
+            raise ValueError("describe needs >= 1 resource")
+        res = spark.createDataFrame(
+            [(r,) for r in sorted(set(resources))], ["resource"]
+        )
+        res = F.broadcast(res)
+    t = triples.select(subj, pred, obj)
+    as_subj = t.join(
+        res, F.col(subj) == F.col("resource"), "inner"
+    ).select("resource", F.lit("subj").alias("role"), subj, pred, obj)
+    as_obj = t.join(
+        res, F.col(obj) == F.col("resource"), "inner"
+    ).select("resource", F.lit("obj").alias("role"), subj, pred, obj)
+    return as_subj.unionByName(as_obj).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 property-path algebra
+#
+# A path expression denotes a PAIR RELATION (s, o) over the graph; the
+# algebra composes relations, and every operator has an exact
+# DataFrame shape: predicate -> sliced scan, ^p -> column swap (free),
+# p1/p2 -> equi-join on the midpoint, p1|p2 -> distinct union,
+# p+ -> iterative-doubling closure of the OPERAND's relation (never
+# the whole KG), p? / p* -> union with the zero-length identity over
+# the graph's TERM UNIVERSE (SPARQL defines zero-length paths over all
+# RDF terms occurring in the graph — subjects and objects — which a
+# triple table defines exactly; computed once, reused), !(p1|..|pn)
+# -> a NOT IN filter on the predicate column (forward-only negated
+# property set).
+#
+# Expressions are nested tuples ('inv'|'seq'|'alt'|'plus'|'star'|
+# 'opt'|'neg', ...) or the string grammar
+#     path     := alt
+#     alt      := seq ('|' seq)*
+#     seq      := unary ('/' unary)*
+#     unary    := '^' unary | atom postfix*
+#     postfix  := '+' | '*' | '?'
+#     atom     := '(' path ')' | '!' '(' iri ('|' iri)* ')' | iri
+# parsed by `parse_path` (recursive descent, standard SPARQL
+# precedence: postfix > ^ > / > |).
+# ---------------------------------------------------------------------------
+
+PathExpr = "str | tuple"
+
+
+def parse_path(s: str):
+    """Parse the SPARQL property-path string grammar into the nested
+    tuple AST ``eval_path`` evaluates. IRIs/local names are runs of
+    characters outside the operator set ``^/|+*?!()`` and whitespace."""
+    import re
+
+    toks = re.findall(r"[\^/|+*?!()]|[^\s^/|+*?!()]+", s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ValueError(
+                f"path syntax error at token {pos} ({t!r}) in {s!r}"
+            )
+        pos += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t == "(":
+            take("(")
+            e = alt()
+            take(")")
+            return e
+        if t == "!":
+            take("!")
+            take("(")
+            preds = [take()]
+            while peek() == "|":
+                take("|")
+                preds.append(take())
+            take(")")
+            if any(p in "^/|+*?!()" for p in preds):
+                raise ValueError("negated set members must be IRIs")
+            return ("neg", tuple(preds))
+        t = take()
+        if t in "^/|+*?!()":
+            raise ValueError(f"unexpected {t!r} in {s!r}")
+        return t
+
+    def unary():
+        if peek() == "^":
+            take("^")
+            return ("inv", unary())
+        e = atom()
+        while peek() in ("+", "*", "?"):
+            e = ({"+": "plus", "*": "star", "?": "opt"}[take()], e)
+        return e
+
+    def seq():
+        e = unary()
+        while peek() == "/":
+            take("/")
+            e = ("seq", e, unary())
+        return e
+
+    def alt():
+        e = seq()
+        while peek() == "|":
+            take("|")
+            e = ("alt", e, seq())
+        return e
+
+    out = alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in path {s!r}")
+    return out
+
+
+def eval_path(
+    triples: DataFrame,
+    expr,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    closure_rounds: int = 8,
+) -> DataFrame:
+    """Evaluate a SPARQL 1.1 property-path expression over a (subj,
+    pred, obj) triple table → the DISTINCT pair relation (s, o).
+
+    ``expr`` is a ``parse_path`` string (e.g. ``"^scans/feeds+ |
+    sorts"``) or the tuple AST directly. Every closure runs on the
+    operand's own pair relation — a single-predicate slice in the
+    common ``p+`` case — never on the full KG; zero-length operators
+    (``*``, ``?``) union in the identity over the graph's term
+    universe, per the SPARQL spec's ZeroLengthPath evaluation."""
+    if isinstance(expr, str):
+        expr = parse_path(expr)
+    t = triples.select(subj, pred, obj)
+
+    def universe() -> DataFrame:
+        return (
+            t.select(F.col(subj).alias("x"))
+            .unionByName(t.select(F.col(obj).alias("x")))
+            .distinct()
+        )
+
+    def ev(e) -> DataFrame:  # -> (s, o)
+        if isinstance(e, str):
+            return (
+                t.filter(F.col(pred) == F.lit(e))
+                .select(F.col(subj).alias("s"), F.col(obj).alias("o"))
+                .distinct()
+            )
+        op = e[0]
+        if op == "neg":
+            return (
+                t.filter(~F.col(pred).isin(list(e[1])))
+                .select(F.col(subj).alias("s"), F.col(obj).alias("o"))
+                .distinct()
+            )
+        if op == "inv":
+            r = ev(e[1])
+            return r.select(
+                F.col("o").alias("s"), F.col("s").alias("o")
+            )
+        if op == "seq":
+            left = ev(e[1]).select("s", F.col("o").alias("m"))
+            right = ev(e[2]).select(F.col("s").alias("m"), "o")
+            return left.join(right, "m").select("s", "o").distinct()
+        if op == "alt":
+            return ev(e[1]).unionByName(ev(e[2])).distinct()
+        if op == "plus":
+            from renard_spark.functions.graph import transitive_closure
+
+            # transitive_closure returns columns named (src, dst) as
+            # given — already (s, o) here
+            return transitive_closure(
+                ev(e[1]), src="s", dst="o", max_rounds=closure_rounds
+            )
+        if op in ("star", "opt"):
+            base = (
+                ev(("plus", e[1])) if op == "star" else ev(e[1])
+            )
+            ident = universe().select(
+                F.col("x").alias("s"), F.col("x").alias("o")
+            )
+            return base.unionByName(ident).distinct()
+        raise ValueError(f"unknown path operator {e!r}")
+
+    return ev(expr)
