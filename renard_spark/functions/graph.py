@@ -2383,11 +2383,19 @@ def temporal_reachability(
         F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
         F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
     )
+    # lazy checkpoints when the round count is fixed: lineage is
+    # truncated for planning either way (the state appears twice per
+    # round, so an unchecked plan doubles per round), but nothing
+    # forces a driver-side job per round — the final action executes
+    # the whole relaxation as one pipelined run. The fixpoint mode
+    # needs per-round counts, so there eager materialization is the
+    # round boundary anyway.
+    eager = iters is None
     sym = (
         e.select("d", "w", F.explode(both).alias("p"))
         .select("d", "w", "p.u", "p.v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
     state = sources.select(
         F.col(doc).alias("d"),
@@ -2412,7 +2420,7 @@ def temporal_reachability(
         state = (
             grown.groupBy("d", "source", "node")
             .agg(F.min("arrive").alias("arrive"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
         if iters is None:
             sig = (state.count(), state.agg(F.sum("arrive")).first()[0])
