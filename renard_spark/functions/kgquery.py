@@ -43,24 +43,20 @@ def _compile_bgp(
             raise ValueError(f"pattern must be a (s, p, o) triple: {pat!r}")
         ps, pp, po = pat
         base = triples
-        if not _is_var(pp) and pp.endswith("+"):
-            # SPARQL 1.1 property path `p+`: the pattern scans the
-            # transitive closure of the single-predicate slice instead
-            # of the triple table (doubling closure — O(log diameter)
-            # rounds over the SLICE, never the whole KG; `p*` is
-            # deliberately unsupported: zero-length paths quantify
-            # over the node universe)
-            from renard_spark.functions.graph import transitive_closure
-
-            sliced = triples.filter(
-                F.col(pred) == F.lit(pp[:-1])
-            ).select(F.col(subj).alias("a"), F.col(obj).alias("b"))
-            base = transitive_closure(
-                sliced, src="a", dst="b", max_rounds=closure_rounds
+        if not _is_var(pp) and (
+            pp.endswith("+") or any(c in pp for c in "^/|*?!()")
+        ):
+            # SPARQL 1.1 property path as the predicate term: the
+            # pattern scans the path's pair relation (eval_path —
+            # closures run on the operand's slice, never the whole
+            # KG) instead of the triple table; `p+` keeps its
+            # historical fast path through the same evaluator
+            base = eval_path(
+                triples, pp, subj, pred, obj, closure_rounds
             ).select(
-                F.col("a").alias(subj),
+                F.col("s").alias(subj),
                 F.lit(pp).alias(pred),
-                F.col("b").alias(obj),
+                F.col("o").alias(obj),
             )
         cols: dict[str, str] = {}
         flt = []
@@ -146,12 +142,13 @@ def bgp_match(
     minus group sharing NO variable removes nothing per the SPARQL
     spec — here that is rejected as almost certainly a query bug.
 
-    A constant predicate ending in ``+`` is a SPARQL 1.1 property path
-    (one-or-more): that pattern scans the iterative-doubling transitive
-    closure of the single-predicate slice (``closure_rounds`` doubling
-    rounds cover paths of length 2**rounds; early-stops at fixpoint).
-    ``p*`` is rejected by omission — zero-length paths quantify over
-    the node universe, which a triple table does not define.
+    A constant predicate containing path operators (``^ / | + * ?
+    !()``) is a SPARQL 1.1 property path: the pattern scans the
+    path's pair relation via ``eval_path`` — ``p+`` is the doubling
+    closure of the single-predicate slice (``closure_rounds`` rounds
+    cover length 2**rounds, early-stop at fixpoint), and the full
+    grammar (inverse, sequence, alternative, zero-length forms,
+    negated sets) composes per ``parse_path``.
     """
     if not patterns:
         raise ValueError("bgp_match needs >= 1 pattern")

@@ -204,3 +204,22 @@ class TestPathAlgebra:
         assert _pairs(eval_path(ptriples, ("plus", "p"))) == _pairs(
             eval_path(ptriples, "p+")
         )
+
+
+class TestPathInBgp:
+    def test_path_predicate_in_pattern(self, spark, ptriples):
+        # ?x (p+/q) ?y inside a BGP alongside a plain pattern
+        out = bgp_match(
+            ptriples, [("?x", "p+/q", "?y"), ("?x", "p", "?z")]
+        )
+        rows = {(r["x"], r["y"], r["z"]) for r in out.collect()}
+        # p+/q pairs: (a,d),(b,d); both a and b also have a plain p edge
+        assert rows == {("a", "d", "b"), ("b", "d", "c")}
+
+    def test_plain_plus_still_works(self, spark, ptriples):
+        out = bgp_match(ptriples, [("a", "p+", "?y")])
+        assert {r["y"] for r in out.collect()} == {"b", "c"}
+
+    def test_inverse_path_predicate(self, spark, ptriples):
+        out = bgp_match(ptriples, [("d", "^q", "?y")])
+        assert {r["y"] for r in out.collect()} == {"c"}
