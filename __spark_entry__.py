@@ -5207,6 +5207,44 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_graph_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH keyword over the quad store (functions/kgquery
+    .bgp_match graph=): each document is a named graph of its own
+    co-occurrence triples, and the 2-hop pattern ?a -iw-> ?b -iw-> ?c
+    is matched WITHIN each graph by sharing ?g across quad patterns —
+    the doc_id-rides-the-key shape, so 10^9 per-document graphs match
+    in ONE equi-join on (g, b) with no driver loop. Oracle: the same
+    self-join with doc_id in the key."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    quads = triples.edges_to_triples(edges)
+    out = bgp_match(
+        quads,
+        [
+            ("?g", "?a", "interacts_with", "?b"),
+            ("?g", "?b", "interacts_with", "?c"),
+        ],
+        graph="doc_id",
+    )
+    return out.select(F.col("g").cast("long").alias("g"), "a", "b", "c")
+
+
+def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style per-predicate partition statistics (functions/
+    kgquery.void_stats): triple count, distinct subject/object counts,
+    and (inverse-)functionality per predicate — the four numbers that
+    drive join selectivity estimates and ER evidence selection (PARIS'
+    functionality measure). ONE predicate-keyed hash agg with two
+    exact count_distincts; the reduced side is dimension-sized no
+    matter the corpus. Oracle: the same grouped aggregation."""
+    from renard_spark.functions.kgquery import void_stats
+
+    return void_stats(_relation_triples(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5401,6 +5439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ask": q_kg_ask,
         "kg_describe": q_kg_describe,
         "kg_path_algebra": q_kg_path_algebra,
+        "kg_graph_bgp": q_kg_graph_bgp,
+        "kg_void": q_kg_void,
         "temporal_reach": q_temporal_reach,
     }
 
@@ -6177,6 +6217,25 @@ SELECT DISTINCT s, o FROM (
   UNION ALL
   SELECT s, o FROM g WHERE p = 'sorts'
 ) u
+"""
+    # GRAPH-scoped 2-hop: the per-doc quad self-join with doc_id in
+    # the join key
+    gbgp_sql = edges_ctes + """,
+qt AS (SELECT DISTINCT doc_id, least(t1, t2) AS s, greatest(t1, t2) AS o
+       FROM pairs WHERE t1 <> t2)
+SELECT e1.doc_id AS g, e1.s AS a, e1.o AS b, e2.o AS c
+FROM qt e1 JOIN qt e2 ON e2.doc_id = e1.doc_id AND e2.s = e1.o
+"""
+    # VoID property-partition stats as one grouped aggregation
+    void_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT p AS pred, count(*)::BIGINT AS n_triples,
+       count(DISTINCT s)::BIGINT AS n_subjects,
+       count(DISTINCT o)::BIGINT AS n_objects,
+       round(count(DISTINCT s)::DOUBLE / count(*), 6) AS functionality,
+       round(count(DISTINCT o)::DOUBLE / count(*), 6)
+         AS inverse_functionality
+FROM g GROUP BY p
 """
     # earliest-arrival temporal reachability: the same monotone
     # min-relaxation as functions/graph.temporal_reachability with
@@ -7119,6 +7178,8 @@ FROM sym GROUP BY doc_id, node
         "kg_ask": ask_sql,
         "kg_describe": desc_sql,
         "kg_path_algebra": palg_sql,
+        "kg_graph_bgp": gbgp_sql,
+        "kg_void": void_sql,
         "temporal_reach": trch_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,

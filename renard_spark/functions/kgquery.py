@@ -33,19 +33,47 @@ def _compile_bgp(
     pred: str,
     obj: str,
     closure_rounds: int = 8,
+    graph: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Compile one conjunctive pattern group -> (bindings, bound vars).
-    Shared factory for the required BGP and each OPTIONAL group."""
+    Shared factory for the required BGP and each OPTIONAL group.
+
+    With ``graph`` set (a quad table's named-graph column), patterns
+    may be 4-tuples (g, s, p, o) — SPARQL's GRAPH keyword: the graph
+    term binds/filters like any other, so ``?g`` shared across
+    patterns scopes the join to WITHIN each named graph (the
+    doc_id-rides-the-key pattern: 10^9 per-document graphs match
+    simultaneously in one join). Property-path predicates are
+    rejected inside quad patterns — a closure spanning the graph
+    boundary is a different (per-graph) operator."""
     acc: DataFrame | None = None
     bound: set[str] = set()
     for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must be a (s, p, o) triple: {pat!r}")
-        ps, pp, po = pat
+        if len(pat) == 4:
+            if graph is None:
+                raise ValueError(
+                    f"quad pattern {pat!r} needs graph= (the named-"
+                    "graph column of a quad table)"
+                )
+            cols_for = (graph, subj, pred, obj)
+            pp = pat[2]
+        elif len(pat) == 3:
+            cols_for = (subj, pred, obj)
+            pp = pat[1]
+        else:
+            raise ValueError(
+                f"pattern must be an (s, p, o) triple or (g, s, p, o) "
+                f"quad: {pat!r}"
+            )
         base = triples
         if not _is_var(pp) and (
             pp.endswith("+") or any(c in pp for c in "^/|*?!()")
         ):
+            if len(pat) == 4:
+                raise ValueError(
+                    f"property path {pp!r} not supported in a quad "
+                    "pattern (per-graph closure is a separate op)"
+                )
             # SPARQL 1.1 property path as the predicate term: the
             # pattern scans the path's pair relation (eval_path —
             # closures run on the operand's slice, never the whole
@@ -60,7 +88,7 @@ def _compile_bgp(
             )
         cols: dict[str, str] = {}
         flt = []
-        for term, col in zip(pat, (subj, pred, obj)):
+        for term, col in zip(pat, cols_for):
             if _is_var(term):
                 name = term[1:]
                 if not name:
@@ -101,6 +129,7 @@ def bgp_match(
     filters: list[str] | None = None,
     minus: list[list[Pattern]] | None = None,
     closure_rounds: int = 8,
+    graph: str | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern against a (subj, pred, obj) triple
     table → one column per distinct variable (named without the ``?``),
@@ -149,18 +178,25 @@ def bgp_match(
     cover length 2**rounds, early-stop at fixpoint), and the full
     grammar (inverse, sequence, alternative, zero-length forms,
     negated sets) composes per ``parse_path``.
+
+    ``graph`` names a quad table's named-graph column and enables
+    SPARQL's GRAPH keyword: 4-tuple patterns (g, s, p, o) whose graph
+    term binds/filters like any other — a shared ``?g`` scopes the
+    join to WITHIN each named graph, a constant selects one graph
+    (partition-pruned on a graph-partitioned store), and 3-tuple
+    patterns in the same query match across all graphs.
     """
     if not patterns:
         raise ValueError("bgp_match needs >= 1 pattern")
     acc, bound = _compile_bgp(
-        triples, patterns, subj, pred, obj, closure_rounds
+        triples, patterns, subj, pred, obj, closure_rounds, graph
     )
     out_vars = set(bound)
     for group in minus or []:
         if not group:
             raise ValueError("empty MINUS group")
         neg, neg_bound = _compile_bgp(
-            triples, group, subj, pred, obj, closure_rounds
+            triples, group, subj, pred, obj, closure_rounds, graph
         )
         keys = sorted(bound & neg_bound)
         if not keys:
@@ -173,7 +209,7 @@ def bgp_match(
         if not group:
             raise ValueError("empty OPTIONAL group")
         opt, opt_bound = _compile_bgp(
-            triples, group, subj, pred, obj, closure_rounds
+            triples, group, subj, pred, obj, closure_rounds, graph
         )
         keys = sorted(bound & opt_bound)
         if not keys:
@@ -639,3 +675,44 @@ def eval_path(
         raise ValueError(f"unknown path operator {e!r}")
 
     return ev(expr)
+
+
+def void_stats(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-predicate VoID-style partition statistics (W3C VoID
+    property partitions + the PARIS/SIGMA ER literature's
+    (inverse-)functionality): for each predicate its triple count,
+    distinct subject/object counts, and functionality = n_subjects /
+    n_triples (1.0 means the predicate is a function of its subject;
+    inverse_functionality likewise for objects). These four numbers
+    drive BOTH query planning (join selectivity over a predicate-
+    partitioned store) and entity resolution (high inverse-
+    functionality predicates are the discriminating evidence).
+
+    ONE hash aggregation keyed by predicate — count + two exact
+    count_distincts (Spark plans the multi-distinct agg as expand +
+    two-phase partial aggregation, map-side combined; predicates are
+    few, so the reduced side is dimension-sized no matter the corpus).
+    """
+    return (
+        triples.groupBy(F.col(pred).alias("pred"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct(subj).alias("n_subjects"),
+            F.countDistinct(obj).alias("n_objects"),
+        )
+        .select(
+            "pred", "n_triples", "n_subjects", "n_objects",
+            F.round(
+                F.col("n_subjects") / F.col("n_triples"), decimals
+            ).alias("functionality"),
+            F.round(
+                F.col("n_objects") / F.col("n_triples"), decimals
+            ).alias("inverse_functionality"),
+        )
+    )

@@ -223,3 +223,76 @@ class TestPathInBgp:
     def test_inverse_path_predicate(self, spark, ptriples):
         out = bgp_match(ptriples, [("d", "^q", "?y")])
         assert {r["y"] for r in out.collect()} == {"c"}
+
+
+QUADS = [
+    # graph g1: a chain a-p->b-p->c ; graph g2: only a-p->c directly
+    ("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+    ("g2", "a", "p", "c"), ("g2", "c", "q", "d"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "g string, subj string, pred string, obj string"
+    )
+
+
+class TestGraphQuads:
+    def test_shared_graph_var_scopes_join(self, spark, quads):
+        # ?x p ?y . ?y p ?z WITHIN one graph: only g1 has a 2-chain
+        out = bgp_match(
+            quads,
+            [("?g", "?x", "p", "?y"), ("?g", "?y", "p", "?z")],
+            graph="g",
+        )
+        rows = {(r["g"], r["x"], r["y"], r["z"]) for r in out.collect()}
+        assert rows == {("g1", "a", "b", "c")}
+
+    def test_constant_graph_term(self, spark, quads):
+        out = bgp_match(quads, [("g2", "?x", "p", "?y")], graph="g")
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "c")}
+
+    def test_mixed_triple_and_quad_patterns(self, spark, quads):
+        # cross-graph triple pattern joined with a graph-bound one
+        out = bgp_match(
+            quads,
+            [("?x", "q", "?w"), ("?g", "?y", "p", "?x")],
+            graph="g",
+        )
+        rows = {(r["g"], r["y"], r["x"], r["w"]) for r in out.collect()}
+        assert rows == {("g1", "b", "c", "d"), ("g2", "a", "c", "d")}
+
+    def test_quad_requires_graph_kwarg(self, spark, quads):
+        with pytest.raises(ValueError):
+            bgp_match(quads, [("?g", "?x", "p", "?y")])
+
+    def test_path_rejected_in_quad(self, spark, quads):
+        with pytest.raises(ValueError):
+            bgp_match(quads, [("?g", "?x", "p+", "?y")], graph="g")
+
+
+class TestVoidStats:
+    def test_functionality(self, spark, ptriples):
+        from renard_spark.functions.kgquery import void_stats
+
+        rows = {r["pred"]: r for r in void_stats(ptriples).collect()}
+        # p: 2 triples, 2 subjects, 2 objects -> functionality 1.0
+        assert rows["p"]["n_triples"] == 2
+        assert rows["p"]["functionality"] == 1.0
+        assert rows["p"]["inverse_functionality"] == 1.0
+        assert rows["q"]["n_triples"] == 1
+        assert set(rows) == {"p", "q", "r"}
+
+    def test_non_functional_predicate(self, spark):
+        from renard_spark.functions.kgquery import void_stats
+
+        t = spark.createDataFrame(
+            [("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o2")],
+            "subj string, pred string, obj string",
+        )
+        r = void_stats(t).collect()[0]
+        assert r["n_triples"] == 3 and r["n_subjects"] == 2
+        assert r["functionality"] == round(2 / 3, 6)
+        assert r["inverse_functionality"] == round(2 / 3, 6)
