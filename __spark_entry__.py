@@ -5232,6 +5232,27 @@ def q_kg_graph_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("g").cast("long").alias("g"), "a", "b", "c")
 
 
+def q_kg_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`p+` INSIDE the GRAPH keyword (functions/graph.
+    grouped_transitive_closure via kgquery quad patterns): per-named-
+    graph reachability — each document's co-occurrence graph closes
+    independently, but ONE grouped doubling fixpoint does them all
+    (graph id rides every join key; the early-stop count is global).
+    The per-doc graphs are bounded (<= |cast|), so the closure is
+    dimension-sized per group no matter how many groups. Oracle: the
+    doubling rounds unrolled with doc_id in every key."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    quads = triples.edges_to_triples(edges)
+    out = bgp_match(
+        quads, [("?g", "?a", "interacts_with+", "?c")], graph="doc_id"
+    )
+    return out.select(F.col("g").cast("long").alias("g"), "a", "c")
+
+
 def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID-style per-predicate partition statistics (functions/
     kgquery.void_stats): triple count, distinct subject/object counts,
@@ -5440,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_path_algebra": q_kg_path_algebra,
         "kg_graph_bgp": q_kg_graph_bgp,
+        "kg_graph_paths": q_kg_graph_paths,
         "kg_void": q_kg_void,
         "temporal_reach": q_temporal_reach,
     }
@@ -6225,6 +6247,26 @@ qt AS (SELECT DISTINCT doc_id, least(t1, t2) AS s, greatest(t1, t2) AS o
        FROM pairs WHERE t1 <> t2)
 SELECT e1.doc_id AS g, e1.s AS a, e1.o AS b, e2.o AS c
 FROM qt e1 JOIN qt e2 ON e2.doc_id = e1.doc_id AND e2.s = e1.o
+"""
+    # per-graph closure: doubling rounds unrolled with doc_id in
+    # every key (per-doc graphs bounded by the cast size, so 4 rounds
+    # cover paths of length 16 >= any per-doc diameter)
+    gpth_sql = edges_ctes + """,
+ctr0 AS (SELECT DISTINCT doc_id, least(t1, t2) AS a, greatest(t1, t2) AS b
+         FROM pairs WHERE t1 <> t2)"""
+    for i in range(4):
+        gpth_sql += f""",
+ctr{i + 1} AS (
+  SELECT DISTINCT doc_id, a, b FROM (
+    SELECT doc_id, a, b FROM ctr{i}
+    UNION ALL
+    SELECT p1.doc_id, p1.a, p2.b
+    FROM ctr{i} p1 JOIN ctr{i} p2
+      ON p2.doc_id = p1.doc_id AND p2.a = p1.b
+  )
+)"""
+    gpth_sql += """
+SELECT doc_id AS g, a, b AS c FROM ctr4
 """
     # VoID property-partition stats as one grouped aggregation
     void_sql = rel_ctes + """,
@@ -7179,6 +7221,7 @@ FROM sym GROUP BY doc_id, node
         "kg_describe": desc_sql,
         "kg_path_algebra": palg_sql,
         "kg_graph_bgp": gbgp_sql,
+        "kg_graph_paths": gpth_sql,
         "kg_void": void_sql,
         "temporal_reach": trch_sql,
         "nt_roundtrip": nt_rt_sql,

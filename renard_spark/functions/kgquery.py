@@ -70,22 +70,44 @@ def _compile_bgp(
             pp.endswith("+") or any(c in pp for c in "^/|*?!()")
         ):
             if len(pat) == 4:
-                raise ValueError(
-                    f"property path {pp!r} not supported in a quad "
-                    "pattern (per-graph closure is a separate op)"
+                if any(c in pp for c in "^/|*?!()"):
+                    raise ValueError(
+                        f"path {pp!r} not supported in a quad "
+                        "pattern (only `p+`; the composite grammar "
+                        "would need per-graph zero-length universes)"
+                    )
+                # `p+` inside GRAPH: the closure runs WITHIN each
+                # named graph — grouped doubling fixpoint, graph id
+                # in every join key, one pass for all graphs
+                from renard_spark.functions.graph import (
+                    grouped_transitive_closure,
                 )
-            # SPARQL 1.1 property path as the predicate term: the
-            # pattern scans the path's pair relation (eval_path —
-            # closures run on the operand's slice, never the whole
-            # KG) instead of the triple table; `p+` keeps its
-            # historical fast path through the same evaluator
-            base = eval_path(
-                triples, pp, subj, pred, obj, closure_rounds
-            ).select(
-                F.col("s").alias(subj),
-                F.lit(pp).alias(pred),
-                F.col("o").alias(obj),
-            )
+
+                sliced = triples.filter(
+                    F.col(pred) == F.lit(pp[:-1])
+                ).select(graph, subj, obj)
+                base = grouped_transitive_closure(
+                    sliced, group=graph, src=subj, dst=obj
+                ).select(
+                    graph,
+                    F.col(subj),
+                    F.lit(pp).alias(pred),
+                    F.col(obj),
+                )
+                cols_for = (graph, subj, pred, obj)
+            else:
+                # SPARQL 1.1 property path as the predicate term: the
+                # pattern scans the path's pair relation (eval_path —
+                # closures run on the operand's slice, never the
+                # whole KG) instead of the triple table; `p+` keeps
+                # its historical fast path through the same evaluator
+                base = eval_path(
+                    triples, pp, subj, pred, obj, closure_rounds
+                ).select(
+                    F.col("s").alias(subj),
+                    F.lit(pp).alias(pred),
+                    F.col("o").alias(obj),
+                )
         cols: dict[str, str] = {}
         flt = []
         for term, col in zip(pat, cols_for):

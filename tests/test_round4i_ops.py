@@ -268,9 +268,11 @@ class TestGraphQuads:
         with pytest.raises(ValueError):
             bgp_match(quads, [("?g", "?x", "p", "?y")])
 
-    def test_path_rejected_in_quad(self, spark, quads):
+    def test_composite_path_rejected_in_quad(self, spark, quads):
+        # `p+` IS supported in quads (grouped closure); the composite
+        # grammar is not — TestGroupedClosure covers both sides
         with pytest.raises(ValueError):
-            bgp_match(quads, [("?g", "?x", "p+", "?y")], graph="g")
+            bgp_match(quads, [("?g", "?x", "^p", "?y")], graph="g")
 
 
 class TestVoidStats:
@@ -296,3 +298,34 @@ class TestVoidStats:
         assert r["n_triples"] == 3 and r["n_subjects"] == 2
         assert r["functionality"] == round(2 / 3, 6)
         assert r["inverse_functionality"] == round(2 / 3, 6)
+
+
+class TestGroupedClosure:
+    def test_per_group_isolation(self, spark, quads):
+        from renard_spark.functions.graph import grouped_transitive_closure
+
+        e = quads.filter(F.col("pred") == "p").select(
+            "g", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        out = grouped_transitive_closure(e, group="g")
+        rows = {(r["g"], r["src"], r["dst"]) for r in out.collect()}
+        # g1 chain closes to (a,c); g2's direct (a,c) stays alone —
+        # no cross-graph relay
+        assert rows == {
+            ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c"),
+            ("g2", "a", "c"),
+        }
+
+    def test_plus_inside_quad_pattern(self, spark, quads):
+        out = bgp_match(
+            quads, [("?g", "?x", "p+", "?y")], graph="g"
+        )
+        rows = {(r["g"], r["x"], r["y"]) for r in out.collect()}
+        assert rows == {
+            ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c"),
+            ("g2", "a", "c"),
+        }
+
+    def test_composite_path_still_rejected_in_quad(self, spark, quads):
+        with pytest.raises(ValueError):
+            bgp_match(quads, [("?g", "?x", "p/q", "?y")], graph="g")
