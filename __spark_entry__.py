@@ -5207,6 +5207,33 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 FILTER EXISTS / NOT EXISTS (functions/kgquery
+    .bgp_match exists=/not_exists=): left-SEMI and left-ANTI joins of
+    the subgroup's bindings onto the solutions — semi-join semantics
+    mean a multiply-matching subgroup never duplicates a solution
+    (where a plain join would fan out). Both polarities gated: the
+    injected sink row is the ONLY scans-target with no outgoing
+    relation, so NOT EXISTS isolates exactly it. Oracle: SQL
+    EXISTS / NOT EXISTS subqueries."""
+    from renard_spark.functions.kgquery import bgp_match
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        [BGP_OPT_EXTRA], "subj string, pred string, obj string"
+    )
+    g = gt.unionByName(extra).localCheckpoint(eager=False)
+    req = [("?a", "scans", "?b")]
+    sub = [[("?b", "?r", "?c")]]
+    e1 = bgp_match(g, req, exists=sub).select(
+        F.lit("has_out").alias("probe"), "a", "b"
+    )
+    e2 = bgp_match(g, req, not_exists=sub).select(
+        F.lit("no_out").alias("probe"), "a", "b"
+    )
+    return e1.unionByName(e2)
+
+
 def q_kg_graph_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH keyword over the quad store (functions/kgquery
     .bgp_match graph=): each document is a named graph of its own
@@ -5460,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ask": q_kg_ask,
         "kg_describe": q_kg_describe,
         "kg_path_algebra": q_kg_path_algebra,
+        "kg_exists": q_kg_exists,
         "kg_graph_bgp": q_kg_graph_bgp,
         "kg_graph_paths": q_kg_graph_paths,
         "kg_void": q_kg_void,
@@ -6239,6 +6267,21 @@ SELECT DISTINCT s, o FROM (
   UNION ALL
   SELECT s, o FROM g WHERE p = 'sorts'
 ) u
+"""
+    # FILTER (NOT) EXISTS as SQL (NOT) EXISTS subqueries
+    kgex_sql = rel_ctes + f""",
+g AS (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION
+  SELECT '{_ex_s}', '{_ex_p}', '{_ex_o}'
+)
+SELECT 'has_out' AS probe, p1.s AS a, p1.o AS b FROM g p1
+WHERE p1.p = 'scans'
+  AND EXISTS (SELECT 1 FROM g p2 WHERE p2.s = p1.o)
+UNION ALL
+SELECT 'no_out', p1.s, p1.o FROM g p1
+WHERE p1.p = 'scans'
+  AND NOT EXISTS (SELECT 1 FROM g p2 WHERE p2.s = p1.o)
 """
     # GRAPH-scoped 2-hop: the per-doc quad self-join with doc_id in
     # the join key
@@ -7220,6 +7263,7 @@ FROM sym GROUP BY doc_id, node
         "kg_ask": ask_sql,
         "kg_describe": desc_sql,
         "kg_path_algebra": palg_sql,
+        "kg_exists": kgex_sql,
         "kg_graph_bgp": gbgp_sql,
         "kg_graph_paths": gpth_sql,
         "kg_void": void_sql,

@@ -150,6 +150,8 @@ def bgp_match(
     optionals: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
     minus: list[list[Pattern]] | None = None,
+    exists: list[list[Pattern]] | None = None,
+    not_exists: list[list[Pattern]] | None = None,
     closure_rounds: int = 8,
     graph: str | None = None,
 ) -> DataFrame:
@@ -201,6 +203,18 @@ def bgp_match(
     grammar (inverse, sequence, alternative, zero-length forms,
     negated sets) composes per ``parse_path``.
 
+    ``exists`` / ``not_exists`` add SPARQL 1.1 FILTER (NOT) EXISTS
+    groups, applied with ``minus`` before the optional joins: each
+    compiles like a BGP and LEFT-SEMI- (resp. LEFT-ANTI-) joins the
+    accumulated solutions on the shared variables. EXISTS keeps a
+    solution when the group matches under its bindings; NOT EXISTS
+    drops it. NOT EXISTS and MINUS differ exactly when the group
+    shares no variable (MINUS removes nothing, NOT EXISTS removes
+    everything if the group matches at all) — so unlike ``minus``, a
+    disjoint (NOT) EXISTS group is legal here: it degenerates to a
+    global emptiness test, planned as a one-row broadcast gate, per
+    the SPARQL spec's uncorrelated-EXISTS semantics.
+
     ``graph`` names a quad table's named-graph column and enables
     SPARQL's GRAPH keyword: 4-tuple patterns (g, s, p, o) whose graph
     term binds/filters like any other — a shared ``?g`` scopes the
@@ -227,6 +241,27 @@ def bgp_match(
                 f"patterns (a no-op per the SPARQL spec): {group!r}"
             )
         acc = acc.join(neg.select(*keys).distinct(), keys, "left_anti")
+    for want, groups in ((True, exists), (False, not_exists)):
+        for group in groups or []:
+            if not group:
+                raise ValueError("empty EXISTS group")
+            sub, sub_bound = _compile_bgp(
+                triples, group, subj, pred, obj, closure_rounds, graph
+            )
+            keys = sorted(bound & sub_bound)
+            how = "left_semi" if want else "left_anti"
+            if keys:
+                acc = acc.join(sub.select(*keys).distinct(), keys, how)
+            else:
+                # uncorrelated (NOT) EXISTS: a global emptiness test —
+                # one cross-joined 1-row gate (broadcast by size), not
+                # a per-row correlated subquery
+                gate = sub.limit(1).agg(
+                    (F.count(F.lit(1)) > 0).alias("_any")
+                )
+                acc = acc.crossJoin(gate).filter(
+                    F.col("_any") if want else ~F.col("_any")
+                ).drop("_any")
     for group in optionals or []:
         if not group:
             raise ValueError("empty OPTIONAL group")

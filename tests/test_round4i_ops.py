@@ -329,3 +329,47 @@ class TestGroupedClosure:
     def test_composite_path_still_rejected_in_quad(self, spark, quads):
         with pytest.raises(ValueError):
             bgp_match(quads, [("?g", "?x", "p/q", "?y")], graph="g")
+
+
+class TestFilterExists:
+    def test_exists_keeps_matching(self, spark, ptriples):
+        # ?x p ?y FILTER EXISTS { ?y p ?z }: only (a,b) — b has p-out
+        out = bgp_match(
+            ptriples, [("?x", "p", "?y")], exists=[[("?y", "p", "?z")]]
+        )
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "b")}
+
+    def test_not_exists_drops_matching(self, spark, ptriples):
+        out = bgp_match(
+            ptriples, [("?x", "p", "?y")],
+            not_exists=[[("?y", "p", "?z")]],
+        )
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("b", "c")}
+
+    def test_semi_join_no_duplication(self, spark, ptriples):
+        # a has TWO outgoing edges (p and r); EXISTS must not
+        # duplicate the (x=?, y=a)-free solutions — use ?x p ?y with
+        # EXISTS {?x ?r ?w}: x in {a,b}, both have outgoing, so the
+        # result equals the required part exactly (no fan-out)
+        out = bgp_match(
+            ptriples, [("?x", "p", "?y")], exists=[[("?x", "?r", "?w")]]
+        )
+        assert sorted((r["x"], r["y"]) for r in out.collect()) == [
+            ("a", "b"), ("b", "c")
+        ]
+
+    def test_uncorrelated_exists_is_global_gate(self, spark, ptriples):
+        hit = bgp_match(
+            ptriples, [("?x", "p", "?y")], exists=[[("c", "q", "d")]]
+        )
+        assert hit.count() == 2
+        miss = bgp_match(
+            ptriples, [("?x", "p", "?y")], exists=[[("c", "q", "zzz")]]
+        )
+        assert miss.count() == 0
+        # NOT EXISTS flips it — and differs from MINUS, which would
+        # be rejected (disjoint) rather than remove everything
+        neg = bgp_match(
+            ptriples, [("?x", "p", "?y")], not_exists=[[("c", "q", "d")]]
+        )
+        assert neg.count() == 0
