@@ -5293,6 +5293,107 @@ def q_kg_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     return void_stats(_relation_triples(spark, sf_dir))
 
 
+# subquery gate: the corpus relation graph is predicate-uniform (every
+# real predicate has the same triple count), so a popularity threshold
+# would be vacuous — two injected triples on a rare predicate give the
+# HAVING clause something real to exclude at every scale factor
+KG_SUB_EXTRA = [
+    ("omega_probe", "audits", "alpha_sink"),
+    ("alpha_sink", "audits", "nadir_sink"),
+]
+KG_SUB_MIN = 10  # excludes the injected 'audits' (n=2), keeps the rest
+
+
+def q_kg_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subquery + BIND (functions/kgquery.join_solutions /
+    select_solutions bind=): ?a ?p ?b joined with the subselect
+    { SELECT ?p (COUNT(*) AS ?n) GROUP BY ?p HAVING ?n >= 10 }, then
+    BIND(CONCAT(?a,'#',?p) AS ?key) — the "restrict to popular
+    predicates" report. The subselect reduces to one row per predicate
+    (dimension-sized → broadcast); BIND is a narrow projection. The
+    injected rare predicate is the row HAVING genuinely excludes.
+    Oracle: the same aggregate-subquery join in SQL."""
+    from renard_spark.functions.kgquery import (
+        bgp_match, join_solutions, select_solutions,
+    )
+
+    gt = _relation_triples(spark, sf_dir)
+    extra = spark.createDataFrame(
+        KG_SUB_EXTRA, "subj string, pred string, obj string"
+    )
+    g = gt.unionByName(extra).localCheckpoint(eager=False)
+    outer = bgp_match(g, [("?a", "?p", "?b")])
+    inner = select_solutions(
+        bgp_match(g, [("?x", "?p", "?y")]),
+        group_by=["?p"],
+        aggregates=[("count", "*", "n")],
+        having=[f"n >= {KG_SUB_MIN}"],
+    )
+    out = select_solutions(
+        join_solutions(outer, inner),
+        bind=[("concat(a, '#', p)", "?key")],
+    )
+    return out.select("a", "p", "b", F.col("n").cast("long").alias("n"), "key")
+
+
+# coreferee-variant gate: chunk size small enough that test documents
+# span multiple chunks, so chunk-boundary semantics are exercised
+COREFEREE_CHUNK = 64
+
+
+def _coreferee_gate_scorer():
+    """Deterministic chunk scorer for the SpacyCoreferee-variant gate
+    (operators/coref.coreferee_corefs): per chunk, each cast surface's
+    occurrences form one chain; an occurrence followed (within the
+    chunk) by 'the' expands to the NON-contiguous index set [i, i+2] —
+    the coreferee propn-subtree shape that trips the reference's
+    whole-chain contiguity discard (corefs/corefs.py:290-303)."""
+    cast = set(CAST_TOKENS)
+
+    def scorer(chunks):
+        out = []
+        for toks in chunks:
+            chains: dict[str, list] = {}
+            for i, t in enumerate(toks):
+                if t in cast:
+                    if i + 2 < len(toks) and toks[i + 1] == "the":
+                        chains.setdefault(t, []).append([i, i + 2])
+                    else:
+                        chains.setdefault(t, []).append([i])
+            out.append([chains[k] for k in sorted(chains)])
+        return out
+
+    return scorer
+
+
+def q_coreferee_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpacyCoreferee-variant coreference (operators/coref.
+    coreferee_corefs, reference corefs/corefs.py:154-322): token lists
+    cut into fixed-size chunks with GLOBAL offsets accumulated across
+    chunks, an injectable per-chunk annotator, and the reference's
+    whole-chain discard when ANY mention is non-contiguous. The gate
+    scorer is deterministic (see _coreferee_gate_scorer), so chunking,
+    offsets, discard rule, and chain enumeration order are all
+    hash-checked against SQL. One mapInPandas over (doc_id, tokens) —
+    the per-doc imperative core, Arrow-batched, no per-row Python."""
+    from renard_spark.operators.coref import coreferee_corefs
+
+    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    dt = tokenize.doc_tokens(tokenize.tokens(docs))
+    out = coreferee_corefs(
+        dt, _coreferee_gate_scorer, max_chunk_size=COREFEREE_CHUNK
+    )
+    return _long_doc_id(
+        out.select(
+            "doc_id",
+            F.col("chain_id").cast("long").alias("chain_id"),
+            F.col("start_idx").cast("long").alias("start_idx"),
+            F.col("end_idx").cast("long").alias("end_idx"),
+            "mention_str",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5492,6 +5593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_paths": q_kg_graph_paths,
         "kg_void": q_kg_void,
         "temporal_reach": q_temporal_reach,
+        "kg_subselect": q_kg_subselect,
+        "coreferee_chains": q_coreferee_chains,
     }
 
 
@@ -7059,6 +7162,67 @@ wd{i + 1} AS MATERIALIZED (
     wd_sql += f"""
 SELECT node, round(d, 6) AS distance FROM wd{WDIST_ROUNDS}
 """
+    # subquery + BIND: the per-predicate aggregate as a plain SQL
+    # subquery joined back on p, the BIND as a projection expression
+    _sub_vals = " UNION SELECT ".join(
+        f"'{s}', '{p}', '{o}'" for s, p, o in KG_SUB_EXTRA
+    )
+    kgsub_sql = rel_ctes + f""",
+g AS (
+  SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re
+  UNION SELECT {_sub_vals}
+),
+pc AS (
+  SELECT p, count(*)::BIGINT AS n FROM g
+  GROUP BY p HAVING count(*) >= {KG_SUB_MIN}
+)
+SELECT g.s AS a, g.p AS p, g.o AS b, pc.n AS n,
+       g.s || '#' || g.p AS key
+FROM g JOIN pc ON pc.p = g.p
+"""
+    # coreferee variant: chunk index = tok_idx // C; an occurrence is
+    # POISON when the scorer would emit the non-contiguous [i, i+2]
+    # (next token 'the' AND i+2 inside the same chunk — i+2 <
+    # min(chunk_end, n) implies the 'the' is in-chunk too); a poisoned
+    # (doc, chunk, surface) chain is discarded WHOLE; chain ids follow
+    # the enumeration order (chunk, then sorted surface)
+    _cc = COREFEREE_CHUNK
+    corefee_sql = _BASE_CTES + f""",
+nt AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+cf AS (
+  SELECT t.doc_id, t.tok_idx, t.token,
+         (t.tok_idx // {_cc}) AS chunk_i,
+         lead(t.token) OVER (PARTITION BY t.doc_id ORDER BY t.tok_idx)
+           AS nxt
+  FROM toks t
+),
+cm AS (
+  SELECT cf.doc_id, cf.chunk_i, cf.token, cf.tok_idx,
+         coalesce(cf.nxt = 'the'
+            AND cf.tok_idx + 2 < least((cf.chunk_i + 1) * {_cc},
+                                       nt.n_toks), FALSE) AS poison
+  FROM cf JOIN nt ON nt.doc_id = cf.doc_id
+  WHERE cf.token IN ({_CAST_SQL})
+),
+cch AS (
+  SELECT doc_id, chunk_i, token
+  FROM cm GROUP BY doc_id, chunk_i, token
+  HAVING NOT bool_or(poison)
+),
+ccid AS (
+  SELECT doc_id, chunk_i, token,
+         dense_rank() OVER (PARTITION BY doc_id
+                            ORDER BY chunk_i, token) - 1 AS chain_id
+  FROM cch
+)
+SELECT cm.doc_id, ccid.chain_id::BIGINT AS chain_id,
+       cm.tok_idx::BIGINT AS start_idx,
+       (cm.tok_idx + 1)::BIGINT AS end_idx,
+       cm.token AS mention_str
+FROM cm
+JOIN ccid ON ccid.doc_id = cm.doc_id AND ccid.chunk_i = cm.chunk_i
+         AND ccid.token = cm.token
+"""
     out = {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
@@ -7268,6 +7432,8 @@ FROM sym GROUP BY doc_id, node
         "kg_graph_paths": gpth_sql,
         "kg_void": void_sql,
         "temporal_reach": trch_sql,
+        "kg_subselect": kgsub_sql,
+        "coreferee_chains": corefee_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

@@ -381,6 +381,35 @@ _AGG_FNS = {
 }
 
 
+def join_solutions(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """SPARQL 1.1 subquery join: a subselect (itself a binding table,
+    typically the output of ``select_solutions`` over its own pattern)
+    evaluated bottom-up and joined onto the outer group's bindings on
+    the SHARED variables — the spec's evaluation order for nested
+    ``{ SELECT ... }`` groups. An inner-join on the shared columns IS
+    solution-mapping compatibility here because subselect outputs are
+    fully bound (aggregates/projections never produce SPARQL unbound;
+    OPTIONAL-produced NULLs belong on the outer side, where SQL NULL
+    ≠ NULL join semantics match SPARQL's incompatible-mapping rule).
+
+    A subquery sharing NO variable with the outer pattern is a
+    cartesian product and is rejected — the uncorrelated one-row
+    aggregate gate (e.g. a global COUNT threshold) belongs in
+    ``bgp_match(exists=...)``, which broadcasts it.
+
+    Scale shape: the subselect is usually an aggregate over the graph
+    — grouped-down, far smaller than the outer binding table — so AQE
+    picks a broadcast join; the outer side never re-shuffles."""
+    shared = [c for c in outer.columns if c in inner.columns]
+    if not shared:
+        raise ValueError(
+            "subquery shares no variables with the outer pattern — "
+            "that join is a cartesian product; correlate the subquery "
+            "or use an EXISTS gate instead"
+        )
+    return outer.join(inner, shared, "inner")
+
+
 def select_solutions(
     bindings: DataFrame,
     values: tuple[list[str], list[tuple]] | None = None,
@@ -390,6 +419,7 @@ def select_solutions(
     order_by: list[str] | None = None,
     limit: int | None = None,
     distinct: bool = False,
+    bind: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 SELECT solution modifiers over a binding table (the
     output shape of ``bgp_match``/``bgp_union``): VALUES, GROUP BY +
@@ -420,8 +450,19 @@ def select_solutions(
     per-partition top-k plus a driver merge, NOT a global sort; an
     ORDER BY without LIMIT is a full range-exchange sort and is the
     caller's explicit choice.
+
+    ``bind`` entries are SPARQL 1.1 ``BIND(expr AS ?v)``: ``(sql_expr,
+    "?v")`` pairs applied IN ORDER before everything else (so a later
+    BIND may reference an earlier one), each a narrow ``withColumn`` —
+    zero shuffle, stays inside whole-stage codegen. Per the spec the
+    target variable must not already be bound.
     """
     out = bindings
+    for expr, var in bind or []:
+        name = var[1:] if _is_var(var) else var
+        if name in out.columns:
+            raise ValueError(f"BIND target already bound: ?{name}")
+        out = out.withColumn(name, F.expr(expr))
     if values is not None:
         vars_, rows = values
         if not vars_ or not rows:

@@ -1,0 +1,172 @@
+"""Round-4 session-8 operators: SPARQL 1.1 subqueries (join_solutions)
++ BIND (select_solutions bind=), and the oracle-gated deterministic
+scorer for the SpacyCoreferee chunked-coref variant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from renard_spark.functions.kgquery import (
+    bgp_match,
+    join_solutions,
+    select_solutions,
+)
+from renard_spark.operators.coref import coreferee_corefs, coreferee_doc_corefs
+
+TRIPLES = [
+    ("n1", "scans", "x1"), ("n1", "scans", "x2"),
+    ("n2", "scans", "x1"),
+    ("n1", "audits", "x9"),  # rare predicate — excluded by HAVING
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    ).distinct()
+
+
+class TestSubquery:
+    def test_popular_predicate_subselect(self, spark, triples):
+        outer = bgp_match(triples, [("?a", "?p", "?b")])
+        inner = select_solutions(
+            bgp_match(triples, [("?x", "?p", "?y")]),
+            group_by=["?p"],
+            aggregates=[("count", "*", "n")],
+            having=["n >= 2"],
+        )
+        rows = join_solutions(outer, inner).collect()
+        # the three 'scans' triples survive, each carrying n=3;
+        # the lone 'audits' triple is excluded by HAVING
+        assert len(rows) == 3
+        assert all(r["p"] == "scans" and r["n"] == 3 for r in rows)
+
+    def test_no_shared_variable_rejected(self, spark, triples):
+        outer = bgp_match(triples, [("?a", "scans", "?b")])
+        inner = select_solutions(
+            bgp_match(triples, [("?x", "?q", "?y")]),
+            group_by=["?q"],
+            aggregates=[("count", "*", "n")],
+        ).select("n")  # drops every shared column
+        with pytest.raises(ValueError, match="cartesian"):
+            join_solutions(outer, inner)
+
+    def test_shared_vars_join_on_all(self, spark, triples):
+        # inner restricts (a, b) pairs — the join keys are BOTH shared
+        # variables, not just one
+        outer = bgp_match(triples, [("?a", "scans", "?b")])
+        inner = spark.createDataFrame(
+            [("n1", "x1")], "a string, b string"
+        )
+        rows = join_solutions(outer, inner).collect()
+        assert [(r["a"], r["b"]) for r in rows] == [("n1", "x1")]
+
+
+class TestBind:
+    def test_bind_adds_column(self, spark, triples):
+        sols = bgp_match(triples, [("?a", "scans", "?b")])
+        out = select_solutions(
+            sols, bind=[("concat(a, '#', b)", "?key")]
+        )
+        keys = {r["key"] for r in out.collect()}
+        assert keys == {"n1#x1", "n1#x2", "n2#x1"}
+
+    def test_bind_sequential_reference(self, spark, triples):
+        sols = bgp_match(triples, [("?a", "scans", "?b")])
+        out = select_solutions(
+            sols,
+            bind=[("length(a)", "?la"), ("la + length(b)", "?tot")],
+        )
+        assert all(r["tot"] == 4 for r in out.collect())
+
+    def test_bind_rebinding_rejected(self, spark, triples):
+        sols = bgp_match(triples, [("?a", "scans", "?b")])
+        with pytest.raises(ValueError, match="already bound"):
+            select_solutions(sols, bind=[("upper(b)", "?a")])
+
+
+def _gate_scorer(cast):
+    """Mirror of __spark_entry__._coreferee_gate_scorer over an
+    arbitrary cast set (kept in-test so the semantics are pinned even
+    if the driver constant changes)."""
+    def scorer(chunks):
+        out = []
+        for toks in chunks:
+            chains = {}
+            for i, t in enumerate(toks):
+                if t in cast:
+                    if i + 2 < len(toks) and toks[i + 1] == "the":
+                        chains.setdefault(t, []).append([i, i + 2])
+                    else:
+                        chains.setdefault(t, []).append([i])
+            out.append([chains[k] for k in sorted(chains)])
+        return out
+    return scorer
+
+
+class TestCorefereeGateScorer:
+    CAST = {"ada", "bob"}
+
+    def test_poison_discards_whole_chunk_chain(self):
+        # ada@0 followed by 'the' (i+2=2 < 4) → ada's WHOLE chunk chain
+        # (both occurrences) is discarded; bob survives
+        toks = ["ada", "the", "cat", "ada", "bob", "ran"]
+        chains = coreferee_doc_corefs(
+            toks, _gate_scorer(self.CAST), max_chunk_size=None
+        )
+        assert chains == [[(4, 5)]]
+
+    def test_chunk_boundary_blocks_poison(self):
+        # chunk size 2: ada@0 | the cat | ... — 'the' is in the NEXT
+        # chunk, so the scorer never sees it and ada survives
+        toks = ["ada", "the", "cat", "bob"]
+        chains = coreferee_doc_corefs(
+            toks, _gate_scorer(self.CAST), max_chunk_size=2
+        )
+        # enumeration: chunk0 → ada chain, chunk1 (none), chunk2 → bob
+        assert chains == [[(0, 1)], [(3, 4)]]
+
+    def test_end_of_chunk_fallback_not_poison(self):
+        # ada@1 followed by 'the' but i+2 == len(chunk) → single-token
+        # fallback, chain kept (reference: subtree indexing stays
+        # inside the spacy doc)
+        toks = ["x", "ada", "the"]
+        chains = coreferee_doc_corefs(
+            toks, _gate_scorer(self.CAST), max_chunk_size=None
+        )
+        assert chains == [[(1, 2)]]
+
+    def test_enumeration_order_chunk_then_surface(self):
+        toks = ["bob", "ada", "x", "x", "ada", "bob"]
+        chains = coreferee_doc_corefs(
+            toks, _gate_scorer(self.CAST), max_chunk_size=4
+        )
+        # chunk0 sorted surfaces: ada@1, bob@0; chunk1: ada@4, bob@5
+        assert chains == [
+            [(1, 2)], [(0, 1)], [(4, 5)], [(5, 6)],
+        ]
+
+    def test_spark_operator_matches_pure_python(self, spark):
+        docs = [
+            ("d1", ["ada", "the", "cat", "ada", "bob", "ran"]),
+            ("d2", ["bob", "ada", "x", "x", "ada", "bob"]),
+            ("d3", ["x", "ada", "the"]),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id string, tokens array<string>"
+        )
+        got = {
+            (r["doc_id"], r["chain_id"], r["start_idx"], r["end_idx"])
+            for r in coreferee_corefs(
+                df, lambda: _gate_scorer(self.CAST), max_chunk_size=4
+            ).collect()
+        }
+        want = set()
+        for doc_id, toks in docs:
+            chains = coreferee_doc_corefs(
+                toks, _gate_scorer(self.CAST), max_chunk_size=4
+            )
+            for cid, chain in enumerate(chains):
+                for s, e in chain:
+                    want.add((doc_id, cid, s, e))
+        assert got == want
