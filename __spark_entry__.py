@@ -5394,6 +5394,29 @@ def q_coreferee_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (functions/kgquery.update_where): DELETE
+    { ?a scans ?b } INSERT { ?a sorts ?b . ?b was_scanned_by ?a }
+    WHERE { ?a scans ?b } over the relation graph — the
+    predicate-rewrite maintenance op. Most inserted sorts triples
+    ALREADY exist (the synthetic graph is near-complete), so the
+    set-semantics anti-join is genuinely exercised, not just the happy
+    path. Returns the post-update triple set; oracle: the same
+    delete/insert as SQL set algebra."""
+    from renard_spark.functions.kgquery import update_where
+
+    out = update_where(
+        _relation_triples(spark, sf_dir),
+        delete=[("?a", "scans", "?b")],
+        insert=[("?a", "sorts", "?b"), ("?b", "was_scanned_by", "?a")],
+        patterns=[("?a", "scans", "?b")],
+    )
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5595,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "kg_subselect": q_kg_subselect,
         "coreferee_chains": q_coreferee_chains,
+        "kg_update": q_kg_update,
     }
 
 
@@ -7223,6 +7247,21 @@ FROM cm
 JOIN ccid ON ccid.doc_id = cm.doc_id AND ccid.chunk_i = cm.chunk_i
          AND ccid.token = cm.token
 """
+    # SPARQL Update as SQL set algebra: kept = g minus the matched
+    # scans slice, inst = both templates instantiated from the SAME
+    # pre-update bindings, result = kept UNION inst (UNION dedups ==
+    # the engine's anti-join set-semantics path)
+    kgupd_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+w AS (SELECT s AS a, o AS b FROM g WHERE p = 'scans'),
+kept AS (SELECT * FROM g WHERE p <> 'scans'),
+inst AS (
+  SELECT a AS s, 'sorts' AS p, b AS o FROM w
+  UNION
+  SELECT b, 'was_scanned_by', a FROM w
+)
+SELECT s, p, o FROM kept UNION SELECT s, p, o FROM inst
+"""
     out = {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
@@ -7434,6 +7473,7 @@ FROM sym GROUP BY doc_id, node
         "temporal_reach": trch_sql,
         "kg_subselect": kgsub_sql,
         "coreferee_chains": corefee_sql,
+        "kg_update": kgupd_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

@@ -370,6 +370,60 @@ def construct(
     return out.distinct()
 
 
+def update_where(
+    triples: DataFrame,
+    delete: list[Pattern] | None = None,
+    insert: list[Pattern] | None = None,
+    patterns: list[Pattern] | None = None,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL 1.1 Update — ``DELETE { } INSERT { } WHERE { }`` (and its
+    degenerate ``INSERT DATA`` / ``DELETE DATA`` forms when
+    ``patterns`` is None and the templates are ground) — evaluated as
+    a pure transformation: returns the POST-update triple set; the
+    caller persists it (idempotently via the catalog's batch sink).
+
+    Spec semantics (SPARQL 1.1 Update §3.1.3): the WHERE pattern is
+    matched ONCE against the pre-update graph; both template sets are
+    instantiated from those bindings (CONSTRUCT rules — NULL-skip,
+    distinct); deletes apply before inserts, so a triple that is both
+    deleted and re-inserted survives.
+
+    Plan shape: ``kept = triples ANTI del`` — the delete set is
+    bindings-derived and usually pattern-selective, so AQE broadcasts
+    it (right side of a left-anti) and the store never shuffles for
+    the delete; a whole-graph DELETE degrades to a sort-merge anti,
+    never to a forced-broadcast OOM. ``new = ins ANTI kept`` preserves
+    SET semantics without a corpus-wide distinct; that anti-join is
+    the one corpus-side shuffle, and on a store bucketed by the triple
+    key (io/catalog.BucketedCatalog) it plans exchange-free.
+    """
+    if not delete and not insert:
+        raise ValueError("update_where needs delete and/or insert templates")
+    if patterns is None:
+        for tpl in (delete or []) + (insert or []):
+            if any(_is_var(t) for t in tpl):
+                raise ValueError(
+                    f"template {tpl!r} has variables but there is no "
+                    "WHERE pattern — use INSERT/DELETE DATA (ground "
+                    "templates) or supply patterns"
+                )
+        # one empty solution: DATA forms instantiate each template once
+        bindings = triples.sparkSession.range(1)
+    else:
+        bindings = bgp_match(triples, patterns, **bgp_kwargs)
+
+    kept = triples
+    if delete:
+        del_t = construct(bindings, delete)
+        kept = kept.join(del_t, ["subj", "pred", "obj"], "left_anti")
+    if insert:
+        ins_t = construct(bindings, insert)
+        new = ins_t.join(kept, ["subj", "pred", "obj"], "left_anti")
+        kept = kept.unionByName(new)
+    return kept
+
+
 # SPARQL 1.1 aggregate functions supported by select_solutions.
 # GROUP_CONCAT and SAMPLE are nondeterministic in the spec; here both
 # are pinned to deterministic reductions (sorted concat / min) so the

@@ -9,6 +9,7 @@ from renard_spark.functions.kgquery import (
     bgp_match,
     join_solutions,
     select_solutions,
+    update_where,
 )
 from renard_spark.operators.coref import coreferee_corefs, coreferee_doc_corefs
 
@@ -83,6 +84,62 @@ class TestBind:
         sols = bgp_match(triples, [("?a", "scans", "?b")])
         with pytest.raises(ValueError, match="already bound"):
             select_solutions(sols, bind=[("upper(b)", "?a")])
+
+
+class TestUpdateWhere:
+    def _rows(self, df):
+        return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+    def test_delete_insert_where(self, spark, triples):
+        out = update_where(
+            triples,
+            delete=[("?a", "scans", "?b")],
+            insert=[("?b", "scanned_by", "?a")],
+            patterns=[("?a", "scans", "?b")],
+        )
+        got = self._rows(out)
+        assert ("n1", "scans", "x1") not in got
+        assert ("x1", "scanned_by", "n1") in got
+        assert ("n1", "audits", "x9") in got  # untouched slice survives
+
+    def test_reinsert_of_deleted_triple_survives(self, spark, triples):
+        # DELETE then INSERT the same template: spec order means the
+        # triple is re-added — the graph is unchanged
+        out = update_where(
+            triples,
+            delete=[("?a", "scans", "?b")],
+            insert=[("?a", "scans", "?b")],
+            patterns=[("?a", "scans", "?b")],
+        )
+        assert self._rows(out) == set(TRIPLES)
+
+    def test_insert_existing_no_duplicate(self, spark, triples):
+        # inserting a triple that already exists must not duplicate it
+        out = update_where(
+            triples,
+            insert=[("?a", "scans", "x2")],
+            patterns=[("?a", "scans", "?b")],
+        )
+        assert out.count() == out.distinct().count()
+        assert self._rows(out) == set(TRIPLES) | {("n2", "scans", "x2")}
+
+    def test_ground_data_forms(self, spark, triples):
+        out = update_where(
+            triples,
+            delete=[("n1", "audits", "x9")],
+            insert=[("n9", "audits", "x9")],
+        )
+        got = self._rows(out)
+        assert ("n1", "audits", "x9") not in got
+        assert ("n9", "audits", "x9") in got
+
+    def test_variables_without_where_rejected(self, spark, triples):
+        with pytest.raises(ValueError, match="no\\s+WHERE"):
+            update_where(triples, insert=[("?a", "p", "c")])
+
+    def test_no_templates_rejected(self, spark, triples):
+        with pytest.raises(ValueError, match="templates"):
+            update_where(triples, patterns=[("?a", "?p", "?b")])
 
 
 def _gate_scorer(cast):
