@@ -472,6 +472,7 @@ def select_solutions(
     having: list[str] | None = None,
     order_by: list[str] | None = None,
     limit: int | None = None,
+    offset: int | None = None,
     distinct: bool = False,
     bind: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
@@ -510,6 +511,12 @@ def select_solutions(
     BIND may reference an earlier one), each a narrow ``withColumn`` —
     zero shuffle, stays inside whole-stage codegen. Per the spec the
     target variable must not already be bound.
+
+    ``offset`` is SPARQL's OFFSET, applied after ORDER BY and before
+    LIMIT (spec slice order). An OFFSET without an ORDER BY is
+    rejected: solution order is implementation-defined there, so the
+    slice would be nondeterministic across partitionings — the same
+    reason the spec calls the combination meaningless.
     """
     out = bindings
     for expr, var in bind or []:
@@ -576,6 +583,13 @@ def select_solutions(
             name = name[1:] if _is_var(name) else name
             keys.append(F.col(name).desc() if desc else F.col(name).asc())
         out = out.orderBy(*keys)
+    if offset is not None:
+        if not order_by:
+            raise ValueError(
+                "OFFSET without ORDER BY is nondeterministic — "
+                "order the solutions first"
+            )
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out

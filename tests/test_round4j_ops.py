@@ -85,6 +85,20 @@ class TestBind:
         with pytest.raises(ValueError, match="already bound"):
             select_solutions(sols, bind=[("upper(b)", "?a")])
 
+    def test_offset_after_order(self, spark, triples):
+        sols = bgp_match(triples, [("?a", "scans", "?b")])
+        rows = select_solutions(
+            sols, order_by=["?a", "?b"], offset=1, limit=2
+        ).collect()
+        assert [(r["a"], r["b"]) for r in rows] == [
+            ("n1", "x2"), ("n2", "x1")
+        ]
+
+    def test_offset_without_order_rejected(self, spark, triples):
+        sols = bgp_match(triples, [("?a", "scans", "?b")])
+        with pytest.raises(ValueError, match="nondeterministic"):
+            select_solutions(sols, offset=1)
+
 
 class TestUpdateWhere:
     def _rows(self, df):
