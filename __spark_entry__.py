@@ -5417,6 +5417,73 @@ def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_JOIN_BOUND_H = 4  # attribution window, hours
+
+
+def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (streaming/events.
+    stream_interval_join): clicks attributed to views of the same user
+    within 4 hours, both sides as file streams replayed in 3
+    micro-batch files — StreamingSymmetricHashJoin keeps keyed state
+    on BOTH sides, so a view in batch 0 matches a click arriving in
+    batch 2 (the cross-batch path a foreachBatch join cannot take).
+    Watermark wider than the corpus's time span → no state eviction →
+    output equals the batch interval join, checked bit-exact against
+    the DuckDB oracle (delay in exact integer microseconds)."""
+    import os
+    import tempfile
+
+    from renard_spark.streaming.events import stream_interval_join
+
+    base = tempfile.mkdtemp(prefix="renard_stream_join_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(in_dir)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP_LTZ. The
+    # cast applies one fixed session-zone offset to BOTH sides, so the
+    # join window and the microsecond delta are offset-invariant.
+    views = src().filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    clicks = src().filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    joined = stream_interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        bound=f"{STREAM_JOIN_BOUND_H} hours", watermark="365 days",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+        .cast("long").alias("delay_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -5619,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subselect": q_kg_subselect,
         "coreferee_chains": q_coreferee_chains,
         "kg_update": q_kg_update,
+        "stream_joins": q_stream_joins,
     }
 
 
@@ -7474,6 +7542,19 @@ FROM sym GROUP BY doc_id, node
         "kg_subselect": kgsub_sql,
         "coreferee_chains": corefee_sql,
         "kg_update": kgupd_sql,
+        # the stream-stream interval join's batch twin: same slices,
+        # same time-range predicate, delay in exact integer micros
+        "stream_joins": f"""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click')
+SELECT v.user_id, v.view_id, c.click_id,
+       (epoch_us(c.click_ts) - epoch_us(v.view_ts))::BIGINT AS delay_us
+FROM v JOIN c ON c.user_id = v.user_id
+ AND c.click_ts >= v.view_ts
+ AND c.click_ts <= v.view_ts + INTERVAL {STREAM_JOIN_BOUND_H} HOUR
+""",
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

@@ -65,6 +65,46 @@ def stream_sessions(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    bound: str = "4 hours",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (the attribution /
+    media-grounding primitive as a stream): right rows join left rows
+    with the same ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + bound]``.
+
+    Spark plans this as StreamingSymmetricHashJoin: BOTH sides keep
+    keyed state, each arriving row probes the other side's state, and
+    the time-range condition + watermarks bound how long state is
+    retained — left rows age out ``bound`` past the right watermark,
+    right rows at their own watermark. That eviction is what makes the
+    operator runnable forever at corpus scale; the watermark therefore
+    also sets the correctness contract: a row arriving later than
+    ``watermark`` behind the stream's max event time may miss matches
+    (exactly the late-data rule of the batch oracle's windowed twins).
+    Replay gates pick a watermark wider than the corpus's time span so
+    stream output == the batch interval join, bit-exact, while still
+    exercising cross-micro-batch state matching.
+
+    Both inputs must be pre-projected to disjoint column names apart
+    from ``key`` (the dup key column from the right side is dropped).
+    """
+    lw = left_stream.withWatermark(left_ts, watermark)
+    rw = right_stream.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {bound}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def stream_exact_dedup(
     docs_stream: DataFrame, text_col: str = "text"
 ) -> DataFrame:

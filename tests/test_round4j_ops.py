@@ -156,6 +156,94 @@ class TestUpdateWhere:
             update_where(triples, patterns=[("?a", "?p", "?b")])
 
 
+class TestStreamIntervalJoin:
+    def test_stream_equals_batch_cross_batch_state(self, spark, tmp_path):
+        import datetime as dt
+
+        from renard_spark.streaming.events import stream_interval_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def h(x):
+            return t0 + dt.timedelta(hours=x)
+
+        in_dir = str(tmp_path / "in")
+        views = spark.createDataFrame(
+            [(1, h(0), "u1"), (2, h(0), "u2"), (3, h(5), "u3")],
+            "eid long, ts timestamp, user string",
+        )
+        clicks = spark.createDataFrame(
+            # u1 inside the 2h bound; u2 outside; u3 BEFORE its view
+            [(11, h(1), "u1"), (12, h(3), "u2"), (13, h(4), "u3")],
+            "eid long, ts timestamp, user string",
+        )
+        # two separate files → separate micro-batches: the u1 view
+        # must be held in join state until its click arrives later
+        views.withColumn("kind", F.lit("v")).coalesce(1).write.parquet(in_dir)
+        clicks.withColumn("kind", F.lit("c")).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+
+        l = src().filter(F.col("kind") == "v").select(
+            F.col("user"),
+            F.col("eid").alias("vid"),
+            F.col("ts").alias("vts"),
+        )
+        r = src().filter(F.col("kind") == "c").select(
+            F.col("user"),
+            F.col("eid").alias("cid"),
+            F.col("ts").alias("cts"),
+        )
+        joined = stream_interval_join(
+            l, r, "user", "vts", "cts", bound="2 hours", watermark="10 days"
+        )
+        out_dir = str(tmp_path / "out")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r_["user"], r_["vid"], r_["cid"])
+            for r_ in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {("u1", 1, 11)}
+
+    def test_key_column_not_duplicated(self, spark, tmp_path):
+        # drop(rw[key]) must leave exactly one key column
+        from renard_spark.streaming.events import stream_interval_join
+
+        l = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .select(
+                F.col("value").alias("user"),
+                F.col("timestamp").alias("vts"),
+            )
+        )
+        r = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .select(
+                F.col("value").alias("user"),
+                F.col("timestamp").alias("cts"),
+            )
+        )
+        j = stream_interval_join(l, r, "user", "vts", "cts")
+        assert j.columns.count("user") == 1
+
+
 def _gate_scorer(cast):
     """Mirror of __spark_entry__._coreferee_gate_scorer over an
     arbitrary cast set (kept in-test so the semantics are pinned even
