@@ -5417,6 +5417,25 @@ def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRANSE_DIM = 8
+
+
+def q_transe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE link-plausibility scoring over the corpus relation
+    triples (functions/kgembed.score_triples — the serving side of a
+    KG-completion model, hash-projection mode for the gate; trained
+    embedding TABLES broadcast-join through the same operator). All
+    arithmetic is dyadic-rational exact, emitted as 2^-32 fixed-point
+    BIGINT so the oracle comparison has zero float-formatting risk."""
+    from renard_spark.functions.kgembed import score_triples
+
+    out = score_triples(_relation_triples(spark, sf_dir), dim=TRANSE_DIM)
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"), "score_fp",
+    )
+
+
 STREAM_JOIN_BOUND_H = 4  # attribution window, hours
 
 
@@ -5687,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreferee_chains": q_coreferee_chains,
         "kg_update": q_kg_update,
         "stream_joins": q_stream_joins,
+        "transe_scores": q_transe_scores,
     }
 
 
@@ -7330,6 +7350,24 @@ inst AS (
 )
 SELECT s, p, o FROM kept UNION SELECT s, p, o FROM inst
 """
+    # TransE hash-mode scoring: the same md5 32-bit hash projection
+    # per (namespace, name, dim), L1 energy, 2^-32 fixed-point —
+    # dyadic-rational exact on both engines
+    _emb = (
+        "(('0x' || substr(md5('{ns}' || g.{c} || ':' || i.i), 1, 8))"
+        "::BIGINT / 4294967296.0 - 0.5)"
+    )
+    transe_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT g.s, g.p, g.o,
+  (SELECT round(sum(abs(
+      {_emb.format(ns='e:', c='s')}
+    + {_emb.format(ns='r:', c='p')}
+    - {_emb.format(ns='e:', c='o')}
+   )) * 4294967296.0)::BIGINT
+   FROM range(0, {TRANSE_DIM}) AS i(i)) AS score_fp
+FROM g
+"""
     out = {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
@@ -7555,6 +7593,7 @@ FROM v JOIN c ON c.user_id = v.user_id
  AND c.click_ts >= v.view_ts
  AND c.click_ts <= v.view_ts + INTERVAL {STREAM_JOIN_BOUND_H} HOUR
 """,
+        "transe_scores": transe_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

@@ -1,0 +1,103 @@
+"""KG-embedding scoring — the serving side of a TransE-family
+KG-completion model (Bordes et al., NeurIPS'13) over the engine's
+triple tables.
+
+Training embeddings is out of scope (same boundary as the reference's
+HF-trainer utilities); SCORING a trained model is a query capability:
+rank candidate triples, validate KG edits, pick link-prediction
+answers. Embeddings are injectable as (name, vec) tables — broadcast
+dimension joins, one per role — with a deterministic md5
+hash-projection fallback used by the oracle gates (the same
+injectable-seam pattern as the NER/coref model factories: the compute
+shape is real, the learned weights plug in on a cluster that has
+them).
+
+Everything is JVM-side array arithmetic (``transform`` / ``zip_with``
+/ ``aggregate``) — no UDFs, no shuffle beyond the optional broadcast
+joins. Hash-mode components are dyadic rationals (k / 2^32 − 1/2), so
+every score is EXACTLY representable in float64 and bit-identical on
+any engine and any partitioning; ``score_fp`` exposes the score as
+2^-32 fixed-point for hash-gated comparisons with zero formatting
+risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 4294967296.0  # 2^32
+
+
+def hash_embedding(name: Column | str, dim: int, namespace: str) -> Column:
+    """Deterministic unit-scale embedding: component i is the first 32
+    md5 bits of ``namespace || name || ':' || i`` mapped to
+    [-0.5, 0.5). A hash projection, not a trained vector — the gate /
+    smoke fallback."""
+    col = F.col(name) if isinstance(name, str) else name
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(namespace), col, F.lit(":"), i.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double") / F.lit(_SCALE) - F.lit(0.5),
+    )
+
+
+def transe_score(h: Column, r: Column, t: Column) -> Column:
+    """L1 TransE energy ||h + r - t||_1 over three equal-length
+    array<double> columns. Lower = more plausible."""
+    diff = F.zip_with(
+        F.zip_with(h, r, lambda a, b: a + b), t, lambda x, c: x - c
+    )
+    return F.aggregate(
+        diff, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+
+
+def score_triples(
+    triples: DataFrame,
+    dim: int = 8,
+    entity_embeddings: DataFrame | None = None,
+    relation_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Score (subj, pred, obj) triples with TransE. With embedding
+    tables (``name``, ``vec array<double>``): three broadcast joins —
+    the embedding tables are model-sized dimensions, the triple table
+    never shuffles. Without: the md5 hash projection (namespaces
+    ``e:`` / ``r:`` so an entity and a relation with the same surface
+    never collide). Adds ``transe_score`` (float64, exact in hash
+    mode) and ``score_fp`` (the same score in 2^-32 fixed-point,
+    BIGINT — the hash-gate column)."""
+    if (entity_embeddings is None) != (relation_embeddings is None):
+        raise ValueError(
+            "supply both entity_embeddings and relation_embeddings, "
+            "or neither"
+        )
+    if entity_embeddings is not None:
+        ee = F.broadcast(entity_embeddings.select("name", "vec"))
+        re_ = F.broadcast(relation_embeddings.select("name", "vec"))
+        out = (
+            triples
+            .join(ee.select(F.col("name").alias("subj"),
+                            F.col("vec").alias("_h")), "subj")
+            .join(re_.select(F.col("name").alias("pred"),
+                             F.col("vec").alias("_r")), "pred")
+            .join(ee.select(F.col("name").alias("obj"),
+                            F.col("vec").alias("_t")), "obj")
+        )
+        h, r, t = F.col("_h"), F.col("_r"), F.col("_t")
+    else:
+        out = triples
+        h = hash_embedding(F.col("subj"), dim, "e:")
+        r = hash_embedding(F.col("pred"), dim, "r:")
+        t = hash_embedding(F.col("obj"), dim, "e:")
+    score = transe_score(h, r, t)
+    out = out.withColumn("transe_score", score).withColumn(
+        "score_fp", F.round(F.col("transe_score") * F.lit(_SCALE))
+        .cast("long")
+    )
+    return out.drop("_h", "_r", "_t")

@@ -244,6 +244,87 @@ class TestStreamIntervalJoin:
         assert j.columns.count("user") == 1
 
 
+class TestTransEScoring:
+    def _ref_component(self, ns, name, i):
+        import hashlib
+
+        h = hashlib.md5(f"{ns}{name}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0 - 0.5
+
+    def test_hash_mode_matches_reference_md5(self, spark):
+        from renard_spark.functions.kgembed import score_triples
+
+        df = spark.createDataFrame(
+            [("a", "likes", "b")], "subj string, pred string, obj string"
+        )
+        row = score_triples(df, dim=4).collect()[0]
+        want = sum(
+            abs(
+                self._ref_component("e:", "a", i)
+                + self._ref_component("r:", "likes", i)
+                - self._ref_component("e:", "b", i)
+            )
+            for i in range(4)
+        )
+        assert row["transe_score"] == want  # exact dyadic arithmetic
+        assert row["score_fp"] == round(want * 4294967296.0)
+
+    def test_table_mode_matches_hand_calc(self, spark):
+        from renard_spark.functions.kgembed import score_triples
+
+        ents = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 2.0])],
+            "name string, vec array<double>",
+        )
+        rels = spark.createDataFrame(
+            [("likes", [0.5, 0.5])], "name string, vec array<double>"
+        )
+        df = spark.createDataFrame(
+            [("a", "likes", "b")], "subj string, pred string, obj string"
+        )
+        row = score_triples(
+            df, entity_embeddings=ents, relation_embeddings=rels
+        ).collect()[0]
+        # |1+0.5-0| + |0+0.5-2| = 1.5 + 1.5 = 3.0
+        assert row["transe_score"] == 3.0
+
+    def test_true_triple_scores_below_corrupted(self, spark):
+        # with TABLE embeddings encoding h + r == t exactly, the true
+        # triple must beat any corruption (sanity of the energy's sign)
+        from renard_spark.functions.kgembed import score_triples
+
+        ents = spark.createDataFrame(
+            [("h", [0.25, 0.5]), ("t", [0.5, 0.75]), ("x", [1.0, -0.5])],
+            "name string, vec array<double>",
+        )
+        rels = spark.createDataFrame(
+            [("r", [0.25, 0.25])], "name string, vec array<double>"
+        )
+        df = spark.createDataFrame(
+            [("h", "r", "t"), ("h", "r", "x")],
+            "subj string, pred string, obj string",
+        )
+        got = {
+            r_["obj"]: r_["transe_score"]
+            for r_ in score_triples(
+                df, entity_embeddings=ents, relation_embeddings=rels
+            ).collect()
+        }
+        assert got["t"] == 0.0 and got["x"] > 0.0
+
+    def test_half_injected_embeddings_rejected(self, spark):
+        from renard_spark.functions.kgembed import score_triples
+
+        df = spark.createDataFrame(
+            [("a", "r", "b")], "subj string, pred string, obj string"
+        )
+        ents = spark.createDataFrame(
+            [("a", [1.0])], "name string, vec array<double>"
+        )
+        with pytest.raises(ValueError, match="both"):
+            score_triples(df, entity_embeddings=ents)
+
+
 def _gate_scorer(cast):
     """Mirror of __spark_entry__._coreferee_gate_scorer over an
     arbitrary cast set (kept in-test so the semantics are pinned even
