@@ -5436,6 +5436,26 @@ def q_transe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation (functions/kgembed.
+    link_prediction_ranks): every (subj, pred) scored against the full
+    entity vocabulary, true object's 1-based rank + candidate count —
+    the per-triple table behind MRR / hits@k. Vocabulary is a
+    broadcast dimension on a constant join key (hash join, not a
+    nested-loop product); ranks come from ONE window with the
+    (score_fp, obj) tie-break so the table hashes identically
+    cross-engine."""
+    from renard_spark.functions.kgembed import link_prediction_ranks
+
+    out = link_prediction_ranks(
+        _relation_triples(spark, sf_dir), dim=TRANSE_DIM
+    )
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"), "rank", "n_cands",
+    )
+
+
 STREAM_JOIN_BOUND_H = 4  # attribution window, hours
 
 
@@ -5707,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_update": q_kg_update,
         "stream_joins": q_stream_joins,
         "transe_scores": q_transe_scores,
+        "kg_ranks": q_kg_ranks,
     }
 
 
@@ -7354,19 +7375,45 @@ SELECT s, p, o FROM kept UNION SELECT s, p, o FROM inst
     # per (namespace, name, dim), L1 energy, 2^-32 fixed-point —
     # dyadic-rational exact on both engines
     _emb = (
-        "(('0x' || substr(md5('{ns}' || g.{c} || ':' || i.i), 1, 8))"
+        "(('0x' || substr(md5('{ns}' || {e} || ':' || i.i), 1, 8))"
         "::BIGINT / 4294967296.0 - 0.5)"
     )
+
+    def _transe_fp(s_expr: str, p_expr: str, o_expr: str) -> str:
+        return f"""(SELECT round(sum(abs(
+      {_emb.format(ns='e:', e=s_expr)}
+    + {_emb.format(ns='r:', e=p_expr)}
+    - {_emb.format(ns='e:', e=o_expr)}
+   )) * 4294967296.0)::BIGINT
+   FROM range(0, {TRANSE_DIM}) AS i(i))"""
+
     transe_sql = rel_ctes + f""",
 g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
 SELECT g.s, g.p, g.o,
-  (SELECT round(sum(abs(
-      {_emb.format(ns='e:', c='s')}
-    + {_emb.format(ns='r:', c='p')}
-    - {_emb.format(ns='e:', c='o')}
-   )) * 4294967296.0)::BIGINT
-   FROM range(0, {TRANSE_DIM}) AS i(i)) AS score_fp
+  {_transe_fp('g.s', 'g.p', 'g.o')} AS score_fp
 FROM g
+"""
+    # link-prediction ranks: score every (s, p) x entity candidate,
+    # rank with the (score_fp, obj) tie-break, join back the positives
+    kgrank_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+voc AS (SELECT o AS cand FROM g UNION SELECT s FROM g),
+pr AS (SELECT DISTINCT s, p FROM g),
+sc AS (
+  SELECT pr.s, pr.p, voc.cand AS o,
+         {_transe_fp('pr.s', 'pr.p', 'voc.cand')} AS score_fp
+  FROM pr, voc
+),
+lprk AS (
+  SELECT s, p, o,
+         row_number() OVER (PARTITION BY s, p
+                            ORDER BY score_fp, o) AS rank,
+         count(*) OVER (PARTITION BY s, p) AS n_cands
+  FROM sc
+)
+SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,
+       lprk.n_cands::BIGINT AS n_cands
+FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o
 """
     out = {
         "char_kcore": kc_sql,
@@ -7594,6 +7641,7 @@ FROM v JOIN c ON c.user_id = v.user_id
  AND c.click_ts <= v.view_ts + INTERVAL {STREAM_JOIN_BOUND_H} HOUR
 """,
         "transe_scores": transe_sql,
+        "kg_ranks": kgrank_sql,
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,

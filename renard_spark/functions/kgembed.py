@@ -23,7 +23,7 @@ risk.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCALE = 4294967296.0  # 2^32
@@ -101,3 +101,58 @@ def score_triples(
         .cast("long")
     )
     return out.drop("_h", "_r", "_t")
+
+
+def link_prediction_ranks(
+    triples: DataFrame,
+    dim: int = 8,
+    entity_embeddings: DataFrame | None = None,
+    relation_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Object-side link-prediction evaluation (the standard raw-setting
+    protocol of the TransE family): for every true (subj, pred, obj),
+    score (subj, pred, o') for EVERY entity o' in the graph's entity
+    set and report the true object's 1-based rank — the per-triple
+    table behind MRR / hits@k (one further groupBy:
+    ``avg(1.0/rank)``, ``avg(rank <= k)``).
+
+    Candidates depend only on (subj, pred), so scoring is done once
+    per distinct pair × entity-vocabulary — the vocabulary is a
+    broadcast dimension joined on a constant key (a hash join, not a
+    nested-loop product), and ranks come from one window over the
+    (subj, pred) partition ordered by ``(score_fp, obj)`` — the
+    deterministic tie-break that makes the rank table hashable
+    cross-engine. Raw setting: other TRUE objects of the same (subj,
+    pred) stay in the candidate list (the filtered variant is one
+    anti-join before the window).
+    """
+    vocab = (
+        triples.select(F.col("obj").alias("cand"))
+        .unionByName(triples.select(F.col("subj").alias("cand")))
+        .distinct()
+        .withColumn("_k", F.lit(1))
+    )
+    pairs = triples.select("subj", "pred").distinct().withColumn(
+        "_k", F.lit(1)
+    )
+    cands = pairs.join(F.broadcast(vocab), "_k").select(
+        "subj", "pred", F.col("cand").alias("obj")
+    )
+    scored = score_triples(
+        cands, dim=dim,
+        entity_embeddings=entity_embeddings,
+        relation_embeddings=relation_embeddings,
+    )
+    w = Window.partitionBy("subj", "pred")
+    ranked = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(w.orderBy("score_fp", "obj")),
+        )
+        .withColumn("n_cands", F.count(F.lit(1)).over(w))
+    )
+    return triples.join(ranked, ["subj", "pred", "obj"]).select(
+        "subj", "pred", "obj",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n_cands").cast("long").alias("n_cands"),
+    )

@@ -312,6 +312,46 @@ class TestTransEScoring:
         }
         assert got["t"] == 0.0 and got["x"] > 0.0
 
+    def test_link_prediction_ranks(self, spark):
+        # table embeddings with a known ordering: vocab = {h, t, x},
+        # and for (h, r) the energies are t=0 < h=0.5 < x=1.75, so the
+        # true t ranks 1 of 3 and x ranks last
+        from renard_spark.functions.kgembed import link_prediction_ranks
+
+        ents = spark.createDataFrame(
+            [("h", [0.25, 0.5]), ("t", [0.5, 0.75]), ("x", [1.0, -0.5])],
+            "name string, vec array<double>",
+        )
+        rels = spark.createDataFrame(
+            [("r", [0.25, 0.25])], "name string, vec array<double>"
+        )
+        df = spark.createDataFrame(
+            [("h", "r", "t"), ("h", "r", "x")],
+            "subj string, pred string, obj string",
+        )
+        got = {
+            r_["obj"]: (r_["rank"], r_["n_cands"])
+            for r_ in link_prediction_ranks(
+                df, entity_embeddings=ents, relation_embeddings=rels
+            ).collect()
+        }
+        assert got["t"][0] == 1 and got["t"][1] == 3
+        assert got["x"][0] > 1
+
+    def test_rank_counts_all_vocab_candidates(self, spark):
+        # hash mode, 3 entities in the graph -> every (s, p) scores 3
+        # candidates; every rank is within [1, 3]
+        from renard_spark.functions.kgembed import link_prediction_ranks
+
+        df = spark.createDataFrame(
+            [("a", "r", "b"), ("b", "r", "c"), ("a", "q", "c")],
+            "subj string, pred string, obj string",
+        )
+        rows = link_prediction_ranks(df, dim=4).collect()
+        assert len(rows) == 3
+        assert all(r["n_cands"] == 3 for r in rows)
+        assert all(1 <= r["rank"] <= 3 for r in rows)
+
     def test_half_injected_embeddings_rejected(self, spark):
         from renard_spark.functions.kgembed import score_triples
 
