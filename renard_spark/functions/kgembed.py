@@ -117,25 +117,24 @@ def link_prediction_ranks(
     ``avg(1.0/rank)``, ``avg(rank <= k)``).
 
     Candidates depend only on (subj, pred), so scoring is done once
-    per distinct pair × entity-vocabulary — the vocabulary is a
-    broadcast dimension joined on a constant key (a hash join, not a
-    nested-loop product), and ranks come from one window over the
-    (subj, pred) partition ordered by ``(score_fp, obj)`` — the
-    deterministic tie-break that makes the rank table hashable
-    cross-engine. Raw setting: other TRUE objects of the same (subj,
-    pred) stay in the candidate list (the filtered variant is one
-    anti-join before the window).
+    per distinct pair × entity-vocabulary. That product is the
+    PROTOCOL (every entity is a candidate for every test pair); both
+    factors are unified-vocabulary dimensions — never corpus rows — so
+    it is an explicit broadcast cross join of the same class as the
+    IVF-codebook joins, |pairs| × |entities| rows total. Ranks come
+    from one window over the (subj, pred) partition ordered by
+    ``(score_fp, obj)`` — the deterministic tie-break that makes the
+    rank table hashable cross-engine. Raw setting: other TRUE objects
+    of the same (subj, pred) stay in the candidate list (the filtered
+    variant is one anti-join before the window).
     """
     vocab = (
         triples.select(F.col("obj").alias("cand"))
         .unionByName(triples.select(F.col("subj").alias("cand")))
         .distinct()
-        .withColumn("_k", F.lit(1))
     )
-    pairs = triples.select("subj", "pred").distinct().withColumn(
-        "_k", F.lit(1)
-    )
-    cands = pairs.join(F.broadcast(vocab), "_k").select(
+    pairs = triples.select("subj", "pred").distinct()
+    cands = pairs.crossJoin(F.broadcast(vocab)).select(
         "subj", "pred", F.col("cand").alias("obj")
     )
     scored = score_triples(
