@@ -5456,6 +5456,26 @@ def q_kg_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_lp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction summary metrics per predicate — MRR and
+    hits@{1,3} over the kg_ranks table (one groupBy; the number a
+    KG-completion eval reports). Ratios rounded to 6 dp on both
+    engines before hashing."""
+    from renard_spark.functions.kgembed import link_prediction_ranks
+
+    ranks = link_prediction_ranks(
+        _relation_triples(spark, sf_dir), dim=TRANSE_DIM
+    )
+    return ranks.groupBy(F.col("pred").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        F.round(F.avg((F.col("rank") <= 1).cast("double")), 6)
+        .alias("hits1"),
+        F.round(F.avg((F.col("rank") <= 3).cast("double")), 6)
+        .alias("hits3"),
+    )
+
+
 STREAM_JOIN_BOUND_H = 4  # attribution window, hours
 
 
@@ -5728,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_joins": q_stream_joins,
         "transe_scores": q_transe_scores,
         "kg_ranks": q_kg_ranks,
+        "kg_lp_metrics": q_kg_lp_metrics,
     }
 
 
@@ -7642,6 +7663,20 @@ FROM v JOIN c ON c.user_id = v.user_id
 """,
         "transe_scores": transe_sql,
         "kg_ranks": kgrank_sql,
+        # the same rank table rolled up: MRR + hits@k per predicate
+        "kg_lp_metrics": kgrank_sql.replace(
+            """SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,
+       lprk.n_cands::BIGINT AS n_cands
+FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o""",
+            """SELECT g.p, count(*)::BIGINT AS n_triples,
+       round(avg(1.0 / lprk.rank), 6) AS mrr,
+       round(avg(CASE WHEN lprk.rank <= 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS hits1,
+       round(avg(CASE WHEN lprk.rank <= 3 THEN 1.0 ELSE 0.0 END), 6)
+         AS hits3
+FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o
+GROUP BY g.p""",
+        ),
         "nt_roundtrip": nt_rt_sql,
         "owl_types": owl_sql,
         "kg_union": kgu_sql,
