@@ -5482,10 +5482,11 @@ STREAM_JOIN_BOUND_H = 4  # attribution window, hours
 def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream INTERVAL join (streaming/events.
     stream_interval_join): clicks attributed to views of the same user
-    within 4 hours, both sides as file streams replayed in 3
+    within 4 hours, both sides as file streams replayed in 2
     micro-batch files — StreamingSymmetricHashJoin keeps keyed state
-    on BOTH sides, so a view in batch 0 matches a click arriving in
-    batch 2 (the cross-batch path a foreachBatch join cannot take).
+    on BOTH sides, so a view in batch 0 matches a click arriving in a
+    later batch (the cross-batch path a foreachBatch join cannot
+    take).
     Watermark wider than the corpus's time span → no state eviction →
     output equals the batch interval join, checked bit-exact against
     the DuckDB oracle (delay in exact integer microseconds)."""
@@ -5498,8 +5499,11 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    # 2 files x maxFilesPerTrigger=1 -> 2 micro-batches per source:
+    # the minimum that still proves cross-batch state matching, and
+    # each extra trigger is ~1-2 s of fixed streaming overhead
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.repartition(3).write.parquet(in_dir)
+    ev.repartition(2).write.parquet(in_dir)
 
     def src() -> DataFrame:
         return (
