@@ -5452,7 +5452,7 @@ def q_kg_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("subj").alias("s"), F.col("pred").alias("p"),
-        F.col("obj").alias("o"), "rank", "n_cands",
+        F.col("obj").alias("o"), "rank", "filtered_rank", "n_cands",
     )
 
 
@@ -7437,6 +7437,9 @@ lprk AS (
   FROM sc
 )
 SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,
+       (lprk.rank - (row_number() OVER (PARTITION BY g.s, g.p
+                                        ORDER BY lprk.rank) - 1))::BIGINT
+         AS filtered_rank,
        lprk.n_cands::BIGINT AS n_cands
 FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o
 """
@@ -7670,6 +7673,9 @@ FROM v JOIN c ON c.user_id = v.user_id
         # the same rank table rolled up: MRR + hits@k per predicate
         "kg_lp_metrics": kgrank_sql.replace(
             """SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,
+       (lprk.rank - (row_number() OVER (PARTITION BY g.s, g.p
+                                        ORDER BY lprk.rank) - 1))::BIGINT
+         AS filtered_rank,
        lprk.n_cands::BIGINT AS n_cands
 FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o""",
             """SELECT g.p, count(*)::BIGINT AS n_triples,
@@ -10159,4 +10165,10 @@ SELECT c.threshold, c.tp::BIGINT AS tp, (c.np - c.tp)::BIGINT AS fp,
          AS f1
 FROM c, tot
 """
+    # the metrics oracle is derived from kgrank_sql via str.replace —
+    # a drifted template would fail SILENTLY (replace is a no-op), so
+    # pin the rollup's presence here
+    assert "GROUP BY g.p" in out["kg_lp_metrics"], (
+        "kg_lp_metrics rollup replace did not apply"
+    )
     return out

@@ -124,9 +124,17 @@ def link_prediction_ranks(
     IVF-codebook joins, |pairs| × |entities| rows total. Ranks come
     from one window over the (subj, pred) partition ordered by
     ``(score_fp, obj)`` — the deterministic tie-break that makes the
-    rank table hashable cross-engine. Raw setting: other TRUE objects
-    of the same (subj, pred) stay in the candidate list (the filtered
-    variant is one anti-join before the window).
+    rank table hashable cross-engine.
+
+    Both standard protocol settings are emitted: ``rank`` is the RAW
+    rank (other true objects of the same (subj, pred) stay in the
+    candidate list) and ``filtered_rank`` is the FILTERED rank
+    (Bordes et al.: every OTHER true object is removed from the
+    candidate list before ranking). The filtered rank needs no second
+    scoring pass: among the true objects of a (subj, pred), the one
+    ranked k-th best raw has exactly k−1 better-scoring true objects
+    to discount, so ``filtered_rank = rank − (row_number among true
+    objects by rank − 1)`` — one extra window over the TRUE rows only.
     """
     vocab = (
         triples.select(F.col("obj").alias("cand"))
@@ -150,8 +158,14 @@ def link_prediction_ranks(
         )
         .withColumn("n_cands", F.count(F.lit(1)).over(w))
     )
-    return triples.join(ranked, ["subj", "pred", "obj"]).select(
+    true_ranked = triples.join(ranked, ["subj", "pred", "obj"])
+    return true_ranked.withColumn(
+        "filtered_rank",
+        F.col("rank")
+        - (F.row_number().over(w.orderBy("rank")) - F.lit(1)),
+    ).select(
         "subj", "pred", "obj",
         F.col("rank").cast("long").alias("rank"),
+        F.col("filtered_rank").cast("long").alias("filtered_rank"),
         F.col("n_cands").cast("long").alias("n_cands"),
     )

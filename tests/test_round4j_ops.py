@@ -338,6 +338,22 @@ class TestTransEScoring:
         assert got["t"][0] == 1 and got["t"][1] == 3
         assert got["x"][0] > 1
 
+    def test_filtered_rank_discounts_better_true_objects(self, spark):
+        # (a, r) has TWO true objects; the worse-ranked one discounts
+        # the better one: filtered == raw - 1 for it, and filtered ==
+        # raw for the best. Equivalent to re-ranking with the other
+        # true object REMOVED from the candidate list.
+        from renard_spark.functions.kgembed import link_prediction_ranks
+
+        df = spark.createDataFrame(
+            [("a", "r", "b"), ("a", "r", "c")],
+            "subj string, pred string, obj string",
+        )
+        rows = link_prediction_ranks(df, dim=4).collect()
+        by_rank = sorted(rows, key=lambda r_: r_["rank"])
+        assert by_rank[0]["filtered_rank"] == by_rank[0]["rank"]
+        assert by_rank[1]["filtered_rank"] == by_rank[1]["rank"] - 1
+
     def test_rank_counts_all_vocab_candidates(self, spark):
         # hash mode, 3 entities in the graph -> every (s, p) scores 3
         # candidates; every rank is within [1, 3]
