@@ -629,6 +629,19 @@ def _long_doc_id(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.col("doc_id").cast("long"))
 
 
+def _await_stream(q, timeout_sec: int) -> None:
+    # awaitTermination(t) returns False on timeout with the query
+    # still running; reading the output directory then would gate a
+    # partial result as a confusing rows mismatch. Fail loudly instead
+    # (stop() so the half-written sink isn't left running).
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            "streaming query still running after %ds — host too "
+            "loaded for the gate's replay window" % timeout_sec
+        )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (text-analysis op) — JVM regexp; _spread only
     because the test corpus is one parquet split (see _spread)."""
@@ -1980,7 +1993,7 @@ def q_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, 120)
     return _long_doc_id(spark.read.parquet(data)).select(
         "doc_id", F.col("tok_idx").cast("long").alias("tok_idx"), "token"
     )
@@ -2033,7 +2046,7 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return _long_doc_id(spark.read.parquet(data)).select(
         "doc_id", "subj", "pred", "obj",
         F.col("weight").cast("long").alias("weight"),
@@ -2123,7 +2136,7 @@ def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return _long_doc_id(spark.read.parquet(data)).select(
         "doc_id",
         F.col("tok_idx").cast("long").alias("tok_idx"),
@@ -4772,7 +4785,7 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, 120)
     return (
         spark.read.parquet(data)
         .groupBy(F.col("user_id").cast("long").alias("user_id"))
@@ -5476,6 +5489,116 @@ def q_kg_lp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_BAND_BITS = 2  # sign-bit LSH band width for kg_ranks_ann
+
+
+def q_kg_ranks_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-prefiltered link prediction (functions/kgembed.
+    link_prediction_ranks_ann) — the production-scale variant of
+    kg_ranks: candidates per (subj, pred) come from a banded sign-bit
+    LSH index over the entity embeddings instead of the full
+    vocabulary cross product, then only the survivors are exactly
+    scored and ranked. One band equi-join + one rank window; at a
+    100M-entity vocabulary this is the layout that replaces the
+    allowlisted protocol product (VERDICT r4 item 3). ``retrieved``
+    averages to the index's recall vs the exact protocol; the
+    measured number is recorded in PLANS.md."""
+    from renard_spark.functions.kgembed import link_prediction_ranks_ann
+
+    out = link_prediction_ranks_ann(
+        _relation_triples(spark, sf_dir),
+        dim=TRANSE_DIM,
+        band_bits=ANN_BAND_BITS,
+    )
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"), "ann_rank", "n_cands_ann", "retrieved",
+    )
+
+
+# multi-variable VALUES block: restricts (?r, ?a) jointly — the
+# two-column inline-data form kg_select's single-variable block
+# doesn't exercise
+KG_VALUES_BLOCK = (
+    ["?r", "?a"],
+    [("scans", "spark"), ("sorts", "window"), ("groups", "merge"),
+     ("scans", "customer")],
+)
+
+
+def q_kg_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 VALUES as a standalone solution modifier
+    (functions/kgquery.select_solutions): a MULTI-variable inline-data
+    block ``VALUES (?r ?a) { ... }`` joined onto the BGP bindings on
+    both columns at once — row-wise restriction, not two independent
+    IN-lists. The block is driver-literal, so the join is a broadcast
+    hash join on a constant-size side; no shuffle of the binding
+    table. Oracle: row-valued IN over the same tuples."""
+    from renard_spark.functions.kgquery import bgp_match, select_solutions
+
+    b = bgp_match(_relation_triples(spark, sf_dir), [("?a", "?r", "?b")])
+    return select_solutions(b, values=KG_VALUES_BLOCK)
+
+
+def q_kg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 top-level GROUP BY + numeric aggregates
+    (functions/kgquery.select_solutions): BIND computes a numeric
+    expression over each binding (strlen of the object — BIND before
+    grouping, per the spec's evaluation order), then one grouped
+    aggregation per predicate with SUM / AVG / MIN / MAX and HAVING.
+    All partial-aggregable → ONE shuffle with map-side combine. AVG is
+    rounded to 6 dp on both engines before hashing."""
+    from renard_spark.functions.kgquery import bgp_match, select_solutions
+
+    b = bgp_match(_relation_triples(spark, sf_dir), [("?a", "?r", "?b")])
+    out = select_solutions(
+        b,
+        bind=[("length(b)", "?blen")],
+        group_by=["?r"],
+        aggregates=[
+            ("count", "*", "n"),
+            ("sum", "?blen", "sum_len"),
+            ("avg", "?blen", "avg_len"),
+            ("min", "?b", "min_b"),
+            ("max", "?b", "max_b"),
+        ],
+        having=["n >= 1"],
+    )
+    return out.select(
+        "r",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_len").cast("long").alias("sum_len"),
+        F.round("avg_len", 6).alias("avg_len"),
+        "min_b", "max_b",
+    )
+
+
+def q_kg_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Federated Query — SERVICE (functions/kgquery.
+    service_solutions): the corpus BGP's bindings joined with a
+    pattern evaluated against a SECOND registered triple store (here
+    the literal RDFS schema as the "remote endpoint" — in a lakehouse
+    each endpoint is another catalog triple table). The service
+    pattern's constant predicate pushes down to the endpoint scan;
+    the compatibility join runs on the shared ?r variable,
+    AQE-broadcast because the endpoint result is schema-sized.
+    Oracle: the same join with the schema inlined as VALUES."""
+    from renard_spark.functions.kgquery import bgp_match, service_solutions
+
+    outer = bgp_match(
+        _relation_triples(spark, sf_dir), [("?a", "?r", "?b")]
+    )
+    schema = spark.createDataFrame(
+        RDFS_SCHEMA, "subj string, pred string, obj string"
+    )
+    return service_solutions(
+        outer,
+        {"schema": schema},
+        "schema",
+        [("?r", "subPropertyOf", "?sup")],
+    )
+
+
 STREAM_JOIN_BOUND_H = 4  # attribution window, hours
 
 
@@ -5501,8 +5624,13 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     # 2 files x maxFilesPerTrigger=1 -> 2 micro-batches per source:
     # the minimum that still proves cross-batch state matching, and
-    # each extra trigger is ~1-2 s of fixed streaming overhead
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # each extra trigger is ~1-2 s of fixed streaming overhead.
+    # Only the two joined event types are replayed — the other types
+    # never reach the join, so shipping them through the stream is
+    # pure fixed cost.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("view", "click")
+    )
     ev.repartition(2).write.parquet(in_dir)
 
     def src() -> DataFrame:
@@ -5514,7 +5642,12 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP_LTZ. The
     # cast applies one fixed session-zone offset to BOTH sides, so the
-    # join window and the microsecond delta are offset-invariant.
+    # join window and the microsecond delta are offset-invariant —
+    # "fixed" because renard_spark/session.py pins
+    # spark.sql.session.timeZone=UTC (no DST transitions); under a
+    # DST-observing session zone, events straddling a transition
+    # would get different offsets and shift window membership vs the
+    # NTZ oracle.
     views = src().filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -5529,15 +5662,26 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, clicks, "user_id", "view_ts", "click_ts",
         bound=f"{STREAM_JOIN_BOUND_H} hours", watermark="365 days",
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # the state-partition count is frozen per-query from
+    # spark.sql.shuffle.partitions at stream start; 8 is plenty for
+    # the replay volume and cuts the per-batch state-store checkpoint
+    # files (partitions x batches x 2 sides) 4x vs the session's 32 —
+    # that fixed HDFS-state-store cycle, not the join, dominated this
+    # gate's wall time (VERDICT r4 item 4)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("view_id").cast("long").alias("view_id"),
@@ -5549,77 +5693,15 @@ def q_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "token_counts": q_token_counts,
-        "naive_characters": q_naive_characters,
-        "graph_characters": q_graph_characters,
-        "scale_characters": q_scale_characters,
-        "cooccur_edges": q_cooccur_edges,
-        "triples": q_triples,
-        "kg_negatives": q_kg_negatives,
-        "alias_priors": q_alias_priors,
-        "relation_paths": q_relation_paths,
-        "kg_rules": q_kg_rules,
-        "char_salience": q_char_salience,
-        "mention_contexts": q_mention_contexts,
-        "priority_sample": q_priority_sample,
-        "edit_near_dups": q_edit_near_dups,
-        "ppjoin_pairs": q_ppjoin_pairs,
-        "shared_spans": q_shared_spans,
-        "graph_diff": q_graph_diff,
-        "exact_dedup": q_exact_dedup,
-        "dynamic_edges": q_dynamic_edges,
-        "edge_spans": q_edge_spans,
-        "cumulative_edges": q_cumulative_edges,
-        "quality_scores": q_quality_scores,
-        "language_id": q_language_id,
-        "language_id_multi": q_language_id_multi,
-        "fingerprints": q_fingerprints,
-        "minhash_bands": q_minhash_bands,
-        "near_dup_pairs": q_near_dup_pairs,
-        "simhash_groups": q_simhash_groups,
-        "cosine_topk": q_cosine_topk,
-        "srp_ann_topk": q_srp_ann_topk,
-        "bm25_topk": q_bm25_topk,
-        "event_windows": q_event_windows,
-        "event_sliding": q_event_sliding,
-        "event_rolling": q_event_rolling,
-        "user_sessions": q_user_sessions,
-        "embedding_near_dups": q_embedding_near_dups,
-        "session_windows": q_session_windows,
-        "bio_entities": q_bio_entities,
-        "srp_multi_topk": q_srp_multi_topk,
-        "ivf_topk": q_ivf_topk,
-        "pq_topk": q_pq_topk,
-        "capped_near_dups": q_capped_near_dups,
-        "dedup_groups": q_dedup_groups,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "linked_characters": q_linked_characters,
-        "linked_scale_characters": q_linked_scale_characters,
-        "polarity_edges": q_polarity_edges,
-        "speaker_edges": q_speaker_edges,
-        "winnow_fps": q_winnow_fps,
-        "mention_edges": q_mention_edges,
-        "dynamic_conversation": q_dynamic_conversation,
-        "character_names": q_character_names,
-        "bpe_tokens": q_bpe_tokens,
-        "global_characters": q_global_characters,
+        # Ordered so the driver's head-sampled correctness gate covers
+        # registry entries it has never verified in rounds 1-4 first
+        # (names and oracles unchanged; see VERDICT.md round-4 item 1).
         "kb_characters": q_kb_characters,
-        "winnow_dups": q_winnow_dups,
-        "stream_tokens": q_stream_tokens,
         "stream_triples": q_stream_triples,
         "stream_links": q_stream_links,
         "stream_dedup": q_stream_dedup,
-        "relation_edges": q_relation_edges,
         "entity_links": q_entity_links,
         "media_links": q_media_links,
-        "hypocorism_characters": q_hypocorism_characters,
-        "gendered_characters": q_gendered_characters,
-        "coref_characters": q_coref_characters,
-        "token_vocab": q_token_vocab,
-        "pattern_matches": q_pattern_matches,
-        "span_lineage": q_span_lineage,
-        "media_stats": q_media_stats,
-        "char_degrees": q_char_degrees,
         "char_pagerank": q_char_pagerank,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -5753,6 +5835,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_scores": q_transe_scores,
         "kg_ranks": q_kg_ranks,
         "kg_lp_metrics": q_kg_lp_metrics,
+        "kg_ranks_ann": q_kg_ranks_ann,
+        "kg_values": q_kg_values,
+        "kg_agg": q_kg_agg,
+        "kg_service": q_kg_service,
+        "token_counts": q_token_counts,
+        "naive_characters": q_naive_characters,
+        "graph_characters": q_graph_characters,
+        "scale_characters": q_scale_characters,
+        "cooccur_edges": q_cooccur_edges,
+        "triples": q_triples,
+        "kg_negatives": q_kg_negatives,
+        "alias_priors": q_alias_priors,
+        "relation_paths": q_relation_paths,
+        "kg_rules": q_kg_rules,
+        "char_salience": q_char_salience,
+        "mention_contexts": q_mention_contexts,
+        "priority_sample": q_priority_sample,
+        "edit_near_dups": q_edit_near_dups,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "shared_spans": q_shared_spans,
+        "graph_diff": q_graph_diff,
+        "exact_dedup": q_exact_dedup,
+        "dynamic_edges": q_dynamic_edges,
+        "edge_spans": q_edge_spans,
+        "cumulative_edges": q_cumulative_edges,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "language_id_multi": q_language_id_multi,
+        "fingerprints": q_fingerprints,
+        "minhash_bands": q_minhash_bands,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash_groups": q_simhash_groups,
+        "cosine_topk": q_cosine_topk,
+        "srp_ann_topk": q_srp_ann_topk,
+        "bm25_topk": q_bm25_topk,
+        "event_windows": q_event_windows,
+        "event_sliding": q_event_sliding,
+        "event_rolling": q_event_rolling,
+        "user_sessions": q_user_sessions,
+        "embedding_near_dups": q_embedding_near_dups,
+        "session_windows": q_session_windows,
+        "bio_entities": q_bio_entities,
+        "srp_multi_topk": q_srp_multi_topk,
+        "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
+        "capped_near_dups": q_capped_near_dups,
+        "dedup_groups": q_dedup_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "linked_characters": q_linked_characters,
+        "linked_scale_characters": q_linked_scale_characters,
+        "polarity_edges": q_polarity_edges,
+        "speaker_edges": q_speaker_edges,
+        "winnow_fps": q_winnow_fps,
+        "mention_edges": q_mention_edges,
+        "dynamic_conversation": q_dynamic_conversation,
+        "character_names": q_character_names,
+        "bpe_tokens": q_bpe_tokens,
+        "global_characters": q_global_characters,
+        "winnow_dups": q_winnow_dups,
+        "stream_tokens": q_stream_tokens,
+        "relation_edges": q_relation_edges,
+        "hypocorism_characters": q_hypocorism_characters,
+        "gendered_characters": q_gendered_characters,
+        "coref_characters": q_coref_characters,
+        "token_vocab": q_token_vocab,
+        "pattern_matches": q_pattern_matches,
+        "span_lineage": q_span_lineage,
+        "media_stats": q_media_stats,
+        "char_degrees": q_char_degrees,
     }
 
 
@@ -7443,6 +7594,85 @@ SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,
        lprk.n_cands::BIGINT AS n_cands
 FROM g JOIN lprk ON lprk.s = g.s AND lprk.p = g.p AND lprk.o = g.o
 """
+    # ANN-prefiltered ranks: candidate (s,p,cand) pairs are the ones
+    # sharing >= 1 full sign-bit band between q = h + r and the
+    # entity embedding t; survivors exactly scored and ranked. The
+    # oracle states the band predicate as EXISTS-over-bands (the
+    # Spark side materializes the same set via the band equi-join).
+    def _emb_i(ns: str, e: str, i: int) -> str:
+        # _emb with the component index inlined (the template's i.i
+        # comes from a range() lateral, which DuckDB cannot correlate)
+        return _emb.format(ns=ns, e=e).replace("i.i", str(i))
+
+    def _band_eq(b: int) -> str:
+        lo = b * ANN_BAND_BITS
+        hi = min((b + 1) * ANN_BAND_BITS, TRANSE_DIM)
+        bits = [
+            f"((({_emb_i('e:', 'pr.s', i)})"
+            f" + ({_emb_i('r:', 'pr.p', i)}) > 0)"
+            f" = (({_emb_i('e:', 'voc.cand', i)}) > 0))"
+            for i in range(lo, hi)
+        ]
+        return "(" + " AND ".join(bits) + ")"
+
+    _n_bands = -(-TRANSE_DIM // ANN_BAND_BITS)
+    _any_band = " OR ".join(_band_eq(b) for b in range(_n_bands))
+    kgrann_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+voc AS (SELECT o AS cand FROM g UNION SELECT s FROM g),
+pr AS (SELECT DISTINCT s, p FROM g),
+cand AS (
+  SELECT pr.s, pr.p, voc.cand
+  FROM pr, voc
+  WHERE {_any_band}
+),
+annsc AS (
+  SELECT s, p, cand,
+         {_transe_fp('cand.s', 'cand.p', 'cand.cand')} AS score_fp
+  FROM cand
+),
+annrk AS (
+  SELECT s, p, cand,
+         row_number() OVER (PARTITION BY s, p
+                            ORDER BY score_fp, cand) AS ann_rank
+  FROM annsc
+),
+annnc AS (
+  SELECT s, p, count(*)::BIGINT AS n_cands_ann FROM cand GROUP BY s, p
+)
+SELECT g.s, g.p, g.o,
+       annrk.ann_rank::BIGINT AS ann_rank,
+       coalesce(annnc.n_cands_ann, 0)::BIGINT AS n_cands_ann,
+       (annrk.ann_rank IS NOT NULL) AS retrieved
+FROM g
+LEFT JOIN annrk ON annrk.s = g.s AND annrk.p = g.p AND annrk.cand = g.o
+LEFT JOIN annnc ON annnc.s = g.s AND annnc.p = g.p
+"""
+    _kg_vals_rows = ", ".join(
+        f"('{r}', '{a}')" for r, a in KG_VALUES_BLOCK[1]
+    )
+    kgvalues_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT s AS a, p AS r, o AS b FROM g
+WHERE (p, s) IN ({_kg_vals_rows})
+"""
+    kgagg_sql = rel_ctes + """,
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT p AS r, count(*)::BIGINT AS n,
+       sum(length(o))::BIGINT AS sum_len,
+       round(avg(length(o)), 6) AS avg_len,
+       min(o) AS min_b, max(o) AS max_b
+FROM g GROUP BY p HAVING count(*) >= 1
+"""
+    _schema_rows = ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in RDFS_SCHEMA
+    )
+    kgservice_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+sch(ss, sp, so) AS (VALUES {_schema_rows})
+SELECT g.s AS a, g.p AS r, g.o AS b, sch.so AS sup
+FROM g JOIN sch ON sch.ss = g.p AND sch.sp = 'subPropertyOf'
+"""
     out = {
         "char_kcore": kc_sql,
         "char_corenums": cn_sql,
@@ -7670,6 +7900,10 @@ FROM v JOIN c ON c.user_id = v.user_id
 """,
         "transe_scores": transe_sql,
         "kg_ranks": kgrank_sql,
+        "kg_ranks_ann": kgrann_sql,
+        "kg_values": kgvalues_sql,
+        "kg_agg": kgagg_sql,
+        "kg_service": kgservice_sql,
         # the same rank table rolled up: MRR + hits@k per predicate
         "kg_lp_metrics": kgrank_sql.replace(
             """SELECT g.s, g.p, g.o, lprk.rank::BIGINT AS rank,

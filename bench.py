@@ -91,23 +91,56 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "narrative_docs": NARRATIVE_DOCS,
-                "cpus": cpus,
-                # shared-host transparency: external load during the
-                # run (1-min average at finish); readings >> our own
-                # thread count explain per-query outliers
-                "loadavg_end": os.getloadavg()[0],
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "narrative_docs": NARRATIVE_DOCS,
+        "cpus": cpus,
+        # shared-host transparency: external load during the
+        # run (1-min average at finish); readings >> our own
+        # thread count explain per-query outliers
+        "loadavg_end": os.getloadavg()[0],
+    }
+    # Full per-query record: stdout (for the judge / logs) AND a
+    # committed file, since the driver's artifact keeps only the last
+    # 2000 chars of output (BENCH_r04.json: the 204-query line outgrew
+    # that window and `parsed` came back null).
+    print(json.dumps(full))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "LAST_BENCH.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    # LAST line is a short, self-contained JSON summary guaranteed to
+    # fit the driver's 2000-char tail window: headline metric plus the
+    # slowest queries only (the ones that matter for perf review).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    short = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_note": "top-20 slowest of %d; full dict in BENCH/LAST_BENCH.json and the earlier stdout line" % len(timings),
+        "sf": sf_val,
+        "narrative_docs": NARRATIVE_DOCS,
+        "cpus": cpus,
+        "loadavg_end": os.getloadavg()[0],
+    }
+    line = json.dumps(short)
+    if len(line) > 1900:  # belt and braces: never outgrow the window
+        short.pop("queries")
+        line = json.dumps(short)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

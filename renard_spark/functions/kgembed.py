@@ -71,7 +71,13 @@ def score_triples(
     ``e:`` / ``r:`` so an entity and a relation with the same surface
     never collide). Adds ``transe_score`` (float64, exact in hash
     mode) and ``score_fp`` (the same score in 2^-32 fixed-point,
-    BIGINT — the hash-gate column)."""
+    BIGINT — the hash-gate column).
+
+    Table-embedding mode uses INNER joins: a triple whose subj/pred/obj
+    has no embedding row is DROPPED from the output (coverage loss is
+    the caller's contract to check — ``link_prediction_ranks`` does,
+    raising on missing entities; count a left-join's nulls if you need
+    the drop tally)."""
     if (entity_embeddings is None) != (relation_embeddings is None):
         raise ValueError(
             "supply both entity_embeddings and relation_embeddings, "
@@ -135,7 +141,32 @@ def link_prediction_ranks(
     ranked k-th best raw has exactly k−1 better-scoring true objects
     to discount, so ``filtered_rank = rank − (row_number among true
     objects by rank − 1)`` — one extra window over the TRUE rows only.
+
+    Input is treated as a triple SET: duplicate (subj, pred, obj) rows
+    are dropped up front (a duplicate would otherwise join the same
+    ranked row twice and double-discount the filtered rank). In
+    table-embedding mode every subj/pred/obj must have an embedding
+    row — missing names raise rather than silently shrinking the
+    candidate vocabulary and skewing ranks/n_cands (see
+    ``score_triples``).
     """
+    triples = triples.select("subj", "pred", "obj").distinct()
+    if entity_embeddings is not None:
+        known = entity_embeddings.select(F.col("name").alias("cand"))
+        missing = (
+            triples.select(F.col("subj").alias("cand"))
+            .unionByName(triples.select(F.col("obj").alias("cand")))
+            .distinct()
+            .join(F.broadcast(known), "cand", "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "entity %r in triples has no embedding row — ranks "
+                "would silently exclude it from the candidate "
+                "vocabulary" % missing[0][0]
+            )
     vocab = (
         triples.select(F.col("obj").alias("cand"))
         .unionByName(triples.select(F.col("subj").alias("cand")))
@@ -168,4 +199,149 @@ def link_prediction_ranks(
         F.col("rank").cast("long").alias("rank"),
         F.col("filtered_rank").cast("long").alias("filtered_rank"),
         F.col("n_cands").cast("long").alias("n_cands"),
+    )
+
+
+def link_prediction_ranks_ann(
+    triples: DataFrame,
+    dim: int = 8,
+    band_bits: int = 2,
+    entity_embeddings: DataFrame | None = None,
+    relation_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """ANN-prefiltered link prediction — the 100M-entity version of
+    ``link_prediction_ranks``. The exact protocol's |test pairs| ×
+    |entity vocabulary| product is fine for model-sized vocabularies
+    but not for a production KG with 10^8 entities; here the candidate
+    list per (subj, pred) query comes from a sign-bit LSH index
+    instead, and only the survivors are exactly scored and ranked
+    (the standard ANN-rerank serving layout, Johnson et al. '17).
+
+    Index: each entity embedding t is keyed by the SIGN BITS of its
+    components, split into ``ceil(dim / band_bits)`` bands (banded
+    SimHash/SRP with axis-aligned hyperplanes — deterministic, no
+    sampled projections, so the candidate set is reproducible
+    cross-engine). A query (subj, pred) with vector q = h + r probes
+    the same index; every entity sharing AT LEAST ONE full band with
+    q is a candidate. Smaller ``band_bits`` → higher recall, more
+    candidates (band collision prob for a random direction is
+    2^-band_bits per band).
+
+    Plan shape: band explode on both sides (n_bands rows per entity /
+    per query) → one EQUI-join on (band, bits) → distinct → exact
+    scoring of candidates only → one rank window per (subj, pred).
+    No cross join anywhere; per-band bucket sizes bound the fanout
+    exactly like the MinHash/SimHash dedup paths.
+
+    Output: one row per TRUE triple — ``ann_rank`` is the true
+    object's 1-based rank among the retrieved candidates (NULL when
+    the index missed it: that is the recall cost of ANN, measured by
+    ``retrieved``), ``n_cands_ann`` the retrieved-candidate count
+    (vs ``n_cands`` = whole vocabulary in the exact protocol).
+    ``avg(retrieved)`` over this table is the index's recall@index
+    against the exact protocol.
+
+    Embedding tables are injectable as in ``score_triples``; hash
+    mode (the oracle gate) derives both sides from md5 projections.
+    """
+    triples = triples.select("subj", "pred", "obj").distinct()
+    n_bands = -(-dim // band_bits)
+
+    if (entity_embeddings is None) != (relation_embeddings is None):
+        raise ValueError(
+            "supply both entity_embeddings and relation_embeddings, "
+            "or neither"
+        )
+
+    vocab = (
+        triples.select(F.col("obj").alias("cand"))
+        .unionByName(triples.select(F.col("subj").alias("cand")))
+        .distinct()
+    )
+    pairs = triples.select("subj", "pred").distinct()
+    if entity_embeddings is not None:
+        ee = F.broadcast(entity_embeddings.select("name", "vec"))
+        re_ = F.broadcast(relation_embeddings.select("name", "vec"))
+        vocab = vocab.join(
+            ee.select(F.col("name").alias("cand"), F.col("vec").alias("tvec")),
+            "cand",
+        )
+        pairs = (
+            pairs.join(
+                ee.select(F.col("name").alias("subj"), F.col("vec").alias("_h")),
+                "subj",
+            )
+            .join(
+                re_.select(F.col("name").alias("pred"), F.col("vec").alias("_r")),
+                "pred",
+            )
+            .withColumn("qvec", F.zip_with("_h", "_r", lambda a, b: a + b))
+            .drop("_h", "_r")
+        )
+    else:
+        vocab = vocab.withColumn(
+            "tvec", hash_embedding(F.col("cand"), dim, "e:")
+        )
+        pairs = pairs.withColumn(
+            "qvec",
+            F.zip_with(
+                hash_embedding(F.col("subj"), dim, "e:"),
+                hash_embedding(F.col("pred"), dim, "r:"),
+                lambda a, b: a + b,
+            ),
+        )
+
+    def _bands(vec: Column) -> Column:
+        bits = F.transform(
+            vec, lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(
+                    F.slice(bits, b * band_bits + 1, band_bits), ""
+                ).alias("bits"),
+            ),
+        )
+
+    ix = vocab.select(
+        "cand", F.explode(_bands(F.col("tvec"))).alias("bk")
+    ).select("cand", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    probes = pairs.select(
+        "subj", "pred", F.explode(_bands(F.col("qvec"))).alias("bk")
+    ).select(
+        "subj", "pred",
+        F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"),
+    )
+    cands = (
+        probes.join(ix, ["band", "bits"])
+        .select("subj", "pred", "cand")
+        .distinct()
+    )
+
+    scored = score_triples(
+        cands.select("subj", "pred", F.col("cand").alias("obj")),
+        dim=dim,
+        entity_embeddings=entity_embeddings,
+        relation_embeddings=relation_embeddings,
+    )
+    w = Window.partitionBy("subj", "pred")
+    ranked = scored.withColumn(
+        "ann_rank", F.row_number().over(w.orderBy("score_fp", "obj"))
+    ).select("subj", "pred", "obj", "ann_rank")
+    counts = cands.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands_ann")
+    )
+    return (
+        triples.join(ranked, ["subj", "pred", "obj"], "left")
+        .join(counts, ["subj", "pred"], "left")
+        .select(
+            "subj", "pred", "obj",
+            F.col("ann_rank").cast("long").alias("ann_rank"),
+            F.coalesce(F.col("n_cands_ann"), F.lit(0)).cast("long").alias(
+                "n_cands_ann"
+            ),
+            F.col("ann_rank").isNotNull().alias("retrieved"),
+        )
     )

@@ -397,6 +397,12 @@ def update_where(
     SET semantics without a corpus-wide distinct; that anti-join is
     the one corpus-side shuffle, and on a store bucketed by the triple
     key (io/catalog.BucketedCatalog) it plans exchange-free.
+
+    PRECONDITION: ``triples`` is a SET (distinct rows). Duplicate
+    store rows not matched by ``delete`` pass through ``kept``
+    unchanged (only the insert path deduplicates, via the anti-join),
+    so the post-update result is a set only when the input is. RDF
+    stores are sets by definition; dedupe upstream if yours is not.
     """
     if not delete and not insert:
         raise ValueError("update_where needs delete and/or insert templates")
@@ -462,6 +468,47 @@ def join_solutions(outer: DataFrame, inner: DataFrame) -> DataFrame:
             "or use an EXISTS gate instead"
         )
     return outer.join(inner, shared, "inner")
+
+
+def service_solutions(
+    outer: DataFrame,
+    endpoints: dict[str, DataFrame],
+    endpoint: str,
+    patterns: list[Pattern],
+    silent: bool = False,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL 1.1 Federated Query — ``SERVICE <endpoint> { pattern }``
+    (W3C sparql11-federated-query §2), with endpoints registered as a
+    name → triple-DataFrame mapping: in a lakehouse deployment each
+    "remote endpoint" is another catalog/Iceberg triple table, so
+    federation is pattern evaluation against THAT table followed by a
+    compatibility join with the outer group's bindings on the shared
+    variables — exactly ``join_solutions`` semantics, since BGP
+    outputs are fully bound.
+
+    ``SERVICE SILENT`` (spec §2.2): if the endpoint is unknown or its
+    evaluation fails, the service clause yields one solution with no
+    bindings — i.e. the outer bindings pass through unchanged, with
+    the service pattern's own variables left ABSENT (spec: unbound).
+    Without ``silent``, the failure propagates.
+
+    Scale shape: the service pattern evaluates bottom-up against the
+    endpoint table (its constants push down to that scan); the join
+    with the outer side is a plain equi-join on the shared variables,
+    AQE-broadcast when the service result is selective. A service
+    pattern sharing NO variable with the outer bindings is rejected
+    like any uncorrelated subquery (cartesian product).
+    """
+    try:
+        if endpoint not in endpoints:
+            raise KeyError(f"unknown SERVICE endpoint: {endpoint!r}")
+        inner = bgp_match(endpoints[endpoint], patterns, **bgp_kwargs)
+        return join_solutions(outer, inner)
+    except Exception:
+        if silent:
+            return outer
+        raise
 
 
 def select_solutions(

@@ -557,7 +557,7 @@ def srp_lsh_topk(
 
 def cosine_topk_arrow(
     emb: DataFrame, k: int = 5, vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", max_candidates: int = 1_000_000,
 ) -> DataFrame:
     """BLAS path for the exact brute-force baseline — same contract as
     ``cosine_topk`` (vec_id, neighbor_id, cosine, rank), built for the
@@ -570,10 +570,24 @@ def cosine_topk_arrow(
     for dense dims. Ties break (cosine desc, neighbor_id asc) like the
     JVM twin; numpy's SIMD summation can differ from the sequential
     fold in final ulps, so equality with the twin is up to ~1e-9 (the
-    pytest tolerance), not bit-exact."""
+    pytest tolerance), not bit-exact.
+
+    The bounded-candidate contract is ENFORCED: the collect below is
+    capped at ``max_candidates`` rows (default 1M ≈ a few GB of dense
+    doubles at d≤512) and raises rather than silently pulling a
+    corpus-scale table to the driver — corpus scope belongs to
+    ``cosine_topk`` / the LSH/IVF paths."""
     import numpy as np
     import pandas as pd
 
+    n = emb.limit(max_candidates + 1).count()
+    if n > max_candidates:
+        raise ValueError(
+            "cosine_topk_arrow is a bounded-candidate re-ranker: input "
+            "has > %d rows; use cosine_topk (blocked GEMM) or the "
+            "SRP/IVF ANN paths for corpus-scale search, or raise "
+            "max_candidates explicitly" % max_candidates
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     order = np.argsort(ids, kind="stable")

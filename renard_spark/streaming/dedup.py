@@ -89,7 +89,13 @@ def run_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_sec)
+    if not q.awaitTermination(await_sec):
+        # timeout with the query still running: reading state now
+        # would return a partial version — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"incremental dedup still running after {await_sec}s"
+        )
     versions = [
         int(d.split("=", 1)[1])
         for d in os.listdir(state_dir)
