@@ -5516,6 +5516,40 @@ def q_kg_ranks_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_ann_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side link-prediction summary over the ANN-prefiltered
+    rank table — what a production eval dashboard reports per
+    predicate: index recall (avg of ``retrieved``; the coverage the
+    ANN trades for not scoring the whole vocabulary), MRR and
+    hits@{1,3} with index MISSES counted as failures (rank = ∞), so
+    the numbers are directly comparable to kg_lp_metrics' exact
+    protocol. ONE groupBy downstream of the ANN table."""
+    from renard_spark.functions.kgembed import link_prediction_ranks_ann
+
+    ranks = link_prediction_ranks_ann(
+        _relation_triples(spark, sf_dir),
+        dim=TRANSE_DIM,
+        band_bits=ANN_BAND_BITS,
+    )
+    hit = F.col("retrieved")
+    return ranks.groupBy(F.col("pred").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.round(F.avg(hit.cast("double")), 6).alias("recall_index"),
+        F.round(
+            F.avg(
+                F.when(hit, F.lit(1.0) / F.col("ann_rank")).otherwise(0.0)
+            ),
+            6,
+        ).alias("mrr_ann"),
+        F.round(
+            F.avg((hit & (F.col("ann_rank") <= 1)).cast("double")), 6
+        ).alias("hits1_ann"),
+        F.round(
+            F.avg((hit & (F.col("ann_rank") <= 3)).cast("double")), 6
+        ).alias("hits3_ann"),
+    )
+
+
 # multi-variable VALUES block: restricts (?r, ?a) jointly — the
 # two-column inline-data form kg_select's single-variable block
 # doesn't exercise
@@ -5836,6 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ranks": q_kg_ranks,
         "kg_lp_metrics": q_kg_lp_metrics,
         "kg_ranks_ann": q_kg_ranks_ann,
+        "kg_ann_metrics": q_kg_ann_metrics,
         "kg_values": q_kg_values,
         "kg_agg": q_kg_agg,
         "kg_service": q_kg_service,
@@ -7648,6 +7683,31 @@ FROM g
 LEFT JOIN annrk ON annrk.s = g.s AND annrk.p = g.p AND annrk.cand = g.o
 LEFT JOIN annnc ON annnc.s = g.s AND annnc.p = g.p
 """
+    # ANN serving metrics: same CTE chain, final per-triple select
+    # wrapped as a CTE and grouped per predicate (misses count as
+    # rank-infinity failures — 0 contribution to MRR/hits)
+    kgannm_sql = kgrann_sql.replace(
+        """SELECT g.s, g.p, g.o,
+       annrk.ann_rank::BIGINT AS ann_rank,
+       coalesce(annnc.n_cands_ann, 0)::BIGINT AS n_cands_ann,
+       (annrk.ann_rank IS NOT NULL) AS retrieved
+FROM g
+LEFT JOIN annrk ON annrk.s = g.s AND annrk.p = g.p AND annrk.cand = g.o
+LEFT JOIN annnc ON annnc.s = g.s AND annnc.p = g.p""",
+        """SELECT g.p, count(*)::BIGINT AS n_triples,
+       round(avg(CASE WHEN annrk.ann_rank IS NOT NULL
+                 THEN 1.0 ELSE 0.0 END), 6) AS recall_index,
+       round(avg(CASE WHEN annrk.ann_rank IS NOT NULL
+                 THEN 1.0 / annrk.ann_rank ELSE 0.0 END), 6) AS mrr_ann,
+       round(avg(CASE WHEN annrk.ann_rank <= 1
+                 THEN 1.0 ELSE 0.0 END), 6) AS hits1_ann,
+       round(avg(CASE WHEN annrk.ann_rank <= 3
+                 THEN 1.0 ELSE 0.0 END), 6) AS hits3_ann
+FROM g
+LEFT JOIN annrk ON annrk.s = g.s AND annrk.p = g.p AND annrk.cand = g.o
+GROUP BY g.p""",
+    )
+    assert "GROUP BY g.p" in kgannm_sql
     _kg_vals_rows = ", ".join(
         f"('{r}', '{a}')" for r, a in KG_VALUES_BLOCK[1]
     )
@@ -7901,6 +7961,7 @@ FROM v JOIN c ON c.user_id = v.user_id
         "transe_scores": transe_sql,
         "kg_ranks": kgrank_sql,
         "kg_ranks_ann": kgrann_sql,
+        "kg_ann_metrics": kgannm_sql,
         "kg_values": kgvalues_sql,
         "kg_agg": kgagg_sql,
         "kg_service": kgservice_sql,
