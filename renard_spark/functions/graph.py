@@ -2383,20 +2383,21 @@ def temporal_reachability(
         F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
         F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
     )
-    # lazy checkpoints when the round count is fixed: lineage is
-    # truncated for planning either way (the state appears twice per
-    # round, so an unchecked plan doubles per round), but nothing
-    # forces a driver-side job per round — the final action executes
-    # the whole relaxation as one pipelined run. The fixpoint mode
-    # needs per-round counts, so there eager materialization is the
-    # round boundary anyway.
-    eager = iters is None
+    # cache strategy by round-count mode: with FIXED iters the lineage
+    # depth is bounded, so persist() is enough — it stops the
+    # state-appears-twice-per-round recompute blowup while letting the
+    # blocks flow out of the normal pipeline (no separate
+    # checkpoint-materialization work; the same swap measured 2.7x on
+    # textrank, PLANS.md round-5 A/B). The fixpoint mode keeps
+    # localCheckpoint: rounds are unbounded there, and its per-round
+    # count() is an eager materialization boundary anyway.
+    fixed = iters is not None
     sym = (
         e.select("d", "w", F.explode(both).alias("p"))
         .select("d", "w", "p.u", "p.v")
         .distinct()
-        .localCheckpoint(eager=eager)
     )
+    sym = sym.persist() if fixed else sym.localCheckpoint(eager=True)
     state = sources.select(
         F.col(doc).alias("d"),
         F.col(sources.columns[1]).alias("source"),
@@ -2417,10 +2418,12 @@ def temporal_reachability(
                 sym["v"].alias("node"), F.col("w").alias("arrive"),
             )
         )
+        state = grown.groupBy("d", "source", "node").agg(
+            F.min("arrive").alias("arrive")
+        )
         state = (
-            grown.groupBy("d", "source", "node")
-            .agg(F.min("arrive").alias("arrive"))
-            .localCheckpoint(eager=eager)
+            state.persist() if fixed
+            else state.localCheckpoint(eager=False)
         )
         if iters is None:
             sig = (state.count(), state.agg(F.sum("arrive")).first()[0])

@@ -1191,11 +1191,22 @@ def textrank_scores(
         sym.join(ow, ["_doc", "u"])
         .select("_doc", "u", "v", (F.col("w") / F.col("_sw")).alias("p"))
     )
+    # one explicit shuffle onto the round-join key: every iteration's
+    # ep-side join then reuses this partitioning instead of paying its
+    # own exchange
+    ep = ep.repartition("_doc", "u")
     nd = sym.select("_doc", F.col("u").alias("node")).distinct()
     nn = nd.groupBy("_doc").agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    # ep feeds every round, nn every round's teleport term — truncate
-    ep = ep.localCheckpoint(eager=True)
-    nn = nn.localCheckpoint(eager=True)
+    # ep feeds every round, nn every round's teleport term. iters is a
+    # FIXED small constant, so lineage depth is bounded — persist()
+    # (freed by ContextCleaner when the DF is dropped) is the right
+    # cache here; localCheckpoint's per-round RDD materialization was
+    # measured at 2.3x the whole query's remaining cost (PLANS.md
+    # round-5 A/B: 8.9 s -> 3.3 s at sf0.1). Checkpointing stays in
+    # the UNBOUNDED loops (cc, pagerank-until-convergence), where
+    # lineage truly grows without bound.
+    ep = ep.persist()
+    nn = nn.persist()
     pr = nd.join(nn, "_doc").select(
         "_doc", "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
@@ -1218,7 +1229,6 @@ def textrank_scores(
                     + damping * F.col("_s")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
     return pr.select(
         F.col("_doc").alias(id_col),
