@@ -3748,6 +3748,35 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first exact paragraph dedup
+    (functions/dedup.paragraph_dedup): same injected shared footers as
+    the boilerplate gate, but C4/RefinedWeb semantics — the FIRST
+    occurrence (min (doc_id, position)) of each duplicated line
+    survives, later copies are dropped. The winner is a map-side
+    combinable min-struct aggregation, not a hot-key window; the gate
+    hashes the reassembled text end-to-end."""
+    from renard_spark.functions.dedup import paragraph_dedup
+
+    docs = _spread(_documents(spark, sf_dir)).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit("\nshared footer alpha beta"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\neven docs footer")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = paragraph_dedup(docs)
+    return _long_doc_id(
+        out.select(
+            "doc_id", F.md5("clean_text").alias("clean_fp"),
+            "n_kept", "n_dropped",
+        )
+    )
+
+
 def q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture table (functions/text.mixture_stats): doc and
     token counts with corpus shares — what a training run samples its
@@ -5449,6 +5478,42 @@ def q_transe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distmult_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult bilinear-diagonal scoring over the same corpus triples
+    (functions/kgembed.score_triples model="distmult") — the symmetric
+    multiplicative family next to TransE's additive one, same
+    broadcast-join/hash-projection plumbing. Each hᵢ·rᵢ·tᵢ product is
+    rounded to 2^-32 fixed-point BEFORE summation, so the BIGINT gate
+    is bit-identical on any IEEE-754 engine regardless of summation
+    order (see kgembed._fp)."""
+    from renard_spark.functions.kgembed import score_triples
+
+    out = score_triples(
+        _relation_triples(spark, sf_dir), dim=TRANSE_DIM, model="distmult"
+    )
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"), "score_fp",
+    )
+
+
+def q_complex_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplEx scoring Re(<h, r, t̄>) over the corpus triples
+    (functions/kgembed.score_triples model="complex"): re/im halves of
+    the same hash-projection vectors, four per-half-dimension products
+    each per-term fixed-point rounded — the asymmetric-relation
+    upgrade of DistMult, gate-exact by the same argument."""
+    from renard_spark.functions.kgembed import score_triples
+
+    out = score_triples(
+        _relation_triples(spark, sf_dir), dim=TRANSE_DIM, model="complex"
+    )
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"), "score_fp",
+    )
+
+
 def q_kg_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction evaluation (functions/kgembed.
     link_prediction_ranks): every (subj, pred) scored against the full
@@ -5730,6 +5795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Ordered so the driver's head-sampled correctness gate covers
         # registry entries it has never verified in rounds 1-4 first
         # (names and oracles unchanged; see VERDICT.md round-4 item 1).
+        # Round-5 additions lead for the same reason.
+        "distmult_scores": q_distmult_scores,
+        "complex_scores": q_complex_scores,
+        "paragraph_dedup": q_paragraph_dedup,
         "kb_characters": q_kb_characters,
         "stream_triples": q_stream_triples,
         "stream_links": q_stream_links,
@@ -7604,6 +7673,50 @@ SELECT g.s, g.p, g.o,
   {_transe_fp('g.s', 'g.p', 'g.o')} AS score_fp
 FROM g
 """
+    # DistMult / ComplEx hash-mode scoring: same md5 projection; each
+    # PRODUCT term is rounded to 2^-32 fixed-point before the (then
+    # integer, order-immune) summation — see kgembed._fp. Parentheses
+    # mirror the Spark expressions' left-assoc multiply order exactly.
+    _emb_at = (
+        "(('0x' || substr(md5('{ns}' || {e} || ':' || ({ix})), 1, 8))"
+        "::BIGINT / 4294967296.0 - 0.5)"
+    )
+
+    def _dm_fp(s_expr: str, p_expr: str, o_expr: str) -> str:
+        return f"""(SELECT sum(round(
+      {_emb_at.format(ns='e:', e=s_expr, ix='i.i')}
+    * {_emb_at.format(ns='r:', e=p_expr, ix='i.i')}
+    * {_emb_at.format(ns='e:', e=o_expr, ix='i.i')}
+    * 4294967296.0)::BIGINT)::BIGINT
+   FROM range(0, {TRANSE_DIM}) AS i(i))"""
+
+    def _cx_fp(s_expr: str, p_expr: str, o_expr: str) -> str:
+        hr = _emb_at.format(ns="e:", e=s_expr, ix="i.i")
+        hi = _emb_at.format(ns="e:", e=s_expr, ix=f"i.i + {TRANSE_DIM // 2}")
+        rr = _emb_at.format(ns="r:", e=p_expr, ix="i.i")
+        ri = _emb_at.format(ns="r:", e=p_expr, ix=f"i.i + {TRANSE_DIM // 2}")
+        tr = _emb_at.format(ns="e:", e=o_expr, ix="i.i")
+        ti = _emb_at.format(ns="e:", e=o_expr, ix=f"i.i + {TRANSE_DIM // 2}")
+        s = "4294967296.0"
+        return f"""(SELECT sum(
+      round({hr} * {rr} * {tr} * {s})::BIGINT
+    + round({hi} * {rr} * {ti} * {s})::BIGINT
+    + round({hr} * {ri} * {ti} * {s})::BIGINT
+    - round({hi} * {ri} * {tr} * {s})::BIGINT
+   )::BIGINT FROM range(0, {TRANSE_DIM // 2}) AS i(i))"""
+
+    distmult_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT g.s, g.p, g.o,
+  {_dm_fp('g.s', 'g.p', 'g.o')} AS score_fp
+FROM g
+"""
+    complex_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re)
+SELECT g.s, g.p, g.o,
+  {_cx_fp('g.s', 'g.p', 'g.o')} AS score_fp
+FROM g
+"""
     # link-prediction ranks: score every (s, p) x entity candidate,
     # rank with the (score_fp, obj) tie-break, join back the positives
     kgrank_sql = rel_ctes + f""",
@@ -7959,6 +8072,32 @@ FROM v JOIN c ON c.user_id = v.user_id
  AND c.click_ts <= v.view_ts + INTERVAL {STREAM_JOIN_BOUND_H} HOUR
 """,
         "transe_scores": transe_sql,
+        "distmult_scores": distmult_sql,
+        "complex_scores": complex_sql,
+        "paragraph_dedup": """
+WITH aug AS (
+  SELECT doc_id, text || chr(10) || 'shared footer alpha beta' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'even docs footer' ELSE '' END AS t
+  FROM documents
+), p0 AS (
+  SELECT doc_id, u.piece, u.i
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM aug),
+       LATERAL (SELECT unnest(ps) AS piece,
+                       generate_subscripts(ps, 1) AS i) u
+  WHERE trim(piece) <> ''
+), fl AS (
+  SELECT doc_id, piece, i,
+         row_number() OVER (PARTITION BY piece ORDER BY doc_id, i) AS rn
+  FROM p0
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(piece, ' ' ORDER BY i) FILTER (rn = 1),
+                    '')) AS clean_fp,
+       count(*) FILTER (rn = 1)::BIGINT AS n_kept,
+       count(*) FILTER (rn > 1)::BIGINT AS n_dropped
+FROM fl GROUP BY doc_id
+""",
         "kg_ranks": kgrank_sql,
         "kg_ranks_ann": kgrann_sql,
         "kg_ann_metrics": kgannm_sql,

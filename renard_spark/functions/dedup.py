@@ -1189,3 +1189,65 @@ def threshold_sweep(
             2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
         ).alias("f1"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    split_re: str = r"\n+",
+    join_sep: str = " ",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide KEEP-FIRST exact paragraph dedup → (doc_id,
+    clean_text, n_kept, n_dropped): split every document into units
+    (lines by default), and for each distinct unit keep only its FIRST
+    occurrence in corpus order (min (doc_id, position)); later copies
+    are dropped and the survivors reassemble in original order. This
+    is the C4/RefinedWeb-style exact-duplicate removal that preserves
+    one canonical copy — the complement of ``remove_boilerplate``,
+    which drops EVERY copy of a frequent unit including the first.
+
+    Scale shape: the per-unit winner is a ``min(struct(doc_id, pos))``
+    AGGREGATION (map-side combinable — a unit repeated in millions of
+    docs still partial-aggregates before the shuffle, no hot-key
+    window), then one equi-join back on the unit to flag survivors;
+    the winner side is one row per distinct unit, so AQE's skew-join
+    split handles pathological hot units on the probe side. Reassembly
+    is the same per-doc sort-by-position aggregation as
+    ``remove_boilerplate``. Whitespace-only units are ignored on both
+    the dedup and reassembly paths.
+    """
+    pieces = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), split_re)).alias(
+            "_idx", "piece"
+        ),
+    ).filter(F.trim("piece") != "").localCheckpoint(eager=False)
+    winners = pieces.groupBy("piece").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("_idx").alias("i"))
+        ).alias("_w")
+    )
+    flagged = pieces.join(winners, "piece").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_w.d")) & (F.col("_idx") == F.col("_w.i")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_idx", "piece"))
+                    )
+                ),
+                lambda s: s["piece"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias(
+            "n_dropped"
+        ),
+    )

@@ -58,11 +58,73 @@ def transe_score(h: Column, r: Column, t: Column) -> Column:
     )
 
 
+def _fp(x: Column) -> Column:
+    """Round a float64 score term to 2^-32 fixed-point BIGINT.
+
+    Rounding each PRODUCT term before summation (not the final sum)
+    is what makes the multiplicative scorers below engine-exact: every
+    hash-mode component is a ≤32-bit dyadic rational (exactly
+    representable), so each IEEE-754 multiply is correctly rounded and
+    bit-identical on any compliant engine, and Spark's HALF_UP round
+    on doubles equals DuckDB's round-half-away-from-zero for every
+    representable input. After per-term rounding the remaining
+    arithmetic is integer — immune to summation order."""
+    return F.round(x * F.lit(_SCALE)).cast("long")
+
+
+def distmult_score_fp(h: Column, r: Column, t: Column) -> Column:
+    """DistMult bilinear-diagonal score <h, r, t> = Σᵢ hᵢ·rᵢ·tᵢ
+    (Yang et al., ICLR'15) over three equal-length array<double>
+    columns, emitted directly as the per-term-rounded 2^-32
+    fixed-point BIGINT (see ``_fp``; higher = more plausible).
+    Products are grouped ((h·r)·t) — the SQL left-assoc order — so
+    the oracle expression is literally the same float sequence."""
+    prod = F.zip_with(
+        F.zip_with(h, r, lambda a, b: a * b), t, lambda x, c: x * c
+    )
+    return F.aggregate(
+        prod, F.lit(0).cast("long"), lambda acc, x: acc + _fp(x)
+    )
+
+
+def complex_score_fp(h: Column, r: Column, t: Column, dim: int) -> Column:
+    """ComplEx score Re(<h, r, t̄>) (Trouillon et al., ICML'16): the
+    first ``dim/2`` array slots are real parts, the last ``dim/2``
+    imaginary. Per half-dimension i the four real-arithmetic products
+
+        Re(h)Re(r)Re(t) + Im(h)Re(r)Im(t)
+      + Re(h)Im(r)Im(t) − Im(h)Im(r)Re(t)
+
+    are each rounded to 2^-32 fixed-point and summed as BIGINTs
+    (higher = more plausible) — the asymmetric-relation upgrade of
+    DistMult, with the same engine-exactness argument as ``_fp``."""
+    if dim % 2:
+        raise ValueError("ComplEx needs an even dim (re/im halves)")
+    half = dim // 2
+
+    def el(vec: Column, i: Column) -> Column:
+        return F.element_at(vec, i + 1)
+
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(half - 1)),
+        lambda i: (
+            _fp(el(h, i) * el(r, i) * el(t, i))
+            + _fp(el(h, i + half) * el(r, i) * el(t, i + half))
+            + _fp(el(h, i) * el(r, i + half) * el(t, i + half))
+            - _fp(el(h, i + half) * el(r, i + half) * el(t, i))
+        ),
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 def score_triples(
     triples: DataFrame,
     dim: int = 8,
     entity_embeddings: DataFrame | None = None,
     relation_embeddings: DataFrame | None = None,
+    model: str = "transe",
 ) -> DataFrame:
     """Score (subj, pred, obj) triples with TransE. With embedding
     tables (``name``, ``vec array<double>``): three broadcast joins —
@@ -77,7 +139,17 @@ def score_triples(
     has no embedding row is DROPPED from the output (coverage loss is
     the caller's contract to check — ``link_prediction_ranks`` does,
     raising on missing entities; count a left-join's nulls if you need
-    the drop tally)."""
+    the drop tally).
+
+    ``model`` selects the scoring family over the same join/hash
+    plumbing: ``"transe"`` (L1 energy, lower = better),
+    ``"distmult"`` (bilinear diagonal, higher = better) or
+    ``"complex"`` (Re(<h, r, t̄>), higher = better). The score
+    column is named ``<model>_score``; ``score_fp`` is always the
+    2^-32 fixed-point BIGINT gate column (per-term-rounded for the
+    multiplicative models — see ``_fp``)."""
+    if model not in ("transe", "distmult", "complex"):
+        raise ValueError("model must be transe, distmult or complex")
     if (entity_embeddings is None) != (relation_embeddings is None):
         raise ValueError(
             "supply both entity_embeddings and relation_embeddings, "
@@ -101,11 +173,21 @@ def score_triples(
         h = hash_embedding(F.col("subj"), dim, "e:")
         r = hash_embedding(F.col("pred"), dim, "r:")
         t = hash_embedding(F.col("obj"), dim, "e:")
-    score = transe_score(h, r, t)
-    out = out.withColumn("transe_score", score).withColumn(
-        "score_fp", F.round(F.col("transe_score") * F.lit(_SCALE))
-        .cast("long")
-    )
+    if model == "transe":
+        out = out.withColumn("transe_score", transe_score(h, r, t))
+        out = out.withColumn(
+            "score_fp",
+            F.round(F.col("transe_score") * F.lit(_SCALE)).cast("long"),
+        )
+    else:
+        fp = (
+            distmult_score_fp(h, r, t)
+            if model == "distmult"
+            else complex_score_fp(h, r, t, dim)
+        )
+        out = out.withColumn("score_fp", fp).withColumn(
+            f"{model}_score", F.col("score_fp") / F.lit(_SCALE)
+        )
     return out.drop("_h", "_r", "_t")
 
 
