@@ -5514,6 +5514,23 @@ def q_complex_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the TransE / DistMult / ComplEx
+    scores over the corpus triples (functions/kgembed.rank_fusion):
+    per-predicate ranks from each family plus the fused
+    Σ round(2^32/(60+rank)) consensus score — the KG-curation review
+    queue. One narrow scoring pass (the models share the hash
+    projections) and one exchange reused by all three rank windows."""
+    from renard_spark.functions.kgembed import rank_fusion
+
+    out = rank_fusion(_relation_triples(spark, sf_dir), dim=TRANSE_DIM)
+    return out.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"),
+        F.col("obj").alias("o"),
+        "rank_transe", "rank_distmult", "rank_complex", "rrf_fp",
+    )
+
+
 def q_kg_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction evaluation (functions/kgembed.
     link_prediction_ranks): every (subj, pred) scored against the full
@@ -5798,6 +5815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-5 additions lead for the same reason.
         "distmult_scores": q_distmult_scores,
         "complex_scores": q_complex_scores,
+        "kg_rank_fusion": q_kg_rank_fusion,
         "paragraph_dedup": q_paragraph_dedup,
         "kb_characters": q_kb_characters,
         "stream_triples": q_stream_triples,
@@ -7717,6 +7735,33 @@ SELECT g.s, g.p, g.o,
   {_cx_fp('g.s', 'g.p', 'g.o')} AS score_fp
 FROM g
 """
+    # RRF fusion: per-predicate ranks from each family (TransE asc,
+    # DistMult/ComplEx desc, (s, o) tie-break), fused as per-term
+    # rounded 2^-32 reciprocal ranks — integer-exact like the scores
+    rrf_sql = rel_ctes + f""",
+g AS (SELECT DISTINCT subj_char AS s, rel AS p, obj_char AS o FROM re),
+sc AS (
+  SELECT s, p, o,
+    {_transe_fp('s', 'p', 'o')} AS ft,
+    {_dm_fp('s', 'p', 'o')} AS fd,
+    {_cx_fp('s', 'p', 'o')} AS fc
+  FROM g
+), rkf AS (
+  SELECT s, p, o,
+    row_number() OVER (PARTITION BY p ORDER BY ft, s, o)::BIGINT
+      AS rank_transe,
+    row_number() OVER (PARTITION BY p ORDER BY fd DESC, s, o)::BIGINT
+      AS rank_distmult,
+    row_number() OVER (PARTITION BY p ORDER BY fc DESC, s, o)::BIGINT
+      AS rank_complex
+  FROM sc
+)
+SELECT s, p, o, rank_transe, rank_distmult, rank_complex,
+  (round(4294967296.0 / (60.0 + rank_transe))::BIGINT
+   + round(4294967296.0 / (60.0 + rank_distmult))::BIGINT
+   + round(4294967296.0 / (60.0 + rank_complex))::BIGINT) AS rrf_fp
+FROM rkf
+"""
     # link-prediction ranks: score every (s, p) x entity candidate,
     # rank with the (score_fp, obj) tie-break, join back the positives
     kgrank_sql = rel_ctes + f""",
@@ -8074,6 +8119,7 @@ FROM v JOIN c ON c.user_id = v.user_id
         "transe_scores": transe_sql,
         "distmult_scores": distmult_sql,
         "complex_scores": complex_sql,
+        "kg_rank_fusion": rrf_sql,
         "paragraph_dedup": """
 WITH aug AS (
   SELECT doc_id, text || chr(10) || 'shared footer alpha beta' ||

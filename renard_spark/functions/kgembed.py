@@ -427,3 +427,57 @@ def link_prediction_ranks_ann(
             F.col("ann_rank").isNotNull().alias("retrieved"),
         )
     )
+
+
+def rank_fusion(
+    triples: DataFrame, dim: int = 8, k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the three
+    scoring families over one triple table → (subj, pred, obj,
+    rank_transe, rank_distmult, rank_complex, rrf_fp): each model
+    ranks the distinct triples WITHIN their predicate group (TransE
+    ascending — lower energy is better; DistMult/ComplEx descending),
+    and the fused score Σₘ 1/(k + rankₘ) orders candidate facts for
+    KG-curation review by model consensus.
+
+    Hash mode computes all three scores in ONE narrow pass over the
+    triple table (no joins — the scorers share the md5 projections),
+    then one shuffle on the predicate for the three rank windows
+    (same partition key → Catalyst reuses the exchange). ``rrf_fp``
+    is Σₘ round(2^32 / (k + rankₘ)) as BIGINT — per-term-rounded
+    integer arithmetic, engine-exact like the score gates. Ties
+    within a model break on (subj, obj) so ranks are deterministic.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    h = hash_embedding(F.col("subj"), dim, "e:")
+    r = hash_embedding(F.col("pred"), dim, "r:")
+    tt = hash_embedding(F.col("obj"), dim, "e:")
+    sc = t.select(
+        "subj", "pred", "obj",
+        F.round(transe_score(h, r, tt) * F.lit(_SCALE)).cast("long")
+        .alias("_ft"),
+        distmult_score_fp(h, r, tt).alias("_fd"),
+        complex_score_fp(h, r, tt, dim).alias("_fc"),
+    )
+    w = Window.partitionBy("pred")
+    ranked = sc.select(
+        "subj", "pred", "obj",
+        F.row_number().over(w.orderBy("_ft", "subj", "obj"))
+        .cast("long").alias("rank_transe"),
+        F.row_number().over(
+            w.orderBy(F.col("_fd").desc(), "subj", "obj")
+        ).cast("long").alias("rank_distmult"),
+        F.row_number().over(
+            w.orderBy(F.col("_fc").desc(), "subj", "obj")
+        ).cast("long").alias("rank_complex"),
+    )
+
+    def _rr(c: str):
+        return F.round(
+            F.lit(_SCALE) / (F.lit(float(k)) + F.col(c))
+        ).cast("long")
+
+    return ranked.withColumn(
+        "rrf_fp",
+        _rr("rank_transe") + _rr("rank_distmult") + _rr("rank_complex"),
+    )

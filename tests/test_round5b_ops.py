@@ -124,3 +124,30 @@ def test_paragraph_dedup_within_doc_and_order(spark):
     # survivors keep original order
     assert row["clean_text"] == "x y"
     assert (row["n_kept"], row["n_dropped"]) == (2, 2)
+
+
+def test_rank_fusion_ranks_are_permutations_and_fused(spark):
+    from renard_spark.functions.kgembed import rank_fusion
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+         ("a", "q", "c"), ("a", "p", "b")],  # dup collapses
+        "subj string, pred string, obj string",
+    )
+    rows = rank_fusion(t, dim=8).collect()
+    assert len(rows) == 4
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["pred"], []).append(r)
+    # each model's ranks are a 1..n permutation within the predicate
+    for pred, grp in by_pred.items():
+        n = len(grp)
+        for col in ("rank_transe", "rank_distmult", "rank_complex"):
+            assert sorted(r[col] for r in grp) == list(range(1, n + 1))
+    # fused score is exactly the per-term rounded reciprocal-rank sum
+    for r in rows:
+        want = sum(
+            round(4294967296.0 / (60.0 + r[c]))
+            for c in ("rank_transe", "rank_distmult", "rank_complex")
+        )
+        assert r["rrf_fp"] == want
