@@ -2579,6 +2579,25 @@ def q_char_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gmetrics.label_propagation(ge, iters=LPA_ITERS)
 
 
+LOUVAIN_ITERS = 2
+
+
+def q_char_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain-style modularity moves on the same
+    sparsified global character network as char_communities
+    (functions/graph.louvain_moves): integer-exact gain comparisons
+    2m·k_uC − k_u·Σtot'_C, smallest-community tie-break, two rounds —
+    the oracle unrolls the identical integer arithmetic."""
+    from renard_spark.functions import graph as gmetrics
+
+    unified = unify.naive_unify(_mentions(spark, sf_dir))
+    mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
+    edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
+    ge = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ge = _sparsify_above_mean(ge, factor=1.03)
+    return gmetrics.louvain_moves(ge, iters=LOUVAIN_ITERS)
+
+
 MAX_SPAN_LEN = 2
 
 
@@ -5816,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distmult_scores": q_distmult_scores,
         "complex_scores": q_complex_scores,
         "kg_rank_fusion": q_kg_rank_fusion,
+        "char_louvain": q_char_louvain,
         "paragraph_dedup": q_paragraph_dedup,
         "kb_characters": q_kb_characters,
         "stream_triples": q_stream_triples,
@@ -6344,6 +6364,55 @@ FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.node = h.node
     # synchronous weighted LPA, rounds unrolled; same sparsified graph
     # as char_triangles, same deterministic (max weight-sum, min label)
     # argmax as functions/graph.py label_propagation
+    louvain_sql = edges_ctes + """,
+eg AS (
+  SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         count(*)::DOUBLE AS wt
+  FROM pairs WHERE t1 <> t2
+  GROUP BY least(t1, t2), greatest(t1, t2)
+),
+ef AS (SELECT a, b, wt FROM eg
+       WHERE wt >= (SELECT avg(wt) * 1.03 FROM eg)),
+symi AS (SELECT a AS u, b AS v, wt::BIGINT AS w FROM ef
+         UNION ALL SELECT b, a, wt::BIGINT FROM ef),
+dg AS (SELECT u, sum(w)::BIGINT AS k FROM symi GROUP BY u),
+mm AS (SELECT sum(k)::BIGINT AS m2 FROM dg),
+s0 AS (SELECT u AS node, u AS comm, k FROM dg)"""
+    for i in range(LOUVAIN_ITERS):
+        louvain_sql += f""",
+tot{i + 1} AS (SELECT comm, sum(k)::BIGINT AS tot, count(*)::BIGINT AS cnt
+               FROM s{i} GROUP BY comm),
+kuc{i + 1} AS (
+  SELECT s.u, st.comm AS c, sum(s.w)::BIGINT AS kuc
+  FROM symi s JOIN s{i} st ON st.node = s.v GROUP BY s.u, st.comm),
+cand{i + 1} AS (
+  SELECT u, c, max(kuc)::BIGINT AS kuc FROM (
+    SELECT u, c, kuc FROM kuc{i + 1}
+    UNION ALL SELECT node, comm, 0 FROM s{i}
+  ) GROUP BY u, c),
+s{i + 1} AS (
+  SELECT node,
+         CASE WHEN cur_cnt = 1 AND c_cnt = 1 AND best > cur
+              THEN cur ELSE best END AS comm, k
+  FROM (
+    SELECT cd.u AS node, cd.c AS best, st.comm AS cur, d.k,
+           t.cnt AS c_cnt, tu.cnt AS cur_cnt
+    FROM cand{i + 1} cd
+    JOIN s{i} st ON st.node = cd.u
+    JOIN tot{i + 1} t ON t.comm = cd.c
+    JOIN tot{i + 1} tu ON tu.comm = st.comm
+    JOIN dg d ON d.u = cd.u
+    CROSS JOIN mm
+    QUALIFY row_number() OVER (
+      PARTITION BY cd.u
+      ORDER BY (mm.m2 * cd.kuc
+                - st.k * (t.tot - CASE WHEN cd.c = st.comm
+                                       THEN st.k ELSE 0 END)) DESC,
+               cd.c ASC) = 1))"""
+    louvain_sql += f"""
+SELECT node, comm AS community FROM s{LOUVAIN_ITERS}
+"""
+
     lpa_sql = edges_ctes + """,
 eg AS (
   SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
@@ -8049,6 +8118,7 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) WHERE r <= """ + str(QUOTA_N) + "\n",
         "char_communities": lpa_sql,
+        "char_louvain": louvain_sql,
         "char_modularity": mod_sql,
         "char_assort": as_sql,
         "char_degrees": edges_ctes + """,

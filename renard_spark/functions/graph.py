@@ -2486,3 +2486,133 @@ def grouped_transitive_closure(
         F.col("a").alias(src),
         F.col("b").alias(dst),
     )
+
+
+def louvain_moves(
+    edges: DataFrame, iters: int = 2, src: str = "src",
+    dst: str = "dst", weight: str | None = "weight",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by deterministic SYNCHRONOUS Louvain-style
+    modularity moves → (node, community) — the modularity-gain upgrade
+    of ``label_propagation`` (Blondel et al. '08 local-move phase, in
+    the synchronous parallel form of Grappolo/distributed-Louvain
+    implementations).
+
+    Every node starts in its own community; each round EVERY node
+    evaluates, for each community C held by a neighbor (plus its
+    current one), the modularity gain of joining C and moves to the
+    argmax. With integer edge weights the gain comparison is done in
+    EXACT integer arithmetic: comparing ΔQ across candidates scales to
+
+        score(u, C) = 2m·k_{u,C} − k_u·Σtot'_C
+
+    (k_{u,C} = weight from u into C, Σtot'_C = total degree of C with
+    u removed from its own community, 2m = total weight-degree sum) —
+    no floats anywhere, so ranks are bit-identical on any engine and
+    the DuckDB oracle unrolls the identical rounds. Ties break toward
+    the smallest community id. Synchronous all-at-once moves would
+    endlessly SWAP labels between symmetric singletons (a adopts b
+    while b adopts a), so the standard distributed-Louvain guard
+    (Grappolo's swap prevention, Lu et al. ParCo'15) applies: a node
+    whose current community is a singleton only moves into another
+    SINGLETON community when the target id is smaller — the merge
+    still happens, in exactly one direction.
+
+    Scale shape per round: one equi-join of the community vector onto
+    the symmetric edge list + one (u, C) aggregation (map-side
+    combinable), one community-degree aggregation (|communities|
+    rows), one broadcast 1-row 2m scalar, and one per-node argmax
+    window whose group size is bounded by the node's degree. Lineage
+    is truncated every ``checkpoint_every`` rounds like the other
+    iterative loops.
+    """
+    sym = (
+        symmetrize(edges, src, dst, weight)
+        .select("u", "v", F.col("w").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
+    m2 = deg.agg(F.sum("k").alias("m2"))  # = 2m, one row
+    state = deg.select(
+        F.col("u").alias("node"), F.col("u").alias("comm"), "k"
+    )
+    argmax = Window.partitionBy("u").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    for i in range(iters):
+        tot = state.groupBy("comm").agg(
+            F.sum("k").alias("tot"), F.count(F.lit(1)).alias("cnt")
+        )
+        kuc = (
+            sym.join(
+                state.select(
+                    F.col("node").alias("v"), F.col("comm").alias("c")
+                ),
+                "v",
+            )
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("kuc"))
+        )
+        cand = (
+            kuc.unionByName(
+                state.select(
+                    F.col("node").alias("u"), F.col("comm").alias("c"),
+                    F.lit(0).cast("long").alias("kuc"),
+                )
+            )
+            .groupBy("u", "c")
+            .agg(F.max("kuc").alias("kuc"))
+        )
+        scored = (
+            cand.join(
+                state.select(
+                    F.col("node").alias("u"), F.col("comm").alias("cur"),
+                    "k",
+                ),
+                "u",
+            )
+            .join(
+                tot.select(
+                    F.col("comm").alias("c"), "tot",
+                    F.col("cnt").alias("c_cnt"),
+                ),
+                "c",
+            )
+            .join(
+                tot.select(
+                    F.col("comm").alias("cur"),
+                    F.col("cnt").alias("cur_cnt"),
+                ),
+                "cur",
+            )
+            .crossJoin(F.broadcast(m2))
+            .withColumn(
+                "score",
+                F.col("m2") * F.col("kuc")
+                - F.col("k")
+                * (
+                    F.col("tot")
+                    - F.when(
+                        F.col("c") == F.col("cur"), F.col("k")
+                    ).otherwise(F.lit(0))
+                ),
+            )
+        )
+        state = (
+            scored.withColumn("_rn", F.row_number().over(argmax))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("u").alias("node"),
+                F.when(
+                    (F.col("cur_cnt") == 1)
+                    & (F.col("c_cnt") == 1)
+                    & (F.col("c") > F.col("cur")),
+                    F.col("cur"),
+                ).otherwise(F.col("c")).alias("comm"),
+                "k",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            state = state.localCheckpoint(eager=True)
+    return state.select("node", F.col("comm").alias("community"))

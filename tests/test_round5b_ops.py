@@ -151,3 +151,38 @@ def test_rank_fusion_ranks_are_permutations_and_fused(spark):
             for c in ("rank_transe", "rank_distmult", "rank_complex")
         )
         assert r["rrf_fp"] == want
+
+
+def test_louvain_moves_separates_cliques(spark):
+    from renard_spark.functions.graph import louvain_moves
+
+    # two triangles bridged by one weak edge — the canonical
+    # two-community graph; after two synchronous rounds each triangle
+    # must share one community and the bridge must NOT merge them
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "c", 3), ("a", "c", 3),
+            ("x", "y", 3), ("y", "z", 3), ("x", "z", 3),
+            ("c", "x", 1),
+        ],
+        "src string, dst string, weight long",
+    )
+    out = {r["node"]: r["community"] for r in louvain_moves(edges, iters=2).collect()}
+    assert len(out) == 6
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+
+
+def test_louvain_moves_partition_invariant(spark):
+    from renard_spark.functions.graph import louvain_moves
+
+    edges = spark.createDataFrame(
+        [("n%d" % i, "n%d" % ((i * 7 + 1) % 20), 1 + i % 3)
+         for i in range(40)],
+        "src string, dst string, weight long",
+    ).filter("src <> dst")
+    a = sorted(map(tuple, louvain_moves(edges, iters=2).collect()))
+    b = sorted(map(tuple,
+                   louvain_moves(edges.repartition(13), iters=2).collect()))
+    assert a == b  # integer scores + explicit tie-breaks → layout-proof
