@@ -156,6 +156,14 @@ def cooccurring_pairs(
         .drop("_b0", "_b1")
     )
     mm = m.withColumn("bucket", F.floor(F.col("start_idx") / W))
+    # (mention, block) containment rows. Each pair matches on exactly
+    # ONE bucket row — the mention's start bucket (bs <= start <= be
+    # implies floor(start/W) lies in the block's replicated bucket
+    # range, and mm carries a single bucket per mention) — and the
+    # block side is already deduplicated on (keys, bs, be), so rows
+    # are unique per (keys, mi, bs, be) by construction: no dedup
+    # needed here (the old dropDuplicates was a no-op that cost a
+    # SortAggregate + Exchange pair).
     mb = mm.alias("m").join(
         b.alias("b"),
         [F.col(f"m.{k}") == F.col(f"b.{k}") for k in keys]
@@ -171,7 +179,13 @@ def cooccurring_pairs(
         F.col("m.start_idx").alias("start_idx"),
         F.col("b.bs").alias("bs"),
         F.col("b.be").alias("be"),
-    ).dropDuplicates(keys + ["mi", "bs", "be"])
+    )
+    # the self-join consumes mb TWICE: persist so the containment join
+    # (scan → tokenize → NER → window → bucket join) runs once and the
+    # second reference reads the cached mention-block table (mention-
+    # scale rows, MEMORY_AND_DISK — spills, never OOMs). Freed by the
+    # ContextCleaner when the query's DataFrames are dropped.
+    mb = mb.persist()
     x, y = mb.alias("x"), mb.alias("y")
     return (
         x.join(
@@ -192,7 +206,12 @@ def cooccurring_pairs(
             F.col("x.start_idx").alias("start1"),
             F.col("y.start_idx").alias("start2"),
         )
-        .dropDuplicates(keys + ["mi1", "mi2"])
+        # a mention pair can co-occur in several blocks; char1/char2/
+        # start1/start2 are attributes of mi1/mi2, so distinct() over
+        # the full row == the old dropDuplicates(keys+[mi1,mi2]) —
+        # but compiles to a HashAggregate (pure group-by, no first()
+        # payload aggregates forcing a SortAggregate + double sort)
+        .distinct()
     )
 
 
@@ -215,6 +234,11 @@ def cooccurrence_edges(
     """
     keys = _keys(group_col)
     m = mention_index(mentions_df, group_col)
+    if blocks_df is None:
+        # blocks derive from m, so m feeds BOTH join sides — persist it
+        # (mention-scale, MEMORY_AND_DISK) so the tokenize→NER→window
+        # prefix computes once instead of once per side
+        m = m.persist()
     if blocks_df is not None:
         blocks = blocks_df
         bw = bucket_width or 512

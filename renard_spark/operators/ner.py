@@ -83,22 +83,27 @@ def dictionary_ner(
     tokens_df: DataFrame, gazetteer: DataFrame | list[str], tag: str = "PER"
 ) -> DataFrame:
     """Single-token gazetteer tagger. ``gazetteer``: list of surface
-    forms or a DataFrame with a ``name`` column (broadcast-joined)."""
-    spark = tokens_df.sparkSession
-    if isinstance(gazetteer, list):
-        gazetteer = spark.createDataFrame([(g,) for g in gazetteer], ["name"])
-    return (
-        tokens_df.join(
-            F.broadcast(gazetteer), tokens_df["token"] == gazetteer["name"]
-        )
-        .select(
-            "doc_id",
-            F.col("tok_idx").alias("start_idx"),
-            (F.col("tok_idx") + 1).alias("end_idx"),
-            F.col("token").alias("mention_str"),
-            F.lit(tag).alias("tag"),
-        )
+    forms (compiled to a literal ``isin`` predicate — fully codegen'd,
+    no broadcast build/exchange) or a DataFrame with a ``name`` column
+    (broadcast-joined)."""
+    sel = (
+        "doc_id",
+        F.col("tok_idx").alias("start_idx"),
+        (F.col("tok_idx") + 1).alias("end_idx"),
+        F.col("token").alias("mention_str"),
+        F.lit(tag).alias("tag"),
     )
+    if isinstance(gazetteer, list):
+        # literal membership filter == the equi-join on a distinct name
+        # list (both keep exactly the tokens whose surface is in the
+        # gazetteer); the filter pushes into the scan-side stage and
+        # skips the broadcast exchange + non-codegen ExistingRDD scan
+        return tokens_df.filter(
+            F.col("token").isin(sorted(set(gazetteer)))
+        ).select(*sel)
+    return tokens_df.join(
+        F.broadcast(gazetteer), tokens_df["token"] == gazetteer["name"]
+    ).select(*sel)
 
 
 def normalize_tags(

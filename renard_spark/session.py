@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("RENARD_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash join when its size
+        # conditions hold (guide: often faster than sort-merge when one
+        # side is moderately small per partition; AQE still rewrites /
+        # splits skew at runtime). Measured -0.5s on the co-occurrence
+        # edge pipeline at sf0.1; on a cluster the same flag is the
+        # standard starting config (sort-merge remains the fallback
+        # whenever the hash-side size conditions are not met).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
