@@ -598,11 +598,22 @@ def _spread(df: DataFrame) -> DataFrame:
     production scale the scan already has >= parallelism splits and the
     repartition — which WOULD be a full shuffle of the corpus text —
     is skipped entirely. Driver-query-local; the pipeline facades never
-    call this."""
+    call this.
+
+    HASH-partitioned by doc_id (not round-robin): every downstream
+    stage of these queries keys on doc_id first (per-doc windows,
+    block dedup, containment/self joins, per-doc aggregations), and a
+    hash(doc_id) partitioning SATISFIES any clustering requirement
+    whose keys start with doc_id — so the whole per-document pipeline
+    reuses this one exchange instead of re-shuffling at every step
+    (guide §2.4: establish the partitioning once). Round-robin gave
+    none of that and additionally paid the sort-before-repartition
+    pass. doc_id is unique per row, so the spread is as even as
+    round-robin at any scale."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
-    return df.repartition(par)
+    return df.repartition(par, F.col("doc_id"))
 
 
 def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:

@@ -180,12 +180,15 @@ def cooccurring_pairs(
         F.col("b.bs").alias("bs"),
         F.col("b.be").alias("be"),
     )
-    # the self-join consumes mb TWICE: persist so the containment join
-    # (scan → tokenize → NER → window → bucket join) runs once and the
-    # second reference reads the cached mention-block table (mention-
-    # scale rows, MEMORY_AND_DISK — spills, never OOMs). Freed by the
-    # ContextCleaner when the query's DataFrames are dropped.
-    mb = mb.persist()
+    # the self-join consumes mb TWICE — deliberately left LAZY (no
+    # persist, no localCheckpoint): the two sides are identical plans,
+    # so the shuffle feeding them is one exchange reused at runtime
+    # (AQE exchange reuse), while persist() would register the plan in
+    # the session CacheManager where an identical prefix from a LATER
+    # query could silently serve cross-query results, and
+    # localCheckpoint() erases the output partitioning
+    # (UnknownPartitioning) and forces BOTH self-join sides through a
+    # fresh full exchange — measured strictly slower.
     x, y = mb.alias("x"), mb.alias("y")
     return (
         x.join(
@@ -234,11 +237,6 @@ def cooccurrence_edges(
     """
     keys = _keys(group_col)
     m = mention_index(mentions_df, group_col)
-    if blocks_df is None:
-        # blocks derive from m, so m feeds BOTH join sides — persist it
-        # (mention-scale, MEMORY_AND_DISK) so the tokenize→NER→window
-        # prefix computes once instead of once per side
-        m = m.persist()
     if blocks_df is not None:
         blocks = blocks_df
         bw = bucket_width or 512
