@@ -52,6 +52,8 @@ def cmd_time(args: list[str]) -> None:
         sys.exit(2)
     # warm-up: same as bench.py (workers + codegen caches)
     run_to_completion(entrymod.entry(spark))
+    import gc
+
     out: dict[str, float] = {}
     for name in names:
         best = None
@@ -61,9 +63,43 @@ def cmd_time(args: list[str]) -> None:
             run_to_completion(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # bench.py parity: release checkpoint blocks between runs
+            gc.collect()
         out[name] = round(best, 3)
         print(f"{name:28s} {best:7.3f}s", flush=True)
     print(json.dumps({"total": round(sum(out.values()), 3), "queries": out}))
+
+
+def cmd_jobs(args: list[str]) -> None:
+    """Noise-free structural profile: execute each query once and
+    report exact job / stage / task counts plus summed task time (the
+    shared-host steal bursts disturb wall-clock, not these)."""
+    import gc
+
+    spark = _spark()
+    sf_dir = _sf_dir()
+    qs = entrymod.queries()
+    names = args or list(qs)
+    run_to_completion(entrymod.entry(spark))
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    out = {}
+    for name in names:
+        before_jobs = jsc.dagScheduler().nextJobId()
+        before_stages = jsc.dagScheduler().nextStageId()
+        t0 = time.perf_counter()
+        run_to_completion(qs[name](spark, sf_dir))
+        wall = time.perf_counter() - t0
+        jobs = jsc.dagScheduler().nextJobId() - before_jobs
+        stages = jsc.dagScheduler().nextStageId() - before_stages
+        out[name] = {"jobs": jobs, "stages": stages, "wall": round(wall, 2)}
+        print(
+            f"{name:28s} jobs={jobs:4d} stages={stages:4d}"
+            f" wall={wall:7.2f}s",
+            flush=True,
+        )
+        gc.collect()
+    print(json.dumps(out))
 
 
 def cmd_explain(args: list[str]) -> None:
@@ -137,6 +173,8 @@ if __name__ == "__main__":
     rest = sys.argv[2:]
     if cmd == "time":
         cmd_time(rest)
+    elif cmd == "jobs":
+        cmd_jobs(rest)
     elif cmd == "explain":
         cmd_explain(rest)
     elif cmd == "prefix":

@@ -91,7 +91,11 @@ def pagerank(
     sym = symmetrize(edges, src, dst, weight)
     # out-strength per node, folded onto the edge list ONCE before the
     # loop (the edge list is iteration-invariant — checkpoint it so
-    # each round re-reads a materialized table, not the whole lineage)
+    # each round re-reads a materialized table, not the whole lineage);
+    # each round's e-side exchange is an identical subtree over the
+    # checkpointed leaf, so AQE exchange reuse computes it once and the
+    # explicit repartition alternative only pins the partition count
+    # against AQE coalescing (measured slower)
     ow = sym.groupBy("u").agg(F.sum("w").alias("sw"))
     e = (
         sym.join(ow, "u")
@@ -104,6 +108,13 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # the rank vector flows through ONE join + ONE aggregation per
+    # round (a linear chain — each round references the previous
+    # exactly once), so the unrolled plan stays shallow on top of the
+    # checkpointed edge leaf: no mid-loop truncation. Per-round eager
+    # checkpoints cost one synchronous RDD materialization job each
+    # and were measured at 2.3x the remaining query cost in the
+    # fixed-round textrank A/B (PLANS.md round-5).
     for i in range(iters):
         contrib = e.join(ranks, e["u"] == ranks["node"]).select(
             F.col("v").alias("node"), (F.col("rank") * F.col("p")).alias("c")
@@ -111,8 +122,6 @@ def pagerank(
         ranks = contrib.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -145,6 +154,13 @@ def personalized_pagerank(
     seeds = sorted(set(seeds))
     sym = symmetrize(edges, src, dst, weight)
     ow = sym.groupBy("u").agg(F.sum("w").alias("sw"))
+    # checkpoint the iteration-invariant edge and node tables once.
+    # No mid-loop truncation: the rank vector is a linear chain (each
+    # round referenced once), so the unrolled plan stays shallow on the
+    # two checkpointed leaves (per-round eager checkpoints measured
+    # 2.3x the remaining cost — PLANS.md round-5 textrank A/B); each
+    # round's invariant-side exchanges are identical subtrees that AQE
+    # exchange reuse computes once.
     e = (
         sym.join(ow, "u")
         .select("u", "v", (F.col("w") / F.col("sw")).alias("p"))
@@ -173,8 +189,6 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -212,12 +226,17 @@ def hits(
         )
     hub = nodes.withColumn("h", F.lit(1.0 / n))
     auth = None
+    # per half-step the score table is checkpointed LAZILY and the L1
+    # mass pull is the job that materializes it (the old eager=True
+    # spent a dedicated RDD-materialization job per half-step BEFORE
+    # the pull — 4 synchronous jobs per round; this shape does the
+    # same materialization inside the 2 unavoidable scalar pulls)
     for _ in range(iters):
         ar = (
             e.join(hub, e["u"] == hub["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sa = ar.agg(F.sum("a")).first()[0]
         auth = ar.select("node", (F.col("a") / F.lit(sa)).alias("a"))
@@ -225,7 +244,7 @@ def hits(
             e.join(auth, e["v"] == auth["node"])
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sh = hr.agg(F.sum("h")).first()[0]
         hub = hr.select("node", (F.col("h") / F.lit(sh)).alias("h"))
@@ -319,6 +338,9 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # invariant edge list checkpointed once; the label vector is a
+    # linear chain — no mid-loop truncation (see the pagerank loop
+    # note)
     sym = symmetrize(edges, src, dst, weight).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -338,8 +360,6 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "label")
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -386,7 +406,7 @@ def core_number(
 
     vals = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("val")
-    ).localCheckpoint(eager=True)
+    )
     prev_sum = None
     w = Window.partitionBy("node").orderBy(F.col("val").desc())
     rounds = iters if iters is not None else max_rounds
@@ -402,9 +422,11 @@ def core_number(
             .filter(F.col("val") >= F.col("_rn"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("val"))
-            .localCheckpoint(eager=True)
         )
         if iters is None:
+            # fixpoint mode: the probe needs per-round materialization
+            # — truncate so the next round (and probe) read blocks
+            vals = vals.localCheckpoint(eager=False)
             s = vals.agg(F.sum("val")).first()[0]
             if s == prev_sum:
                 break
@@ -512,6 +534,11 @@ def bfs_distances(
                 (F.col("distance") + 1).alias("distance"),
             )
         )
+        # the distance vector feeds the next round TWICE (union +
+        # join), so truncate per round — eagerly: chaining lazy
+        # checkpoints compiles each round outside the enclosing
+        # adaptive plan and measured 2-5x slower than the eager
+        # per-round materialization
         dist = (
             grown.groupBy("node")
             .agg(F.min("distance").alias("distance"))
@@ -623,6 +650,7 @@ def weighted_distances(
                 (F.col("distance") + F.col("c")).alias("distance"),
             )
         )
+        # eager per-round truncation — see bfs_distances
         dist = (
             grown.groupBy("node")
             .agg(F.min("distance").alias("distance"))
@@ -712,6 +740,7 @@ def _multi_source_distances(
                 (F.col("distance") + 1).alias("distance"),
             )
         )
+        # eager per-round truncation — see bfs_distances
         dist = (
             grown.groupBy("source", "node")
             .agg(F.min("distance").alias("distance"))
@@ -1387,6 +1416,9 @@ def katz_centrality(
     bulk-synchronous |E|-per-round shape as ``pagerank``.
     """
     sym = symmetrize(edges, src, dst, weight=None).select("u", "v")
+    # checkpoint the invariant edge list once; the score vector is a
+    # linear chain (each round references the previous once), so no
+    # mid-loop truncation — see the pagerank loop note
     e = sym.localCheckpoint(eager=True)
     nodes = e.select(F.col("u").alias("node")).distinct()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -1406,8 +1438,6 @@ def katz_centrality(
         x = inc.select(
             "node", (F.lit(float(beta)) + F.lit(alpha) * F.col("s")).alias("x")
         )
-        if (i + 1) % 3 == 0 and i + 1 < iters:
-            x = x.localCheckpoint(eager=True)
     return x.select("node", F.col("x").alias("katz"))
 
 
