@@ -528,23 +528,36 @@ def bfs_distances(
     prev = None
     rounds = iters if iters is not None else max_rounds
     for i in range(rounds):
-        grown = dist.unionByName(
-            sym.join(dist, sym["v"] == dist["node"]).select(
-                sym["u"].alias("node"),
+        # keep-or-relax in ONE pass referencing dist ONCE: each
+        # distance row left-joins its incident edges and emits itself
+        # plus one (neighbor, d+1) message per edge. The self-copy is
+        # duplicated per edge, which the min-aggregation collapses, so
+        # the result is exactly the old union-then-min (min over a
+        # multiset ignores multiplicity). Single reference ⇒ the loop
+        # is a linear chain: in fixed-``iters`` mode no per-round
+        # truncation jobs at all — the whole unroll is ONE execution
+        # whose repeated sym-side exchanges AQE computes once (the old
+        # dist-union shape referenced dist twice, forcing an eager
+        # checkpoint job every round).
+        emitted = F.array(
+            F.struct(F.col("node"), F.col("distance")),
+            F.struct(
+                F.col("u").alias("node"),
                 (F.col("distance") + 1).alias("distance"),
-            )
+            ),
         )
-        # the distance vector feeds the next round TWICE (union +
-        # join), so truncate per round — eagerly: chaining lazy
-        # checkpoints compiles each round outside the enclosing
-        # adaptive plan and measured 2-5x slower than the eager
-        # per-round materialization
         dist = (
-            grown.groupBy("node")
+            dist.join(sym, sym["v"] == dist["node"], "left")
+            .select(F.explode(emitted).alias("e"))
+            .select("e.node", "e.distance")
+            .filter(F.col("node").isNotNull())
+            .groupBy("node")
             .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)
         )
         if iters is None:
+            # fixpoint mode: the probe materializes each round — keep
+            # per-round truncation so probes read blocks, not lineage
+            dist = dist.localCheckpoint(eager=True)
             sig = (dist.count(), dist.agg(F.sum("distance")).first()[0])
             if sig == prev:
                 break
@@ -644,19 +657,24 @@ def weighted_distances(
     prev = None
     rounds = iters if iters is not None else max_rounds
     for i in range(rounds):
-        grown = dist.unionByName(
-            sym.join(dist, sym["v"] == dist["node"]).select(
-                sym["u"].alias("node"),
+        # single-reference keep-or-relax pass — see bfs_distances
+        emitted = F.array(
+            F.struct(F.col("node"), F.col("distance")),
+            F.struct(
+                F.col("u").alias("node"),
                 (F.col("distance") + F.col("c")).alias("distance"),
-            )
+            ),
         )
-        # eager per-round truncation — see bfs_distances
         dist = (
-            grown.groupBy("node")
+            dist.join(sym, sym["v"] == dist["node"], "left")
+            .select(F.explode(emitted).alias("e"))
+            .select("e.node", "e.distance")
+            .filter(F.col("node").isNotNull())
+            .groupBy("node")
             .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)
         )
         if iters is None:
+            dist = dist.localCheckpoint(eager=True)
             sig = (dist.count(), dist.agg(F.sum("distance")).first()[0])
             if sig == prev:
                 break
@@ -734,19 +752,24 @@ def _multi_source_distances(
     prev = None
     rounds = iters if iters is not None else max_rounds
     for _ in range(rounds):
-        grown = dist.unionByName(
-            sym.join(dist, sym["v"] == dist["node"]).select(
-                F.col("source"), sym["u"].alias("node"),
+        # single-reference keep-or-relax pass — see bfs_distances
+        emitted = F.array(
+            F.struct(F.col("node"), F.col("distance")),
+            F.struct(
+                F.col("u").alias("node"),
                 (F.col("distance") + 1).alias("distance"),
-            )
+            ),
         )
-        # eager per-round truncation — see bfs_distances
         dist = (
-            grown.groupBy("source", "node")
+            dist.join(sym, sym["v"] == dist["node"], "left")
+            .select(F.col("source"), F.explode(emitted).alias("e"))
+            .select("source", "e.node", "e.distance")
+            .filter(F.col("node").isNotNull())
+            .groupBy("source", "node")
             .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)
         )
         if iters is None:
+            dist = dist.localCheckpoint(eager=True)
             cur = dist.agg(
                 F.count(F.lit(1)), F.sum("distance")
             ).first()
@@ -1560,9 +1583,14 @@ def transitive_closure(
     slices of the KG), not the raw co-occurrence network; callers
     slice first.
     """
+    # per round the path set feeds a self-join (three references), so
+    # it truncates — LAZILY, with the convergence count as the job
+    # that materializes the round (the cc.py probe-folding pattern;
+    # the old eager=True paid a dedicated RDD job per round on top of
+    # the count)
     paths = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     n = paths.count()
     for _ in range(max_rounds):
         hop = paths.select(F.col("a").alias("m"), F.col("b"))
@@ -1571,7 +1599,7 @@ def transitive_closure(
             .join(hop, "m")
             .select("a", "b")
         )
-        nxt = paths.unionByName(ext).distinct().localCheckpoint(eager=True)
+        nxt = paths.unionByName(ext).distinct().localCheckpoint(eager=False)
         n2 = nxt.count()
         paths = nxt
         if n2 == n:
@@ -1604,9 +1632,15 @@ def strongly_connected(
         (F.col(src) == F.col("_a")) & (F.col(dst) == F.col("_b")),
     ).select(F.col(src).alias("node"), F.col(dst).alias("peer"))
     comp = mutual.groupBy("node").agg(F.min("peer").alias("_m"))
+    # node universe from the materialized closure, not from ``edges``:
+    # every input edge is a length-1 path, so the closure's endpoint
+    # set IS the edge endpoint set — and reading it off the checkpoint
+    # avoids re-executing the caller's whole upstream plan (for the
+    # relation-graph queries that upstream is the full extraction
+    # chain)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        cl.select(F.col(src).alias("node"))
+        .unionByName(cl.select(F.col(dst).alias("node")))
         .distinct()
     )
     return nodes.join(comp, "node", "left").select(
@@ -1997,22 +2031,27 @@ def maximal_independent_set(
         # edges of the undecided subgraph, with both priorities bound
         e = sym.join(pu, "u").join(pv, "v")
         nbr_min = e.groupBy("u").agg(F.min("_pv").alias("_m"))
+        # winners / und / sym all feed multiple consumers, so each
+        # round truncates them — LAZILY: the next round's undecided
+        # count is the single job that materializes all three (the old
+        # eager=True spent three dedicated RDD jobs per round on top
+        # of the probe)
         winners = (
             pri.join(nbr_min, pri["node"] == nbr_min["u"], "left")
             .filter(F.col("_m").isNull() | (F.col("_p") < F.col("_m")))
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         mis_parts.append(winners)
         # eliminate winners and their neighbors from the undecided set
         wv = winners.select(F.col("node").alias("v"))
         nbrs = sym.join(wv, "v").select(F.col("u").alias("node")).distinct()
         gone = winners.unionByName(nbrs)
-        und = und.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        und = und.join(gone, "node", "left_anti").localCheckpoint(eager=False)
         sym = (
             sym.join(gone.select(F.col("node").alias("u")), "u", "left_anti")
             .join(gone.select(F.col("node").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         if und.count() > 0:
@@ -2082,13 +2121,24 @@ def bfs_paths(
         "node string, distance int, path array<string>",
     )
     for _ in range(iters):
-        ext = sym.join(state, sym["v"] == state["node"]).select(
-            sym["u"].alias("node"),
-            (F.col("distance") + 1).alias("distance"),
-            F.concat(F.col("path"), F.array(sym["u"])).alias("path"),
+        # single-reference keep-or-relax pass (see bfs_distances): the
+        # state row emits itself plus one extension per incident edge;
+        # per-edge duplicates of the self-copy collapse under the
+        # min-of-struct. Linear chain ⇒ fixed unroll runs as ONE
+        # execution, no per-round checkpoint jobs.
+        emitted = F.array(
+            F.struct(F.col("node"), F.col("distance"), F.col("path")),
+            F.struct(
+                F.col("u").alias("node"),
+                (F.col("distance") + 1).alias("distance"),
+                F.concat(F.col("path"), F.array(F.col("u"))).alias("path"),
+            ),
         )
         state = (
-            state.unionByName(ext)
+            state.join(sym, sym["v"] == state["node"], "left")
+            .select(F.explode(emitted).alias("e"))
+            .select("e.node", "e.distance", "e.path")
+            .filter(F.col("node").isNotNull())
             .groupBy("node")
             .agg(F.min(F.struct("distance", "path")).alias("_s"))
             .select(
@@ -2096,7 +2146,6 @@ def bfs_paths(
                 F.col("_s.distance").alias("distance"),
                 F.col("_s.path").alias("path"),
             )
-            .localCheckpoint(eager=True)
         )
     return state.select(
         "node", F.col("distance").cast("long").alias("distance"), "path"
@@ -2488,6 +2537,8 @@ def grouped_transitive_closure(
     closure is O(V_g^2) rows. The intended inputs are the bounded
     per-document relation/co-occurrence graphs, where V_g is small
     even when the number of groups is astronomical."""
+    # lazy per-round truncation; the global convergence count is the
+    # materializing job — see transitive_closure
     paths = (
         edges.select(
             F.col(group).alias("g"),
@@ -2495,7 +2546,7 @@ def grouped_transitive_closure(
             F.col(dst).alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = paths.count()
     for _ in range(max_rounds):
@@ -2505,7 +2556,7 @@ def grouped_transitive_closure(
             .join(hop, ["g", "m"])
             .select("g", "a", "b")
         )
-        nxt = paths.unionByName(ext).distinct().localCheckpoint(eager=True)
+        nxt = paths.unionByName(ext).distinct().localCheckpoint(eager=False)
         n2 = nxt.count()
         paths = nxt
         if n2 == n:
