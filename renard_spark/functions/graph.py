@@ -1699,6 +1699,9 @@ def spanning_forest(
     )
     chosen = None
     for _ in range(max_rounds):
+        # all per-round truncations below are LAZY: the cross-component
+        # isEmpty probe (and the nested CC's own probe) are the jobs
+        # that materialize them — probe folding, see cc.py
         el = (
             e.join(
                 comp.select(F.col("node").alias("a"), F.col("c").alias("ca")),
@@ -1709,7 +1712,7 @@ def spanning_forest(
                 "b",
             )
             .filter(F.col("ca") != F.col("cb"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if el.isEmpty():
             break
@@ -1724,13 +1727,13 @@ def spanning_forest(
             .agg(F.min("cd").alias("cd"))
             .select("cd.a", "cd.b", (F.col("cd.k") * sgn).alias("w"),
                     "cd.ca", "cd.cb")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_edges = picks.select("a", "b", "w").distinct()
         chosen = (
             new_edges if chosen is None
             else chosen.unionByName(new_edges).distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # collapse the component graph (component-count-sized)
         from renard_spark.operators.cc import connected_components
 
@@ -1740,7 +1743,7 @@ def spanning_forest(
         comp = (
             comp.join(relab, "c", "left")
             .select("node", F.coalesce("c2", F.col("c")).alias("c"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if chosen is None:
         return e.select(
@@ -2343,8 +2346,11 @@ def greedy_coloring(
                 ).alias("color"),
             )
         )
-        colors = colors.unionByName(winners).localCheckpoint(eager=True)
-        un = un.join(colors, "node", "left_anti").localCheckpoint(eager=True)
+        # lazy truncation: the next round's uncolored-count probe is
+        # the job that materializes both frames (probe folding — the
+        # old eager=True paid two dedicated RDD jobs per round)
+        colors = colors.unionByName(winners).localCheckpoint(eager=False)
+        un = un.join(colors, "node", "left_anti").localCheckpoint(eager=False)
     else:
         if un.count() > 0:
             raise RuntimeError(
