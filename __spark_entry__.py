@@ -617,17 +617,15 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:
-    """Filter the token table to the surfaces a query actually
-    consumes. Downstream operators reference the filtered table
-    several times, but the duplicated subtrees stay LAZY on purpose:
-    their shuffles are identical, so AQE exchange reuse executes the
-    tokenization once at runtime, while an RDD checkpoint barrier here
-    (the old shape) erased partitioning info and compiled the prefix
-    outside the enclosing adaptive plan — measured slower across the
-    kg family (optimization round 6 A/B)."""
+    """Filter the token table to the surfaces a query actually consumes
+    and truncate lineage: downstream operators reference the token
+    table several times, and every reference would otherwise re-execute
+    the regexp+explode tokenization of the WHOLE corpus. The filtered
+    table is mention-scale, not corpus-scale — materializing it once is
+    the stage-table pattern the StageRunner uses in the pipeline."""
     return toks.filter(
         F.col("token").isin(sorted(surfaces))
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,10 +796,10 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = tokenize.tokens(d).filter(
             F.col("token").isin(list(CAST_TOKENS))
             | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-        )
+        ).localCheckpoint(eager=False)
         unified = unify.naive_unify(
             ner.dictionary_ner(toks, CAST_TOKENS)
-        )
+        ).localCheckpoint(eager=False)
         raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
         chars = unify.characters_table(unified)
         resolved = relations.resolve_triples(raw, chars)
@@ -1600,7 +1598,9 @@ def q_coref_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in list(members) + ["data"]:
             token_chains.setdefault(t, []).append(cid)
     needed = sorted(set(CAST_TOKENS) | set(token_chains))
-    toks_small = toks.filter(F.col("token").isin(needed))
+    toks_small = toks.filter(F.col("token").isin(needed)).localCheckpoint(
+        eager=False
+    )
     chain_map = F.map_from_arrays(
         F.array(*[F.lit(t) for t in token_chains]),
         F.array(
@@ -1724,10 +1724,10 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
@@ -1872,7 +1872,7 @@ def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import utils as op_utils
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
-    toks = tokenize.tokens(docs)
+    toks = tokenize.tokens(docs).localCheckpoint(eager=False)
     ments = ner.dictionary_ner(toks, CAST_TOKENS).select(
         "doc_id", "start_idx", "end_idx", "mention_str"
     )
@@ -1900,20 +1900,19 @@ def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
-    # the edge table feeds BOTH sides of the composition self-join;
-    # the twin subtrees end in identical exchanges that AQE reuse
-    # executes once, so the plan stays lazy (no checkpoint barrier)
-    edges = _long_doc_id(edges)
+    # the edge table feeds BOTH sides of the composition self-join —
+    # truncate so the relation chain executes once, not twice
+    edges = _long_doc_id(edges).localCheckpoint(eager=False)
     return relations.relation_paths(edges).select(
         "doc_id", "subj", "rel1", "rel2", "obj",
         F.col("n_mids").cast("long").alias("n_mids"),
@@ -1937,10 +1936,10 @@ def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
@@ -2223,7 +2222,7 @@ def q_kb_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE tokenize pass feeds both consumers (bigram mention detection
     # needs full adjacency; linking needs alias+context tokens)
-    toks = tokenize.tokens(docs)
+    toks = tokenize.tokens(docs).localCheckpoint(eager=False)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     big = (
         toks.withColumn("nxt", F.lead("token").over(w))
@@ -2300,7 +2299,7 @@ def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).withColumn(
         "sent_idx",
         F.floor(F.col("tok_idx") / POLARITY_SENT_LEN).cast("int"),
-    )
+    ).localCheckpoint(eager=False)
     lex = spark.createDataFrame(BENCH_LEXICON, "word string, valence double")
     # round BEFORE the per-pair |p|-argmax: two sentences with nominally
     # opposite polarities (±x) must tie EXACTLY on |p| in both engines
@@ -3054,10 +3053,10 @@ def q_rel_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
@@ -3082,29 +3081,25 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain SQL joins."""
     from renard_spark.functions.kgquery import bgp_match
 
-    # the triple table feeds one scan per pattern; the duplicated
-    # subtrees share identical exchanges, which AQE reuse executes once
+    # _relation_triples lazily checkpoints: the triple table feeds one
+    # scan PER PATTERN, the relation chain must execute once
     return bgp_match(_relation_triples(spark, sf_dir), BGP_PATTERNS)
 
 
 def _relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level distinct (subj, pred, obj) relation triples — the
-    shared head of the bgp / rdfs / optional queries. Deliberately
-    LAZY (no checkpoint): consumers scan it several times, but the
-    duplicated subtrees end in identical exchanges that AQE reuse
-    executes once; the old lazy RDD checkpoint here erased partitioning
-    and compiled this prefix outside the adaptive plan — measured
-    slower (optimization round 6 A/B)."""
+    shared head of the bgp / rdfs / optional queries (lazily
+    checkpointed: every consumer scans it more than once)."""
     from renard_spark.operators import relations
 
     docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, chars)
@@ -3116,7 +3111,7 @@ def _relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("pred"),
         F.col("obj_char").alias("obj"),
     ).distinct()
-    return gt
+    return gt.localCheckpoint(eager=False)
 
 
 # literal ontology over the relation predicates: property chain of
@@ -4934,7 +4929,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import similarity
 
     emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
-    emb = emb
+    emb = emb.localCheckpoint(eager=False)
     exact = similarity.cosine_topk_blocked(emb, k=3)
     approx = similarity.srp_lsh_topk(emb, k=3, n_bits=8)
     return similarity.topk_recall(exact, approx)
@@ -4959,10 +4954,10 @@ def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
-    )
+    ).localCheckpoint(eager=False)
     unified = unify.naive_unify(
         ner.dictionary_ner(toks, CAST_TOKENS)
-    )
+    ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
     resolved = relations.resolve_triples(
         raw, unify.characters_table(unified)
@@ -5271,7 +5266,7 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation (arrivals are monotone; extra rounds are no-ops)."""
     from renard_spark.functions.graph import temporal_reachability
 
-    dyn = _dynamic_edges(spark, sf_dir)
+    dyn = _dynamic_edges(spark, sf_dir).localCheckpoint(eager=False)
     sources = dyn.groupBy("doc_id").agg(
         F.min(F.least("src", "dst")).alias("source")
     )
@@ -5299,7 +5294,7 @@ def q_kg_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = spark.createDataFrame(
         [BGP_OPT_EXTRA], "subj string, pred string, obj string"
     )
-    g = gt.unionByName(extra)
+    g = gt.unionByName(extra).localCheckpoint(eager=False)
     req = [("?a", "scans", "?b")]
     sub = [[("?b", "?r", "?c")]]
     e1 = bgp_match(g, req, exists=sub).select(
@@ -5398,7 +5393,7 @@ def q_kg_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = spark.createDataFrame(
         KG_SUB_EXTRA, "subj string, pred string, obj string"
     )
-    g = gt.unionByName(extra)
+    g = gt.unionByName(extra).localCheckpoint(eager=False)
     outer = bgp_match(g, [("?a", "?p", "?b")])
     inner = select_solutions(
         bgp_match(g, [("?x", "?p", "?y")]),

@@ -2127,8 +2127,11 @@ def bfs_paths(
         # single-reference keep-or-relax pass (see bfs_distances): the
         # state row emits itself plus one extension per incident edge;
         # per-edge duplicates of the self-copy collapse under the
-        # min-of-struct. Linear chain ⇒ fixed unroll runs as ONE
-        # execution, no per-round checkpoint jobs.
+        # min-of-struct. Unlike the scalar-distance loops, the state
+        # carries the path ARRAY — letting 8 rounds of array-struct
+        # aggregation unroll into one execution made AQE re-optimize
+        # the growing plan after every stage (bench: 4.9s -> 11.5s), so
+        # this loop keeps a per-round eager checkpoint.
         emitted = F.array(
             F.struct(F.col("node"), F.col("distance"), F.col("path")),
             F.struct(
@@ -2149,6 +2152,7 @@ def bfs_paths(
                 F.col("_s.distance").alias("distance"),
                 F.col("_s.path").alias("path"),
             )
+            .localCheckpoint(eager=True)
         )
     return state.select(
         "node", F.col("distance").cast("long").alias("distance"), "path"
