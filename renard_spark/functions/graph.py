@@ -176,6 +176,11 @@ def personalized_pagerank(
         F.col("node").isin(seeds), F.lit(s_mass)
     ).otherwise(F.lit(0.0))
     ranks = nodes.withColumn("rank", seed_term)
+    # unlike plain pagerank (2 narrow ops per round), each ppr round is
+    # a join + agg + node left-join — letting 10 of those unroll into
+    # one execution made AQE re-optimize the growing plan per stage
+    # (best-of-3: 5.6s vs 4.6s), so the every-few-rounds truncation
+    # stays here
     for i in range(iters):
         contrib = (
             e.join(ranks, e["u"] == ranks["node"])
@@ -189,6 +194,8 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
