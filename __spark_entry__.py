@@ -628,8 +628,30 @@ def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+# the spread DECISION (does this corpus scan already have >= default-
+# parallelism splits?) is pure input metadata for a static bench/gate
+# directory — probing it costs a full .rdd plan translation (~40-90ms
+# per query construction), so cache the boolean per (path, par) for
+# the life of the process. No query RESULT is cached: every query
+# still computes from the parquet scan.
+_SPREAD_DECISION: dict = {}
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_spread(_documents(...)) with the partition-count probe cached
+    per (sf_dir, parallelism)."""
+    docs = _documents(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    key = (sf_dir, par)
+    if key not in _SPREAD_DECISION:
+        _SPREAD_DECISION[key] = docs.rdd.getNumPartitions() >= par
+    if _SPREAD_DECISION[key]:
+        return docs
+    return docs.repartition(par, F.col("doc_id"))
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     return ner.dictionary_ner(toks, CAST_TOKENS)
 
@@ -656,7 +678,7 @@ def _await_stream(q, timeout_sec: int) -> None:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (text-analysis op) — JVM regexp; _spread only
     because the test corpus is one parquet split (see _spread)."""
-    return _spread(_documents(spark, sf_dir)).select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
         .cast("long")
@@ -681,7 +703,7 @@ def q_char_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the unified mentions — head-entity selection for the KG
     build. Doc lengths come straight off the text scan (one narrow
     regexp count, no second tokenize-explode pass)."""
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     dl = docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
@@ -789,7 +811,7 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-occurrence edges) with the source filter pushed to the scan."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
 
     def slice_triples(srcs: list[str]) -> DataFrame:
         d = docs.filter(F.col("source").isin(srcs))
@@ -830,7 +852,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprints: md5(text) + duplicate-group size."""
     from pyspark.sql import Window
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     w = Window.partitionBy("fp")
     return (
         docs.select("doc_id", F.md5("text").alias("fp"))
@@ -896,7 +918,7 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    q = ftext.quality_scores(_spread(_documents(spark, sf_dir)))
+    q = ftext.quality_scores(_docs_spread(spark, sf_dir))
     return q.select(
         "doc_id", "n_chars", "n_tokens",
         *[
@@ -910,7 +932,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.language_id(_spread(_documents(spark, sf_dir))).select(
+    return ftext.language_id(_docs_spread(spark, sf_dir)).select(
         "doc_id", F.round("en_score", 6).alias("en_score"), "lang_pred"
     )
 
@@ -918,13 +940,13 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.language_id_multi(_spread(_documents(spark, sf_dir)))
+    return ftext.language_id_multi(_docs_spread(spark, sf_dir))
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
-    return ftext.fingerprints(_spread(_documents(spark, sf_dir)))
+    return ftext.fingerprints(_docs_spread(spark, sf_dir))
 
 
 WINNOW_K, WINNOW_W = 8, 4
@@ -968,7 +990,7 @@ def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     return ftext.winnow_near_dups(
-        _spread(_documents(spark, sf_dir)),
+        _docs_spread(spark, sf_dir),
         k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
     )
 
@@ -978,7 +1000,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     words — the model-token budget proxy of a training pipeline."""
     from renard_spark.functions import text as ftext
 
-    return ftext.bpe_token_counts(_spread(_documents(spark, sf_dir)))
+    return ftext.bpe_token_counts(_docs_spread(spark, sf_dir))
 
 
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,14 +1010,14 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     return ftext.winnow_fingerprints(
-        _spread(_documents(spark, sf_dir)), k=WINNOW_K, w=WINNOW_W
+        _docs_spread(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
     )
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import dedup
 
-    sh = dedup.shingles(_spread(_documents(spark, sf_dir)), w=3)
+    sh = dedup.shingles(_docs_spread(spark, sf_dir), w=3)
     return dedup.lsh_band_keys(dedup.minhash_signatures(sh, 8), 4, 8)
 
 
@@ -1014,7 +1036,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import dedup
 
-    g = dedup.simhash_dup_groups(dedup.simhash(_spread(_documents(spark, sf_dir))))
+    g = dedup.simhash_dup_groups(dedup.simhash(_docs_spread(spark, sf_dir)))
     return g.select(
         "doc_id",
         F.lower(F.lpad(F.hex("simhash"), 16, "0")).alias("simhash_hex"),
@@ -1154,7 +1176,7 @@ def q_bio_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode every tagger (incl. model_ner) feeds."""
     from pyspark.sql import Window
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     prev = F.lag("token").over(w)
@@ -1274,7 +1296,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded 16-bit keys, hamming ≤ 3."""
     from renard_spark.functions import dedup
 
-    sim = dedup.simhash(_spread(_documents(spark, sf_dir)))
+    sim = dedup.simhash(_docs_spread(spark, sf_dir))
     return dedup.simhash_near_pairs(sim, max_hamming=3, bands=4).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -1385,7 +1407,7 @@ def _linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams, initcap'd at even token positions (see comment above)."""
     from pyspark.sql import Window
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     nxt = F.lead("token").over(w)
@@ -1465,7 +1487,7 @@ def q_hypocorism_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components form exactly through gazetteer relatedness (reference
     hypocorisms.py:73-84 + character_unification.py:255-259)."""
     hmap = F.create_map(*[F.lit(x) for kv in HYPO_MAP.items() for x in kv])
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     ments = (
         toks.withColumn("_name", hmap[F.col("token")])
@@ -1508,7 +1530,7 @@ def q_gendered_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     title-removal linking behind the hash gate (reference
     character_unification.py:261-327 + infer_gender)."""
     gmap = F.create_map(*[F.lit(x) for kv in GENDER_MAP.items() for x in kv])
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     ments = (
         toks.withColumn("_name", gmap[F.col("token")])
@@ -1540,7 +1562,7 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus appearance order (corpus order = (doc_id, tok_idx))."""
     from renard_spark.operators.utils import make_vocab
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).withColumn(
         "_ord",
         F.col("doc_id").cast("long") * 1000000 + F.col("tok_idx"),
@@ -1555,7 +1577,7 @@ def q_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact token subsequence, as an array higher-order scan."""
     from renard_spark.operators.utils import search_pattern
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     arrs = toks.groupBy("doc_id").agg(
         F.transform(
@@ -1591,7 +1613,7 @@ def q_coref_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lineage-truncated, then the chain table is built in a single
     pass by exploding a literal token→chain-ids map — no per-chain
     re-scan, no union of branches that each re-tokenize the corpus."""
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     token_chains: dict[str, list[int]] = {}
     for cid, members in enumerate(COREF_CHAIN_TOKENS):
@@ -1718,7 +1740,7 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference relation_extraction.py + graph_extraction.py:738-751)."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     # cast surfaces for mentions + verb surfaces for the between-check;
     # pattern_relations consumes only mention-position and verb rows
     toks = tokenize.tokens(docs).filter(
@@ -1754,7 +1776,7 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention-scale table, not the corpus scan."""
     from renard_spark.operators import linking
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     kb = spark.createDataFrame(
         KB_ENTITIES,
         "entity_id string, aliases array<string>,"
@@ -1795,7 +1817,7 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joined (never broadcast)."""
     from renard_spark.functions import dedup
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     return dedup.prefix_jaccard_pairs(docs, PPJOIN_T, w=PPJOIN_W)
 
 
@@ -1811,7 +1833,7 @@ def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-doc window. Nothing quadratic, no UDF."""
     from renard_spark.functions import dedup
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     return _long_doc_id(dedup.shared_spans(docs, n=SHARED_SPAN_N))
 
 
@@ -1850,7 +1872,7 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and sit behind the value hash unrounded."""
     from renard_spark.functions import sampling
 
-    docs = _spread(_documents(spark, sf_dir)).select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("w"),
@@ -1871,7 +1893,7 @@ def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join projection so whole documents never cross a shuffle."""
     from renard_spark.operators import utils as op_utils
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).localCheckpoint(eager=False)
     ments = ner.dictionary_ner(toks, CAST_TOKENS).select(
         "doc_id", "start_idx", "end_idx", "mention_str"
@@ -1896,7 +1918,7 @@ def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottleneck support), downstream of the full relation chain."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
@@ -1932,7 +1954,7 @@ def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation_paths."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
@@ -1957,7 +1979,7 @@ def q_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate covers link → distill end to end."""
     from renard_spark.operators import linking
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     kb = spark.createDataFrame(
         KB_ENTITIES,
         "entity_id string, aliases array<string>,"
@@ -2172,7 +2194,7 @@ def q_global_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from renard_spark.operators.unify_scale import unify_distributed
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("tok_idx")
     nxt = F.lead("token").over(w)
@@ -2214,7 +2236,7 @@ def q_kb_characters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from renard_spark.operators import linking
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     kb = spark.createDataFrame(
         KB_ENTITIES,
         "entity_id string, aliases array<string>,"
@@ -2292,7 +2314,7 @@ def q_polarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation); the lexicon is the documented injection seam."""
     from renard_spark.operators import sentiment
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     # FULL token table (every sentence needs a polarity row, so no
     # surface filter applies) — checkpointed because four downstream
     # operators reference it and each would re-tokenize the corpus
@@ -2378,7 +2400,7 @@ def q_speaker_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = _toks_ckpt(
         tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
     )
@@ -2414,7 +2436,7 @@ def q_dynamic_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = _toks_ckpt(
         tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
     )
@@ -2444,7 +2466,7 @@ def q_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import conversation as conv
     from renard_spark.operators import quotes as qops
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = _toks_ckpt(
         tokenize.tokens(docs), set(CAST_TOKENS) | {QUOTE_MARK}
     )
@@ -2472,7 +2494,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ordered regexp_replace chain."""
     from renard_spark.functions import text as ftext
 
-    docs = _spread(_documents(spark, sf_dir)).withColumn(
+    docs = _docs_spread(spark, sf_dir).withColumn(
         "text",
         F.concat(
             "text",
@@ -2619,7 +2641,7 @@ def q_span_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.operators import utils as oputils
 
     s = oputils.span_candidates(
-        _spread(_documents(spark, sf_dir)), max_len=MAX_SPAN_LEN
+        _docs_spread(spark, sf_dir), max_len=MAX_SPAN_LEN
     )
     return s.select(
         "doc_id",
@@ -2635,7 +2657,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline (functions/text.repetition_stats)."""
     from renard_spark.functions import text as ftext
 
-    r = ftext.repetition_stats(_spread(_documents(spark, sf_dir)), n=2)
+    r = ftext.repetition_stats(_docs_spread(spark, sf_dir), n=2)
     return r.select(
         "doc_id", "n_grams",
         F.round("top_gram_frac", 6).alias("top_gram_frac"),
@@ -2801,7 +2823,7 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table: the text split at its midpoint into two text
     spans, an image span between the halves, and a doc_id-keyed
     trailing media span whose kind cycles audio/video/image."""
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     mid = "CAST(length(text) / 2 AS INT)"
     kv = F.element_at(
         F.array(*[F.lit(k) for k in MEDIA_KINDS]),
@@ -2916,7 +2938,7 @@ BM25_QUERIES = [(0, "spark"), (0, "window"), (1, "customer"), (1, "merge")]
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import retrieval
 
-    idx = retrieval.bm25_index(_spread(_documents(spark, sf_dir)))
+    idx = retrieval.bm25_index(_docs_spread(spark, sf_dir))
     q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
     t = retrieval.bm25_topk(idx, q, k=5)
     return t.select(
@@ -3014,7 +3036,7 @@ def q_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling rounds over the literal hierarchy."""
     from renard_spark.functions import graph as gmetrics
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     ents = (
         toks.filter(F.col("token").isin(list(CAST_TOKENS)))
@@ -3049,7 +3071,7 @@ def q_rel_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import graph as gmetrics
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
@@ -3092,7 +3114,7 @@ def _relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed: every consumer scans it more than once)."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
@@ -3209,7 +3231,7 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE."""
     from renard_spark.functions.text import textrank_scores
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     return textrank_scores(
         docs, window=TR_WINDOW, damping=TR_DAMPING, iters=TR_ITERS
     )
@@ -3277,7 +3299,7 @@ def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number order + rank-distance join."""
     from renard_spark.functions.dedup import sorted_neighborhood
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     return sorted_neighborhood(
         docs, window=SNB_WINDOW, key_prefix=SNB_KEYPREFIX
     )
@@ -3458,7 +3480,7 @@ def q_fs_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions.dedup import fellegi_sunter
 
     return fellegi_sunter(
-        _spread(_documents(spark, sf_dir)),
+        _docs_spread(spark, sf_dir),
         window=SNB_WINDOW,
         key_prefix=SNB_KEYPREFIX,
     )
@@ -3533,7 +3555,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
     from renard_spark.functions.sampling import dsir_weights
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     lang = ftext.language_id(docs).select(
         "doc_id", (F.col("lang_pred") == "en").alias("is_target")
     )
@@ -3704,7 +3726,7 @@ def q_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     is restored by the per-doc span cumsum — the oracle is the plain
     whole-text tokenization, so the gate proves the span path's global
     indexing is EXACTLY equivalent."""
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     words = F.split("text", " ")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(50)).cast("int"), F.lit(1)
@@ -3746,7 +3768,7 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     out = ftext.pack_assignments(
-        _spread(_documents(spark, sf_dir)), context_len=PACK_LEN
+        _docs_spread(spark, sf_dir), context_len=PACK_LEN
     )
     return out
 
@@ -3759,7 +3781,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL text — an end-to-end reassembly check, not just counts."""
     from renard_spark.functions import text as ftext
 
-    docs = _spread(_documents(spark, sf_dir)).withColumn(
+    docs = _docs_spread(spark, sf_dir).withColumn(
         "text",
         F.concat(
             "text",
@@ -3788,7 +3810,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes the reassembled text end-to-end."""
     from renard_spark.functions.dedup import paragraph_dedup
 
-    docs = _spread(_documents(spark, sf_dir)).withColumn(
+    docs = _docs_spread(spark, sf_dir).withColumn(
         "text",
         F.concat(
             "text",
@@ -3813,7 +3835,7 @@ def q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture weights from."""
     from renard_spark.functions import text as ftext
 
-    out = ftext.mixture_stats(_spread(_documents(spark, sf_dir)))
+    out = ftext.mixture_stats(_docs_spread(spark, sf_dir))
     return out.select(
         "grp", "n_docs", "n_tokens",
         F.round("doc_share", 6).alias("doc_share"),
@@ -3883,7 +3905,7 @@ def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated fraction."""
     from renard_spark.functions import contamination
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     out = contamination.ngram_contamination(train, bench, w=NGRAM_W)
@@ -3907,7 +3929,7 @@ def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same train/bench convention as ngram_overlap (doc_id % 10)."""
     from renard_spark.functions.curation import curate
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     out = curate(
@@ -3950,7 +3972,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
     from renard_spark.functions.sampling import apply_mixture
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     w = ftext.mixture_weights(docs, alpha=MIX_ALPHA)
     mx = w.agg(F.max("weight").alias("_mx"))
     rates = w.crossJoin(F.broadcast(mx)).select(
@@ -3992,7 +4014,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation joined back + one per-doc top-k window."""
     from renard_spark.functions import text as ftext
 
-    out = ftext.tfidf_topk(_spread(_documents(spark, sf_dir)), k=5)
+    out = ftext.tfidf_topk(_docs_spread(spark, sf_dir), k=5)
     return _long_doc_id(
         out.select(
             "doc_id", "term",
@@ -4009,7 +4031,7 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluent head text from tail/garbage."""
     from renard_spark.functions import text as ftext
 
-    out = ftext.bigram_lm_scores(_spread(_documents(spark, sf_dir)))
+    out = ftext.bigram_lm_scores(_docs_spread(spark, sf_dir))
     return _long_doc_id(
         out.select(
             "doc_id", "n_bigrams",
@@ -4030,7 +4052,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     return ftext.ccnet_buckets(
-        _spread(_documents(spark, sf_dir)), n_buckets=CCNET_K
+        _docs_spread(spark, sf_dir), n_buckets=CCNET_K
     )
 
 
@@ -4057,7 +4079,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     merges = ftext.learn_bpe_merges(
-        _spread(_documents(spark, sf_dir)), n_merges=BPE_MERGES_N
+        _docs_spread(spark, sf_dir), n_merges=BPE_MERGES_N
     )
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
@@ -4080,7 +4102,7 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     out = ftext.tfidf_related(
-        _spread(_documents(spark, sf_dir)),
+        _docs_spread(spark, sf_dir),
         threshold=0.0, max_df=RELATED_MAXDF, shingle_w=RELATED_W,
     )
     cos6 = F.round("cosine", 6)
@@ -4118,7 +4140,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions import text as ftext
 
     out = ftext.chunk_documents(
-        _spread(_documents(spark, sf_dir)), CHUNK_SIZE, CHUNK_STRIDE
+        _docs_spread(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE
     )
     return _long_doc_id(out)
 
@@ -4129,7 +4151,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard tail-upsampling mixing rule."""
     from renard_spark.functions import text as ftext
 
-    out = ftext.mixture_weights(_spread(_documents(spark, sf_dir)))
+    out = ftext.mixture_weights(_docs_spread(spark, sf_dir))
     return out.select(
         "grp", "n_tokens",
         F.round("token_share", 6).alias("token_share"),
@@ -4276,7 +4298,7 @@ def q_norm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (translate + regexp_replace, codegen'd)."""
     from renard_spark.functions import text as tfn
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -4304,7 +4326,7 @@ def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; never a per-value sort."""
     from renard_spark.functions import sketch
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     regs = sketch.hist_registers(
         docs, "n_chars", HIST_LO, HIST_HI, HIST_BINS,
         group_cols=("source",),
@@ -4328,7 +4350,7 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency sketch (upward-biased: cms_est >= exact_n always)."""
     from renard_spark.functions import sketch
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     cms = sketch.count_min(docs, d=4, w=256)
     probes = spark.createDataFrame(
         [(t,) for t in PROBE_TOKENS], "token string"
@@ -4362,7 +4384,7 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shown next to the exact distinct counts."""
     from renard_spark.functions import sketch
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     regs = sketch.hll_registers(docs, p=8, group_col="source")
     est = sketch.hll_estimate(regs, p=8, group_col="source")
     toks = docs.select(
@@ -4394,7 +4416,7 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     table bit-for-bit, false positives included."""
     from renard_spark.functions import sketch
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     fps = docs.select("doc_id", F.md5("text").alias("key"), "source")
     seen = (
         fps.filter(F.col("source").isin(BLOOM_SEEN_SOURCES))
@@ -4491,7 +4513,7 @@ def q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one narrow tokenize pass."""
     from renard_spark.functions.text import token_spectrum
 
-    return token_spectrum(_spread(_documents(spark, sf_dir)))
+    return token_spectrum(_docs_spread(spark, sf_dir))
 
 
 def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4501,7 +4523,7 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank (never a single-partition window)."""
     from renard_spark.functions.sampling import epoch_order
 
-    docs = _spread(_documents(spark, sf_dir)).select(
+    docs = _docs_spread(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
     return epoch_order(docs, epochs=EPOCH_ORDER_N)
@@ -4950,7 +4972,7 @@ def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, rel, node); the domain class is a broadcast literal."""
     from renard_spark.operators import relations
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs).filter(
         F.col("token").isin(list(CAST_TOKENS))
         | F.lower(F.col("token")).isin(sorted(REL_VERBS))
@@ -4988,7 +5010,7 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = {n: f for f, n in HYPO_EDGES}
     fam.update({f: f for f, _ in HYPO_EDGES})
     fmap = F.create_map(*[F.lit(x) for kv in fam.items() for x in kv])
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     toks = tokenize.tokens(docs)
     ments = (
         toks.withColumn("_name", hmap[F.col("token")])
@@ -5087,7 +5109,7 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from renard_spark.functions.dedup import containment_pairs
 
     return containment_pairs(
-        _spread(_documents(spark, sf_dir)),
+        _docs_spread(spark, sf_dir),
         w=CONTAIN_W, threshold=CONTAIN_T, max_df=CONTAIN_MAXDF,
     )
 
@@ -5156,7 +5178,7 @@ def q_er_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). Oracle: the fs_links pair SQL + a windowed cumulative."""
     from renard_spark.functions.dedup import fellegi_sunter, threshold_sweep
 
-    docs = _spread(_documents(spark, sf_dir))
+    docs = _docs_spread(spark, sf_dir)
     scored = fellegi_sunter(
         docs, window=SNB_WINDOW, key_prefix=SNB_KEYPREFIX
     )
@@ -5450,7 +5472,7 @@ def q_coreferee_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc imperative core, Arrow-batched, no per-row Python."""
     from renard_spark.operators.coref import coreferee_corefs
 
-    docs = ingest.normalize_documents(_spread(_documents(spark, sf_dir)))
+    docs = ingest.normalize_documents(_docs_spread(spark, sf_dir))
     dt = tokenize.doc_tokens(tokenize.tokens(docs))
     out = coreferee_corefs(
         dt, _coreferee_gate_scorer, max_chunk_size=COREFEREE_CHUNK
