@@ -3520,7 +3520,13 @@ def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     unified = unify.naive_unify(_mentions(spark, sf_dir))
     mentions = unified.select("doc_id", "char_id", "start_idx", "end_idx")
     edges = cooccur.cooccurrence_edges(mentions, COOCCUR_DIST, "tokens")
-    lines = triples_to_ntriples(triples.edges_to_triples(edges))
+    # truncate the fact table before serialization: the roundtrip
+    # references its input three times (fact lines + the label index's
+    # two sides), and the parser's own lazy checkpoint would otherwise
+    # compile the whole extraction prefix into a nested execution —
+    # measured erratically slow (8s+) in long bench sessions
+    facts = triples.edges_to_triples(edges).localCheckpoint(eager=True)
+    lines = triples_to_ntriples(facts)
     return ntriples_to_triples(lines).distinct()
 
 

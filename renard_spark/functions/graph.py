@@ -2131,27 +2131,13 @@ def bfs_paths(
         "node string, distance int, path array<string>",
     )
     for _ in range(iters):
-        # single-reference keep-or-relax pass (see bfs_distances): the
-        # state row emits itself plus one extension per incident edge;
-        # per-edge duplicates of the self-copy collapse under the
-        # min-of-struct. Unlike the scalar-distance loops, the state
-        # carries the path ARRAY — letting 8 rounds of array-struct
-        # aggregation unroll into one execution made AQE re-optimize
-        # the growing plan after every stage (bench: 4.9s -> 11.5s), so
-        # this loop keeps a per-round eager checkpoint.
-        emitted = F.array(
-            F.struct(F.col("node"), F.col("distance"), F.col("path")),
-            F.struct(
-                F.col("u").alias("node"),
-                (F.col("distance") + 1).alias("distance"),
-                F.concat(F.col("path"), F.array(F.col("u"))).alias("path"),
-            ),
+        ext = sym.join(state, sym["v"] == state["node"]).select(
+            sym["u"].alias("node"),
+            (F.col("distance") + 1).alias("distance"),
+            F.concat(F.col("path"), F.array(sym["u"])).alias("path"),
         )
         state = (
-            state.join(sym, sym["v"] == state["node"], "left")
-            .select(F.explode(emitted).alias("e"))
-            .select("e.node", "e.distance", "e.path")
-            .filter(F.col("node").isNotNull())
+            state.unionByName(ext)
             .groupBy("node")
             .agg(F.min(F.struct("distance", "path")).alias("_s"))
             .select(
