@@ -242,11 +242,9 @@ def owl_closure(
     flipped = flip(base).localCheckpoint(eager=False)
 
     # stratum 2: pred-keyed doubling closure of the transitive slice
-    # lazy per-round truncation with the convergence count as the
-    # materializing job — see graph.transitive_closure
     t = flipped.join(
         F.broadcast(trp), flipped[p] == trp["_tp"]
-    ).select(s, p, o).distinct().localCheckpoint(eager=False)
+    ).select(s, p, o).distinct().localCheckpoint(eager=True)
     n = t.count()
     for _ in range(max_rounds):
         hop = t.select(F.col(p).alias("_hp"), F.col(s).alias("_m"),
@@ -254,7 +252,7 @@ def owl_closure(
         ext = t.join(
             hop, (t[p] == hop["_hp"]) & (t[o] == hop["_m"])
         ).select(F.col(s), F.col(p), F.col("_ho").alias(o))
-        nxt = t.unionByName(ext).distinct().localCheckpoint(eager=False)
+        nxt = t.unionByName(ext).distinct().localCheckpoint(eager=True)
         n2 = nxt.count()
         t = nxt
         if n2 == n:
