@@ -858,6 +858,50 @@ def test_prefix_jaccard_pairs_shingles_exact(spark):
     assert len(got) >= 3
 
 
+def test_prefix_jaccard_positional_filter_boundary(spark):
+    """The PPJoin positional filter must never prune a TRUE pair — in
+    particular one sitting exactly AT the threshold, where the overlap
+    upper bound is tight — while pairs whose only prefix matches make
+    the threshold unreachable are (invisibly) pruned before
+    verification. Output must still equal brute force exactly."""
+    import itertools
+    import re as _re
+
+    # a/b: 10-token sets sharing? constructed so |A∩B|/|A∪B| lands
+    # exactly on t=0.5 (inter=6, union=12 over 9-token overlaps);
+    # c shares only scattered singles with a (well under t);
+    # d/e: disjoint tails, one shared rare token late in the prefix.
+    docs_rows = [
+        ("a", "k1 k2 k3 k4 k5 k6 x1 x2 x3"),
+        ("b", "k1 k2 k3 k4 k5 k6 y1 y2 y3"),
+        ("c", "k1 z1 z2 z3 z4 z5 z6 z7 z8"),
+        ("d", "k2 w1 w2 w3 w4 w5 w6 w7 w8"),
+        ("e", "q1 q2 q3 q4 q5 q6 q7 q8 k3"),
+    ]
+    t = 0.5
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.inter, r.union_, round(r.jaccard, 9))
+        for r in dedup.prefix_jaccard_pairs(docs, t).collect()
+    )
+
+    def toks(s):
+        return set(_re.findall(r"[a-z0-9_']+", s.lower()))
+
+    want = []
+    for (ia, ta), (ib, tb) in itertools.combinations(docs_rows, 2):
+        a, b = toks(ta), toks(tb)
+        i, u = len(a & b), len(a | b)
+        if i / u >= t:
+            lo, hi = sorted((ia, ib))
+            want.append((lo, hi, i, u, round(i / u, 9)))
+    assert got == sorted(want)
+    # the boundary pair survives at exactly t
+    assert ("a", "b", 6, 12, 0.5) in got
+    # nothing else qualifies
+    assert len(got) == 1
+
+
 def test_pq_codes_and_adc_match_brute_force(spark):
     """PQ encoding and IVFADC scoring vs a numpy reference: codebooks
     are the md5-ranked seed slices, codes are per-subspace L2 argmins
