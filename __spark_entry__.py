@@ -823,8 +823,8 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ner.dictionary_ner(toks, CAST_TOKENS)
         ).localCheckpoint(eager=False)
         raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-        chars = unify.characters_table(unified)
-        resolved = relations.resolve_triples(raw, chars)
+        # unified feeds name_to_char directly (see resolve_triples doc)
+        resolved = relations.resolve_triples(raw, unified)
         edges = relations.relational_edges(
             resolved, min_rel_occurrences=REL_MIN_OCC
         )
@@ -1751,8 +1751,10 @@ def q_relation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # resolve only needs (doc_id, char_id, names): the unified stage
+    # table feeds name_to_char directly (multiplicity-insensitive),
+    # skipping characters_table's unused aggregations + left join
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
@@ -1927,8 +1929,10 @@ def q_relation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # resolve only needs (doc_id, char_id, names): the unified stage
+    # table feeds name_to_char directly (multiplicity-insensitive),
+    # skipping characters_table's unused aggregations + left join
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
@@ -1963,8 +1967,10 @@ def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # resolve only needs (doc_id, char_id, names): the unified stage
+    # table feeds name_to_char directly (multiplicity-insensitive),
+    # skipping characters_table's unused aggregations + left join
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
@@ -3080,8 +3086,10 @@ def q_rel_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # resolve only needs (doc_id, char_id, names): the unified stage
+    # table feeds name_to_char directly (multiplicity-insensitive),
+    # skipping characters_table's unused aggregations + left join
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
@@ -3123,8 +3131,10 @@ def _relation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # resolve only needs (doc_id, char_id, names): the unified stage
+    # table feeds name_to_char directly (multiplicity-insensitive),
+    # skipping characters_table's unused aggregations + left join
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(
         resolved, min_rel_occurrences=REL_MIN_OCC
     )
@@ -4987,9 +4997,7 @@ def q_kg_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ner.dictionary_ner(toks, CAST_TOKENS)
     ).localCheckpoint(eager=False)
     raw = relations.pattern_relations(unified, toks, verbs=REL_VERBS)
-    resolved = relations.resolve_triples(
-        raw, unify.characters_table(unified)
-    )
+    resolved = relations.resolve_triples(raw, unified)
     out = relations.validate_triples(
         resolved,
         functional=("scans",),

@@ -120,7 +120,15 @@ def resolve_triples(
 ) -> DataFrame:
     """raw (doc_id, sent_idx, raw_subj, rel, raw_obj) → resolved
     (doc_id, sent_idx, subj_char, rel, obj_char); ambiguous/unknown or
-    self-relations dropped (relation_extraction.py:198-207)."""
+    self-relations dropped (relation_extraction.py:198-207).
+
+    ``characters_df`` only needs (doc_id, char_id, names) — pass the
+    unified-mentions stage table directly rather than building the
+    full ``characters_table`` (whose mention_count / longest /
+    most_frequent_name aggregations and left join are dead weight
+    here). Mention-level multiplicity is harmless: ``name_to_char``
+    groups by (doc_id, name), so duplicate (char_id, names) rows
+    change neither the distinct-char count nor the unique winner."""
     n2c = name_to_char(characters_df)
     s = n2c.select(
         F.col("doc_id").alias("_ds"),
@@ -176,14 +184,21 @@ def pattern_relations(
         )
     )
     w = Window.partitionBy("doc_id", "sent_idx").orderBy("start_idx", "end_idx")
-    m = m.withColumn("_r", F.row_number().over(w))
-    a, b = m.alias("a"), m.alias("b")
-    adjacent = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.sent_idx") == F.col("b.sent_idx"))
-        & (F.col("b._r") == F.col("a._r") + 1),
-    )
+    # consecutive-mention pairing: lead() over the SAME window that
+    # orders the mentions — the (b._r == a._r + 1) self-join it
+    # replaces shuffled the mention table twice to pair each row with
+    # its successor, which lead() reads off in the one window pass
+    # already being paid (same partition keys, same order, same tie
+    # semantics — row_number and lead see the identical frame order).
+    adjacent = m.select(
+        "doc_id",
+        "sent_idx",
+        F.col("mention_str").alias("subj_str"),
+        F.col("start_idx").alias("subj_start"),
+        F.col("end_idx").alias("subj_end"),
+        F.lead("mention_str").over(w).alias("obj_str"),
+        F.lead("start_idx").over(w).alias("obj_start"),
+    ).filter(F.col("obj_start").isNotNull())
     vt = (
         tokens_df.join(F.broadcast(vdf), F.lower(F.col("token")) == F.col("verb"))
         .select(
@@ -194,20 +209,25 @@ def pattern_relations(
     )
     hits = adjacent.join(
         vt,
-        (F.col("a.doc_id") == F.col("_vd"))
-        & (F.col("_vt") >= F.col("a.end_idx"))
-        & (F.col("_vt") < F.col("b.start_idx")),
+        (F.col("doc_id") == F.col("_vd"))
+        & (F.col("_vt") >= F.col("subj_end"))
+        & (F.col("_vt") < F.col("obj_start")),
     )
-    w2 = Window.partitionBy("a.doc_id", "a.sent_idx", "a._r").orderBy("_vt")
+    # first (lowest-position) verb between the pair wins — the pair is
+    # identified by its subject mention (subj_start/subj_end are unique
+    # per (doc, sentence) by the window order above)
+    w2 = Window.partitionBy("doc_id", "sent_idx", "subj_start", "subj_end").orderBy(
+        "_vt"
+    )
     return (
         hits.withColumn("_rn", F.row_number().over(w2))
         .filter("_rn = 1")
         .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.sent_idx").alias("sent_idx"),
-            F.col("a.mention_str").alias("raw_subj"),
+            "doc_id",
+            "sent_idx",
+            F.col("subj_str").alias("raw_subj"),
             "rel",
-            F.col("b.mention_str").alias("raw_obj"),
+            F.col("obj_str").alias("raw_obj"),
         )
     )
 

@@ -218,8 +218,8 @@ def relational_pipeline(
     if persist:
         unified = unified.persist()
     raw = relations.pattern_relations(unified, toks)
-    chars = unify.characters_table(unified)
-    resolved = relations.resolve_triples(raw, chars)
+    # unified feeds name_to_char directly (see resolve_triples doc)
+    resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(resolved, min_rel_occurrences)
     trip = edges.selectExpr(
         "doc_id", "subj_char as subj", "rel as pred", "obj_char as obj",
