@@ -218,7 +218,10 @@ def relational_pipeline(
     if persist:
         unified = unified.persist()
     raw = relations.pattern_relations(unified, toks)
-    # unified feeds name_to_char directly (see resolve_triples doc)
+    # unified feeds name_to_char directly (see resolve_triples doc);
+    # the characters table stays a stage OUTPUT but no longer sits on
+    # the triple path (lazy: only computed if a consumer reads it)
+    chars = unify.characters_table(unified)
     resolved = relations.resolve_triples(raw, unified)
     edges = relations.relational_edges(resolved, min_rel_occurrences)
     trip = edges.selectExpr(
