@@ -616,6 +616,34 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par, F.col("doc_id"))
 
 
+# Split-size target for the INPUT-DERIVED spread below: one task per
+# ~128 KB of compressed parquet. Parquet text compresses ~4-6x, and the
+# post-spread work (regex tokenize + shingle/NLP chains) expands and
+# chews ~50-500 ms of CPU per ~0.5-0.75 MB of raw text — i.e. each
+# task carries 20-50x the per-task scheduling overhead, the standard
+# granularity target. The count is CAPPED at the default parallelism,
+# so for any non-trivial input (>= parallelism x 128 KB, ~4 MB at 32
+# cores) this reduces to the previous fan-out-to-parallelism behavior,
+# and at production scale the scan already has >= parallelism splits
+# and no repartition happens at all. Measured (12-query mixed sample,
+# alternated sessions): fan-out 32 on the 594 KB sf0.1 corpus = 39.1s
+# mean vs 27.9-29.9s for the 4/8/16-way spreads this policy lands in —
+# a flat optimum, so the constant is not finicky. AQE alone was
+# measured too (repartition without a count): it coalesces the 594 KB
+# exchange to ONE partition — bytes understate the ~20x tokenize
+# expansion — serializing the CPU-heavy stages (35.7s).
+SPREAD_SPLIT_BYTES = 128 * 1024
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of a data path (file or directory), via the Hadoop
+    FileSystem so any supported scheme works."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(p).getLength())
+
+
 def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:
     """Filter the token table to the surfaces a query actually consumes
     and truncate lineage: downstream operators reference the token
@@ -628,26 +656,44 @@ def _toks_ckpt(toks: DataFrame, surfaces) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-# the spread DECISION (does this corpus scan already have >= default-
-# parallelism splits?) is pure input metadata for a static bench/gate
-# directory — probing it costs a full .rdd plan translation (~40-90ms
-# per query construction), so cache the boolean per (path, par) for
-# the life of the process. No query RESULT is cached: every query
-# still computes from the parquet scan.
+# the spread DECISION (how many ways should this corpus scan spread,
+# or None for "already split enough") is pure input metadata for a
+# static bench/gate directory — probing it costs a full .rdd plan
+# translation (~40-90ms per query construction) plus a filesystem
+# stat, so cache it per (path, parallelism) for the life of the
+# process. No query RESULT is cached: every query still computes from
+# the parquet scan.
 _SPREAD_DECISION: dict = {}
 
 
-def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_spread(_documents(...)) with the partition-count probe cached
-    per (sf_dir, parallelism)."""
+def _docs_spread(
+    spark: SparkSession, sf_dir: str, split_bytes: int = SPREAD_SPLIT_BYTES
+) -> DataFrame:
+    """_documents(...) spread INPUT-SIZE-ADAPTIVELY (round guide §2:
+    derive the partitioning from the data, not from a constant tuned
+    to either local mode or the cluster): target one split per
+    ``split_bytes`` of input, capped at the default parallelism
+    (the previous behavior, which any input >= parallelism x 128 KB
+    still gets), skipped when the scan is already split at least that
+    wide (production corpora). Operators whose per-byte CPU is far
+    above the tokenize norm (the winnowing rolling-hash) pass a
+    smaller ``split_bytes`` so their task granularity stays in the
+    same 50-500 ms band."""
     docs = _documents(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    key = (sf_dir, par)
+    key = (sf_dir, par, split_bytes)
     if key not in _SPREAD_DECISION:
-        _SPREAD_DECISION[key] = docs.rdd.getNumPartitions() >= par
-    if _SPREAD_DECISION[key]:
+        n = min(
+            par,
+            max(1, -(-_input_bytes(spark, f"{sf_dir}/documents.parquet")
+                     // split_bytes)),
+        )
+        have = docs.rdd.getNumPartitions()
+        _SPREAD_DECISION[key] = None if have >= n else n
+    n = _SPREAD_DECISION[key]
+    if n is None:
         return docs
-    return docs.repartition(par, F.col("doc_id"))
+    return docs.repartition(n, F.col("doc_id"))
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,8 +1035,12 @@ def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap — equi join on the fingerprint value, never quadratic."""
     from renard_spark.functions import text as ftext
 
+    # winnowing computes a rolling hash + per-window rightmost-min
+    # over EVERY k-gram — measured ~10x the per-byte CPU of the
+    # tokenize-family queries (8.6s at the default 5-way spread vs
+    # 4.3s fully fanned at sf0.1), so its split target is 8x smaller
     return ftext.winnow_near_dups(
-        _docs_spread(spark, sf_dir),
+        _docs_spread(spark, sf_dir, split_bytes=SPREAD_SPLIT_BYTES // 8),
         k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
     )
 
@@ -1009,8 +1059,10 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the DuckDB hash gate."""
     from renard_spark.functions import text as ftext
 
+    # same per-byte-CPU outlier as q_winnow_dups: 8x smaller splits
     return ftext.winnow_fingerprints(
-        _docs_spread(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+        _docs_spread(spark, sf_dir, split_bytes=SPREAD_SPLIT_BYTES // 8),
+        k=WINNOW_K, w=WINNOW_W,
     )
 
 
@@ -1283,7 +1335,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup(
         docs, w=3, num_hashes=8, bands=4, threshold=0.2
     )
-    q = ftext.quality_scores(_spread(docs)).select(
+    q = ftext.quality_scores(_docs_spread(spark, sf_dir)).select(
         "doc_id", F.round("quality_score", 6).alias("quality_score")
     )
     return dedup.dedup_keep_best(docs, pairs, q).select(
